@@ -1,0 +1,391 @@
+"""Analytic query plans over the TPC-H-ish testdata.
+
+These exercise the engine's declarative surface -- scan, filter,
+projection, hash-aggregate, broadcast/shuffle join, window, rollup,
+set ops -- the Spark-native generalization of the reference's scan and
+fold operators (SURVEY.md section 2.5).
+
+Scale notes (100 TB stance):
+ - lineitem/orders are the fact tables: aggregations are expressed as
+   groupBy so Catalyst plans partial (map-side) aggregation before the
+   shuffle; no driver-side collect anywhere.
+ - region/nation/customer/supplier/part are dims: joins against them
+   broadcast (autoBroadcastJoinThreshold covers them at any SF where
+   dims stay < tens of MB; at true TPC-H 100 TB, customer/part would
+   shuffle-join and AQE handles it).
+ - Every filter is on a scanned column so it pushes into the parquet
+   reader (verify: .explain shows PushedFilters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+from operating_system_map_reduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q1_pricing_summary: scan + filter + wide hash aggregate ---------------
+# TPC-H Q1 adapted to the testdata's lineitem columns.  Map-side partial
+# agg makes the shuffle carry one row per (returnflag, linestatus) per
+# partition -- constant-size regardless of SF.
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3_shipping_priority: selective join chain + top-k --------------------
+# customer(filter) -> orders -> lineitem; customer side broadcasts, the
+# orders-lineitem join shuffles on orderkey (their natural co-partition
+# key -- at scale both sides would be bucketed by orderkey, making this
+# join shuffle-free).
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q5_region_revenue: 5-way star join --------------------------------
+# region/nation broadcast (tiny); customer/supplier broadcast at these
+# SFs; lineitem-orders shuffle on orderkey.  The n_nationkey equality
+# between customer and supplier is the TPC-H Q5 "local supplier" trick.
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, r_name, n_name
+"""
+
+
+# --- top_customers_window: partitioned window rank ------------------------
+# Rank customers by acctbal within nation.  One shuffle on the window
+# partition key; rank is computed inside the sorted partition -- no
+# global sort.
+
+def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rnk")
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal, rnk
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) t
+WHERE rnk <= 3
+ORDER BY c_nationkey, rnk
+"""
+
+
+# --- orders_rollup: hierarchical aggregate (ROLLUP) -----------------------
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# --- decile_distribution: ntile + distinct agg ----------------------------
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILES_SQL = """
+SELECT decile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM (
+  SELECT o_totalprice, o_custkey,
+         NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+) t
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# --- set ops: customers with orders vs without (anti/semi join) -----------
+
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.select(F.col("c_mktsegment"), F.lit("with_orders").alias("bucket"))
+        .unionAll(without.select(F.col("c_mktsegment"), F.lit("no_orders").alias("bucket")))
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "bucket")
+    )
+
+
+COVERAGE_SQL = """
+WITH with_orders AS (
+  SELECT c_mktsegment, 'with_orders' AS bucket FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+), without_orders AS (
+  SELECT c_mktsegment, 'no_orders' AS bucket FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+)
+SELECT c_mktsegment, bucket, COUNT(*) AS n
+FROM (SELECT * FROM with_orders UNION ALL SELECT * FROM without_orders) t
+GROUP BY c_mktsegment, bucket
+ORDER BY c_mktsegment, bucket
+"""
+
+
+# --- events_sessionize: gaps-and-islands via lag window -------------------
+# Sessionization: a new session starts after a >30 min gap.  The lag and
+# the running session-id sum both run inside the per-user sorted window;
+# one shuffle on user_id total.
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag(F.col("ts_us")).over(w) > 1_800_000_000, 1
+        ).otherwise(0).cast("long"),
+    )
+    with_sess = with_gap.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("session_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events, SUM(value) AS session_value
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       SUM(session_value) AS total_value
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- events_json_extract: semi-structured extraction ----------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top_customers_window": top_customers_window,
+    "orders_rollup": orders_rollup,
+    "order_value_deciles": order_value_deciles,
+    "customer_order_coverage": customer_order_coverage,
+    "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "top_customers_window": TOP_CUSTOMERS_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+    "order_value_deciles": DECILES_SQL,
+    "customer_order_coverage": COVERAGE_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+}
