@@ -1,0 +1,304 @@
+"""KVEngine: the reference server's complete client-visible surface
+(p5/common/protocol.h, 15 commands) as a Spark-backed engine.
+
+Method-per-command, mirroring Storage 1:1 (p5/server/storage.h:56-210);
+every method returns ``(ok: bool, code: str, payload)`` with the exact
+protocol.h response-code strings (codes.py).
+
+State:
+ - auth + kv tables: Spark-queried changelog-parquet tables
+   (sources/changelog.py) -- replay view is the current state, SAV
+   compacts, restart replays; durability parity with p3.
+ - quotas + MRU: bounded in-memory per-user metadata, exactly like the
+   reference's deques (they are not persisted there either).
+ - map/reduce: FuncTable registry + Spark-executed map with global or
+   tree reduce (operators/mapreduce.py).
+
+Charge-ordering semantics preserved from the reference (asserted by
+p4/scripts/p4.py): LOGIN before anything; request quota before
+upload/download; download sized *after* the read; rejected charges are
+not recorded; admitted charges stick even if the op then fails.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import secrets
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+from operating_system_map_reduce_spark import codes
+from operating_system_map_reduce_spark.operators.mapreduce import (FuncTable,
+                                                                   run_map_reduce)
+from operating_system_map_reduce_spark.operators.mru import MRUManager
+from operating_system_map_reduce_spark.operators.quota import Quotas
+from operating_system_map_reduce_spark.sources.changelog import ChangeLog
+
+AUTH_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("op", StringType()),
+    StructField("username", StringType()),
+    StructField("salt", BinaryType()),
+    StructField("pass_hash", BinaryType()),
+    StructField("content", BinaryType()),
+])
+
+KV_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("op", StringType()),
+    StructField("key", StringType()),
+    StructField("value", BinaryType()),
+])
+
+
+class KVEngine:
+    def __init__(self, spark: SparkSession, data_dir: str, admin: str = "",
+                 up_quota: int = 1048576, down_quota: int = 1048576,
+                 req_quota: int = 16, quota_interval: float = 60.0,
+                 top_size: int = 4,
+                 clock=time.monotonic):
+        self.spark = spark
+        self.admin = admin
+        self._clock = clock
+        self._quota_cfg = (up_quota, down_quota, req_quota, quota_interval)
+        self.auth_log = ChangeLog(spark, os.path.join(data_dir, "auth"), AUTH_SCHEMA,
+                                  key_col="username")
+        self.kv_log = ChangeLog(spark, os.path.join(data_dir, "kv"), KV_SCHEMA,
+                                key_col="key")
+        self._seq = max(self.auth_log.max_seq(), self.kv_log.max_seq())
+        self.quota_table: dict[str, Quotas] = {}
+        self.mru = MRUManager(top_size)
+        self.funcs = FuncTable()
+
+    # ---------------------------------------------------------------- util
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def auth_df(self) -> DataFrame:
+        return self.auth_log.replay()
+
+    def kv_df(self) -> DataFrame:
+        return self.kv_log.replay()
+
+    def _auth(self, user: str, password: str):
+        """Salted-hash check (p3/server/my_storage.cc:232-250)."""
+        row = (
+            self.auth_df().filter(F.col("username") == user)
+            .select("salt", "pass_hash", "content").collect()
+        )
+        if not row:
+            return None
+        salt, pass_hash = bytes(row[0]["salt"]), bytes(row[0]["pass_hash"])
+        if hashlib.sha256(password.encode() + salt).digest() != pass_hash:
+            return None
+        return row[0]
+
+    def _quotas(self, user: str) -> Quotas:
+        if user not in self.quota_table:
+            up, down, req, interval = self._quota_cfg
+            self.quota_table[user] = Quotas.build(up, down, req, interval)
+        return self.quota_table[user]
+
+    def _charge_request(self, user: str) -> bool:
+        return self._quotas(user).requests.check_add(1, self._clock())
+
+    # ---------------------------------------------------------- auth table
+
+    def add_user(self, user: str, password: str):
+        """REG (protocol.h:95-109): insert-if-absent with fresh salt."""
+        if not user or len(user) > codes.LEN_UNAME or len(password) > codes.LEN_PASSWORD:
+            return False, codes.RES_ERR_REQUEST, None
+        exists = self.auth_df().filter(F.col("username") == user).count() > 0
+        if exists:
+            return False, codes.RES_ERR_USER_EXISTS, None
+        salt = secrets.token_bytes(16)
+        self.auth_log.append([{
+            "seq": self._next_seq(), "op": "insert", "username": user,
+            "salt": salt,
+            "pass_hash": hashlib.sha256(password.encode() + salt).digest(),
+            "content": b"",
+        }])
+        return True, codes.RES_OK, None
+
+    def set_user_data(self, user: str, password: str, content: bytes):
+        """SET (protocol.h:152-168): replace caller's profile bytes."""
+        if len(content) > codes.LEN_PROFILE_FILE:
+            return False, codes.RES_ERR_REQUEST, None
+        row = self._auth(user, password)
+        if row is None:
+            return False, codes.RES_ERR_LOGIN, None
+        self.auth_log.append([{
+            "seq": self._next_seq(), "op": "update", "username": user,
+            "salt": bytes(row["salt"]), "pass_hash": bytes(row["pass_hash"]),
+            "content": bytes(content),
+        }])
+        return True, codes.RES_OK, None
+
+    def get_user_data(self, user: str, password: str, who: str):
+        """GET (protocol.h:170-188): fetch another user's profile."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        rows = self.auth_df().filter(F.col("username") == who).select("content").collect()
+        if not rows:
+            return False, codes.RES_ERR_NO_USER, None
+        content = bytes(rows[0]["content"]) if rows[0]["content"] is not None else b""
+        if not content:
+            return False, codes.RES_ERR_NO_DATA, None
+        return True, codes.RES_OK, content
+
+    def get_all_users(self, user: str, password: str):
+        """ALL (protocol.h:190-206): newline-joined usernames."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        names = [r["username"] for r in self.auth_df().select("username").collect()]
+        return True, codes.RES_OK, "\n".join(names).encode()
+
+    # ------------------------------------------------------------ kv store
+
+    def kv_insert(self, user: str, password: str, key: str, value: bytes):
+        """KVI (protocol.h:263-285): insert-if-absent; request then upload
+        quota (p4/server/my_storage.cc:180-233); MRU update + log append."""
+        if not key or len(key) > codes.LEN_KEY or len(value) > codes.LEN_VAL:
+            return False, codes.RES_ERR_REQUEST, None
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        if not self._quotas(user).uploads.check_add(len(value), self._clock()):
+            return False, codes.RES_ERR_QUOTA_UP, None
+        exists = self.kv_df().filter(F.col("key") == key).count() > 0
+        if exists:
+            return False, codes.RES_ERR_KEY, None
+        self.kv_log.append([{"seq": self._next_seq(), "op": "insert",
+                             "key": key, "value": bytes(value)}])
+        self.mru.insert(key)
+        return True, codes.RES_OK, None
+
+    def kv_get(self, user: str, password: str, key: str):
+        """KVG (protocol.h:287-306): point read; download quota is sized by
+        the value and charged after the read -- a blocked download is NOT
+        recorded (p4/scripts/p4.py:81-83)."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        rows = self.kv_df().filter(F.col("key") == key).select("value").collect()
+        if not rows:
+            return False, codes.RES_ERR_KEY, None
+        value = bytes(rows[0]["value"]) if rows[0]["value"] is not None else b""
+        if not self._quotas(user).downloads.check_add(len(value), self._clock()):
+            return False, codes.RES_ERR_QUOTA_DOWN, None
+        self.mru.insert(key)
+        return True, codes.RES_OK, value
+
+    def kv_delete(self, user: str, password: str, key: str):
+        """KVD (protocol.h:308-325): tombstone append; request quota only."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        exists = self.kv_df().filter(F.col("key") == key).count() > 0
+        if not exists:
+            return False, codes.RES_ERR_KEY, None
+        self.kv_log.append([{"seq": self._next_seq(), "op": "delete",
+                             "key": key, "value": None}])
+        self.mru.remove(key)
+        return True, codes.RES_OK, None
+
+    def kv_upsert(self, user: str, password: str, key: str, value: bytes):
+        """KVU (protocol.h:327-347): distinct OK_INSERT / OK_UPDATE codes
+        via existence probe (the MERGE-metrics pattern, SURVEY 2.1 #11)."""
+        if not key or len(key) > codes.LEN_KEY or len(value) > codes.LEN_VAL:
+            return False, codes.RES_ERR_REQUEST, None
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        if not self._quotas(user).uploads.check_add(len(value), self._clock()):
+            return False, codes.RES_ERR_QUOTA_UP, None
+        exists = self.kv_df().filter(F.col("key") == key).count() > 0
+        self.kv_log.append([{"seq": self._next_seq(),
+                             "op": "update" if exists else "insert",
+                             "key": key, "value": bytes(value)}])
+        self.mru.insert(key)
+        return True, codes.RES_OKUPD if exists else codes.RES_OKINS, None
+
+    def kv_all(self, user: str, password: str):
+        """KVA (protocol.h:349-367): all keys, newline-joined; download
+        quota sized by the result."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        keys = [r["key"] for r in self.kv_df().select("key").collect()]
+        if not keys:
+            return False, codes.RES_ERR_NO_DATA, None
+        payload = "\n".join(keys).encode()
+        if not self._quotas(user).downloads.check_add(len(payload), self._clock()):
+            return False, codes.RES_ERR_QUOTA_DOWN, None
+        return True, codes.RES_OK, payload
+
+    def kv_top(self, user: str, password: str):
+        """KVT (protocol.h:393-411): MRU keys, most-recent-first (order is
+        asserted by p4/scripts/p4.py:127-128)."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        keys = self.mru.get()
+        if not keys:
+            return False, codes.RES_ERR_NO_DATA, None
+        payload = "\n".join(keys).encode()
+        if not self._quotas(user).downloads.check_add(len(payload), self._clock()):
+            return False, codes.RES_ERR_QUOTA_DOWN, None
+        return True, codes.RES_OK, payload
+
+    # -----------------------------------------------------------mapreduce
+
+    def register_mr(self, user: str, password: str, mrname: str, source: bytes,
+                    associative: bool = False):
+        """KVF (protocol.h:471-494): admin-only registration of a named
+        map/reduce pair from source bytes."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if user != self.admin:
+            return False, codes.RES_ERR_LOGIN, None
+        code = self.funcs.register_source(mrname, source, associative)
+        return (code == codes.RES_OK), code, None
+
+    def invoke_mr(self, user: str, password: str, mrname: str):
+        """KMR (protocol.h:447-469): run the named map over every kv pair
+        of a consistent snapshot, then the global reduce."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not self._charge_request(user):
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        entry = self.funcs.get(mrname)
+        if entry is None:
+            return False, codes.RES_ERR_FUNC, None
+        map_fn, reduce_fn, associative = entry
+        ok, code, payload = run_map_reduce(self.kv_df(), map_fn, reduce_fn, associative)
+        return ok, code, payload if ok else None
+
+    # --------------------------------------------------------- persistence
+
+    def save_file(self, user: str, password: str):
+        """SAV (protocol.h:131-150): compact both changelogs -- the
+        write-tmp-then-rename snapshot (p3/server/my_storage.cc:505-565)."""
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        self.auth_log.compact()
+        self.kv_log.compact()
+        return True, codes.RES_OK, None
+
+    def shutdown(self) -> None:
+        """BYE-side teardown (the engine object, not the SparkSession --
+        sessions are shared in tests)."""
+        self.funcs.clear()

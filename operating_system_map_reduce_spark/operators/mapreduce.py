@@ -1,0 +1,133 @@
+"""User-defined map/reduce over the full KV snapshot -- the reference's
+headline feature (KVF registration p5/server/my_functable.cc:45-71, KMR
+invocation p5/server/my_storage.cc:269-415).
+
+Reference ABI (p5/server/functypes.h):
+    map(key: str, value: bytes) -> bytes        # one output per pair
+    reduce(values: list[bytes]) -> bytes        # global, NOT associative
+
+Our registry accepts Python *source bytes* (the .so analog): the module
+must define ``map`` and ``reduce`` with those signatures; missing
+symbols fail registration with ERR_SO exactly as dlsym failure does.
+
+Execution is Spark-native:
+ - the map side runs in Spark's Python workers via ``mapInPandas`` --
+   out-of-process isolation for free, the same property the reference
+   builds from fork()+SECCOMP_MODE_STRICT (p5/server/my_storage.cc:282-285);
+ - a UDF that raises kills the task, never the engine; we surface
+   ERR_SERVER like the reference's killed child (my_storage.cc:361-364);
+ - the reduce is global and non-associative, so exact parity collects
+   map outputs to the driver in deterministic key order before one
+   reduce() call.  For associative reducers, ``associative=True`` opts
+   into a distributed two-stage fold (partition-level reduce, then a
+   final reduce over the per-partition results) -- the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+from operating_system_map_reduce_spark import codes
+
+MapFn = Callable[[str, bytes], bytes]
+ReduceFn = Callable[[list[bytes]], bytes]
+
+_MAP_OUT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("mapped", BinaryType()),
+])
+
+
+class FuncTable:
+    """Validated registry of named (map, reduce) pairs under a lock
+    (reference: my_functable.cc writer-locked unordered_map)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._fns: dict[str, tuple[MapFn, ReduceFn, bool]] = {}
+
+    def register_source(self, name: str, source: bytes, associative: bool = False) -> str:
+        """Register from Python source bytes; returns a protocol code."""
+        if not name or len(name) > codes.LEN_FNAME:
+            return codes.RES_ERR_REQUEST
+        if len(source) > codes.LEN_SO:
+            return codes.RES_ERR_REQUEST
+        ns: dict = {}
+        try:
+            exec(compile(source, f"<mr:{name}>", "exec"), ns)  # noqa: S102 - the KVF contract is executing user code
+        except Exception:
+            return codes.RES_ERR_SO
+        map_fn, reduce_fn = ns.get("map"), ns.get("reduce")
+        if not callable(map_fn) or not callable(reduce_fn):
+            return codes.RES_ERR_SO
+        return self.register_callables(name, map_fn, reduce_fn, associative)
+
+    def register_callables(self, name: str, map_fn: MapFn, reduce_fn: ReduceFn,
+                           associative: bool = False) -> str:
+        with self._lock:
+            if name in self._fns:
+                return codes.RES_ERR_FUNC
+            self._fns[name] = (map_fn, reduce_fn, associative)
+        return codes.RES_OK
+
+    def get(self, name: str) -> tuple[MapFn, ReduceFn, bool] | None:
+        with self._lock:
+            return self._fns.get(name)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._fns.clear()
+
+
+def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
+                   associative: bool = False) -> tuple[bool, str, bytes]:
+    """Run map over every (key, value) pair of the snapshot, then the
+    global reduce.  Returns (ok, code, payload)."""
+    try:
+        mapped = kv_df.select("key", "value").mapInPandas(
+            _make_map_batches(map_fn), schema=_MAP_OUT_SCHEMA
+        )
+        if associative:
+            # Distributed fold: reduce each partition's outputs, then
+            # reduce the per-partition digests.  Valid only when
+            # reduce(reduce(A) ++ reduce(B)) == reduce(A ++ B).
+            partials = (
+                mapped.rdd.map(lambda r: bytes(r.mapped) if r.mapped is not None else b"")
+                .mapPartitions(lambda it: _partition_digest(it, reduce_fn))
+                .collect()
+            )
+            result = reduce_fn([p for p in partials if p is not None])
+        else:
+            # Exact-parity path: one global reduce over all map outputs
+            # in deterministic key order (the reference feeds scan order;
+            # its tests are order-insensitive, so sorted order is the
+            # deterministic choice -- SURVEY.md section 2.2 reduce_func).
+            rows = mapped.orderBy("key").collect()
+            result = reduce_fn([bytes(r.mapped) if r.mapped is not None else b"" for r in rows])
+        return True, codes.RES_OK, bytes(result) if result is not None else b""
+    except Exception:
+        # UDF crash containment: the Python worker died / raised, the
+        # engine did not (reference: seccomp-killed child => ERR_SERVER).
+        return False, codes.RES_ERR_SERVER, b""
+
+
+def _make_map_batches(map_fn: MapFn):
+    def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys, out_vals = [], []
+            for key, value in zip(pdf["key"], pdf["value"]):
+                out_keys.append(key)
+                out_vals.append(map_fn(key, bytes(value) if value is not None else b""))
+            yield pd.DataFrame({"key": out_keys, "mapped": out_vals})
+    return map_batches
+
+
+def _partition_digest(it: Iterator[bytes], reduce_fn: ReduceFn) -> Iterator[bytes]:
+    vals = list(it)
+    if vals:
+        yield reduce_fn(vals)

@@ -1,0 +1,144 @@
+"""Append-only changelog with replay + compaction.
+
+Spark-first re-expression of the reference's durability design
+(p3/server/format.h, p3/server/my_storage.cc:505-702): every mutation is
+an appended log record; state = replay view (latest seq per key wins,
+tombstones drop the key); SAV = compaction (rewrite base from the
+current snapshot, truncate the log).
+
+Physical layout per table:
+    <root>/base/   -- compacted snapshot parquet (written by compact())
+    <root>/log/    -- one small parquet file per append batch
+
+Appends are driver-side pyarrow writes (a log append is a server-side
+action, ~ms, no Spark job); *reads* are Spark scans so replay and
+queries distribute.  At 100 TB the log ingestion path would be a
+Structured Streaming sink writing the same layout; the replay view is
+one shuffle on key (window dedup) regardless of log file count and
+needs no ordering assumption across files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class ChangeLog:
+    def __init__(self, spark: SparkSession, root: str, schema: StructType,
+                 key_col: str, seq_col: str = "seq", op_col: str = "op"):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.key_col = key_col
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self._arrow_schema = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType.simpleString())) for f in schema.fields]
+        )
+        os.makedirs(self.base_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    @property
+    def base_dir(self) -> str:
+        return os.path.join(self.root, "base")
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.root, "log")
+
+    # -- write path --------------------------------------------------------
+
+    def append(self, rows: list[dict]) -> None:
+        """Durably append one batch of log records (fsync'd, mirroring the
+        reference's fsync-before-reply at p4/server/my_storage.cc:230-231)."""
+        if not rows:
+            return
+        cols = {f.name: [r.get(f.name) for r in rows] for f in self.schema.fields}
+        table = pa.table(cols, schema=self._arrow_schema)
+        path = os.path.join(self.log_dir, f"batch-{rows[0][self.seq_col]:020d}-{uuid.uuid4().hex[:8]}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    # -- read path ---------------------------------------------------------
+
+    def _read(self, d: str) -> DataFrame | None:
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
+            return None
+        return self.spark.read.schema(self.schema).parquet(*files)
+
+    def raw(self) -> DataFrame:
+        """base ∪ log, no dedup."""
+        parts = [df for df in (self._read(self.base_dir), self._read(self.log_dir)) if df is not None]
+        if not parts:
+            return self.spark.createDataFrame([], self.schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def replay(self) -> DataFrame:
+        """Current state: latest seq per key wins; delete-ops drop the key.
+        Equivalent to the reference's sequential load_file replay
+        (p3/server/my_storage.cc:573-702) but order-independent and
+        distributed: one shuffle on the key column."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(self.key_col).orderBy(F.desc(self.seq_col))
+        return (
+            self.raw()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(self.op_col) != "delete")
+            .drop("__rn")
+        )
+
+    def max_seq(self) -> int:
+        row = self.raw().agg(F.max(self.seq_col).alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else 0
+
+    # -- compaction (SAV) --------------------------------------------------
+
+    def compact(self) -> None:
+        """SAV parity (p3/server/my_storage.cc:505-565): write the full
+        snapshot to a tmp dir, atomically swap it in as base, truncate
+        the log.  Readers between swap and truncate see duplicates of
+        *identical latest records*, which replay dedups -- same safety
+        the reference gets from write-tmp-then-rename."""
+        snapshot = self.replay().collect()
+        tmp = os.path.join(self.root, f"base.tmp-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp, exist_ok=True)
+        rows = [r.asDict() for r in snapshot]
+        if rows:
+            cols = {f.name: [r.get(f.name) for r in rows] for f in self.schema.fields}
+            pq.write_table(pa.table(cols, schema=self._arrow_schema),
+                           os.path.join(tmp, "snapshot.parquet"))
+        old = self.base_dir
+        swap_out = os.path.join(self.root, f"base.old-{uuid.uuid4().hex[:8]}")
+        os.rename(old, swap_out)
+        os.rename(tmp, old)
+        shutil.rmtree(swap_out)
+        for f in os.listdir(self.log_dir):
+            os.remove(os.path.join(self.log_dir, f))
+
+
+def _arrow_type(simple: str) -> pa.DataType:
+    return {
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+    }[simple]
