@@ -28,7 +28,13 @@ HEADLINE = [
     "changelog_replay",
     "quota_sliding_window",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_lsh_buckets",
+    "similarity_lsh_knn",
+    "multimodal_metadata",
     "text_quality",
+    "text_lang_id",
     "token_count",
     "doc_fingerprint",
 ]

@@ -1,0 +1,168 @@
+"""Near-duplicate detection operators: exact hash, MinHash+LSH, SimHash,
+n-gram Jaccard.  (Charter extension: LLM-training-data pipeline.)
+
+Scale design (100 TB stance):
+ - Everything is built from array expressions over a tokenized column --
+   no explode until the *banding* step, so the per-doc work is map-side
+   and only (doc_id, band_hash) pairs shuffle.
+ - MinHash+LSH is the scale path: candidate pairs come from equal band
+   buckets (one shuffle on band hash), never from an O(n^2) cross join;
+   the exact-Jaccard verify then touches only candidates.
+ - All hashing uses md5 hex strings so the DuckDB oracle computes
+   byte-identical values (engine-native hashes differ across engines).
+
+Tunables follow the standard LSH trade-off: with n_hashes = bands*rows,
+the detection threshold is ~ (1/bands)^(1/rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_MINHASH / LSH_BANDS
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Lowercased alnum tokens; identical to the oracle's
+    list_filter(regexp_split_to_array(lower(x),'[^a-z0-9]+'), ...)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def shingles_expr(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as space-joined strings (array, with dups)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+# Universal-hash MinHash family: ONE md5 per shingle -> 48-bit int ->
+# N_MINHASH affine transforms (a_i*h + b_i) mod p.  16x fewer digest
+# computations than hashing per-seed; the affine family is the textbook
+# (a*x+b) mod p universal family.  Constants derive from md5 so the
+# DuckDB oracle regenerates them identically.
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1; products stay < 2^62
+
+MINHASH_A = [
+    int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    for i in range(N_MINHASH)
+]
+MINHASH_B = [
+    int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    for i in range(N_MINHASH)
+]
+
+# hex->int on the first 12 digest chars; `substr`/`instr` spell the same
+# in Spark SQL and DuckDB, so this template is engine-shared.
+_HEXVAL = " + ".join(
+    f"(instr('0123456789abcdef', substr({{var}}, {i}, 1)) - 1) * CAST({16 ** (12 - i)} AS BIGINT)"
+    for i in range(1, 13)
+)
+
+
+def hexval_sql(var: str) -> str:
+    return _HEXVAL.format(var=var)
+
+
+def shingle_hash_vals_sql(shingles_col: str, transform_fn: str = "transform") -> str:
+    """Array of per-shingle integer hashes (one md5 each).  Pass
+    transform_fn='list_transform' for DuckDB."""
+    md5s = f"{transform_fn}({shingles_col}, s -> md5(s))"
+    return f"{transform_fn}({md5s}, h -> ({hexval_sql('h')}) % {MINHASH_P})"
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, shingles, mh_0..mh_{N-1}); docs with no shingles dropped.
+
+    The repeated hvals subtree below is shared by all 16 min-reductions;
+    Spark's codegen subexpression elimination evaluates it once per row
+    (the per-seed md5 variant it replaced could not be CSE'd)."""
+    toks = tokens_expr(text_col)
+    out = df.select(F.col(id_col), shingles_expr(toks).alias("shingles"))
+    out = out.filter(F.size("shingles") > 0)
+    hv = shingle_hash_vals_sql("shingles")
+    for s in range(N_MINHASH):
+        out = out.withColumn(
+            f"mh_{s}",
+            F.expr(f"array_min(transform({hv}, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}))"),
+        )
+    return out
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode the signature into (id, band_idx, band_hash).  The only
+    row-multiplying step: x LSH_BANDS."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)])).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    return (
+        sig.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket -- the LSH
+    candidate join (equi-join on (band_idx, band_hash), never O(n^2))."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_expr(sa: Column, sb: Column) -> Column:
+    """Jaccard over distinct shingle sets via intersect size only
+    (|A|+|B|-|A∩B| denominator -- avoids engine union semantics)."""
+    da, db = F.array_distinct(sa), F.array_distinct(sb)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    return inter / (F.size(da) + F.size(db) - inter)
+
+
+def simhash_spark_sql(toks_sql: str, bits: int = SIMHASH_BITS) -> str:
+    """Spark-SQL expression for a bitwise-majority SimHash: bit b is the
+    sign of the sum over distinct tokens of +/-1 from the parity of md5
+    hex char b.  ONE md5 per token: the shared md5s subtree is CSE'd by
+    codegen across the 16 bit-sums.  The DuckDB twin computes
+    byte-identical values (substr/instr spell the same in both)."""
+    md5s = f"transform(array_distinct({toks_sql}), t -> md5(t))"
+    parts = []
+    for b in range(bits):
+        s = (
+            f"aggregate({md5s}, 0, (acc, h) -> acc + "
+            f"CASE WHEN (instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        parts.append(f"CASE WHEN {s} >= 0 THEN {2 ** b} ELSE 0 END")
+    return " + ".join(parts)
+
+
+def simhash_duckdb_sql(toks_sql: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of simhash_spark_sql (list_sum/list_transform)."""
+    md5s = f"list_transform(list_distinct({toks_sql}), t -> md5(t))"
+    parts = []
+    for b in range(bits):
+        s = (
+            f"list_sum(list_transform({md5s}, h -> "
+            f"CASE WHEN (instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"CASE WHEN {s} >= 0 THEN {2 ** b} ELSE 0 END")
+    return " + ".join(parts)

@@ -214,3 +214,326 @@ ORACLES = {
     "text_lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
 }
+
+
+# === near-dup detection =====================================================
+
+from operating_system_map_reduce_spark.operators import dedup as _dd
+from operating_system_map_reduce_spark.operators import similarity as _sim
+from operating_system_map_reduce_spark.operators import multimodal as _mm
+
+
+# --- MinHash + LSH near-dedup ---------------------------------------------
+# Shingle -> 16 minhashes -> 4 bands -> bucket-join candidates -> exact
+# Jaccard verify.  The oracle reproduces the identical LSH pipeline, so
+# candidate sets match exactly (this checks the *operator*, not just the
+# ground truth).  Scale path: only (doc_id, band_hash) shuffles.
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # The signature subtree feeds three consumers (band explode + both
+    # sides of the verify join); without persist Spark recomputes the
+    # 16 md5 minhash passes per consumer.  At 100 TB this would be a
+    # checkpoint to storage instead of executor memory.
+    sig = _dd.minhash_signature(docs).persist()
+    pairs = _dd.candidate_pairs(_dd.lsh_bands(sig))
+    sh = sig.select(F.col("doc_id"), F.col("shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", _dd.jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_list_sql() -> str:
+    # Same universal-hash family as operators/dedup.py: one md5 per
+    # shingle -> 48-bit int (hvals) -> affine transforms mod p.
+    entries = ", ".join(
+        f"list_min(list_transform(hvals, h -> ({_dd.MINHASH_A[s]} * h + {_dd.MINHASH_B[s]}) % {_dd.MINHASH_P}))"
+        for s in range(_dd.N_MINHASH)
+    )
+    return f"[{entries}]"
+
+
+def _bands_union_sql() -> str:
+    selects = []
+    for band in range(_dd.LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh[{band * _dd.LSH_ROWS + r + 1}] AS VARCHAR)" for r in range(_dd.LSH_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS shingles
+  FROM toks WHERE len(toks) >= {_dd.SHINGLE_N}
+), hv AS (
+  SELECT doc_id, shingles,
+         {_dd.shingle_hash_vals_sql("shingles", "list_transform")} AS hvals
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {_minhash_list_sql()} AS mh FROM hv
+), bands AS (
+  {_bands_union_sql()}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))) AS DOUBLE)
+           / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+              - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))) AS jaccard
+  FROM pairs p JOIN sh sa ON p.id_a = sa.doc_id JOIN sh sb ON p.id_b = sb.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# --- SimHash near-dup buckets ---------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.expr(_dd.simhash_spark_sql(toks_sql)).alias("simhash"),
+        )
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("simhash")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM (
+  SELECT doc_id,
+         {_dd.simhash_duckdb_sql("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')")} AS simhash
+  FROM documents
+) t
+GROUP BY simhash
+ORDER BY simhash
+"""
+
+
+# --- brute-force n-gram Jaccard (quality baseline for the LSH path) -------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(_dd.shingles_expr(_dd.tokens_expr())).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_NGRAM_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# === similarity search ======================================================
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_knn(emb, k=5).orderBy("vec_id", "rank")
+
+
+SIMILARITY_KNN_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_sum(list_transform(range(1, {_sim.DIM + 1}),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM p
+) t
+WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("vec_id"),
+            F.expr(_sim.lsh_bucket_spark_sql("embedding")).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+        .orderBy("bucket")
+    )
+
+
+SIMILARITY_LSH_SQL = f"""
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+FROM (
+  SELECT vec_id, {_sim.lsh_bucket_duckdb_sql("embedding")} AS bucket
+  FROM embeddings
+) t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# === multimodal plumbing ====================================================
+# The queries() side runs the REAL mapInPandas decode plumbing (with the
+# deterministic fake codec); the oracle re-derives the same metadata
+# arithmetically from md5(text), so the UDF path itself is what gets
+# verified.
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = _mm.decode_media(_mm.attach_binary(docs), fake=True)
+    return decoded.select(
+        "doc_id", "n_bytes", "format", "width", "height", "n_frames"
+    ).orderBy("doc_id")
+
+
+def _hv(c: str) -> str:
+    return f"(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _mm_oracle_sql() -> str:
+    c = [f"substr(md5(text), {i}, 1)" for i in range(1, 9)]
+    fmt_idx = f"({_hv(c[1])} % 4)"
+    byte1 = f"({_hv(c[2])} * 16 + {_hv(c[3])})"
+    byte2 = f"({_hv(c[4])} * 16 + {_hv(c[5])})"
+    byte3 = f"({_hv(c[6])} * 16 + {_hv(c[7])})"
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (['jpeg', 'png', 'wav', 'mp4'])[1 + {fmt_idx}] AS format,
+       16 + ({byte1} % 240) AS width,
+       16 + ({byte2} % 240) AS height,
+       1 + ({byte3} % 32) AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
+
+
+MULTIMODAL_SQL = _mm_oracle_sql()
+
+
+QUERIES.update({
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "similarity_cosine_topk": similarity_cosine_topk,
+    "similarity_lsh_buckets": similarity_lsh_buckets,
+    "multimodal_metadata": multimodal_metadata,
+})
+
+ORACLES.update({
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "similarity_cosine_topk": SIMILARITY_KNN_SQL,
+    "similarity_lsh_buckets": SIMILARITY_LSH_SQL,
+    "multimodal_metadata": MULTIMODAL_SQL,
+})
+
+
+# --- multi-table LSH approximate knn ---------------------------------------
+# The scale path for similarity search: candidates only from shared
+# buckets (4 tables x 4 bits), exact cosine re-rank on candidates.
+# The oracle reproduces the identical table/bucket derivation, so the
+# approximation itself is what is verified, not ground-truth knn.
+
+def similarity_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.lsh_knn(emb, k=5).orderBy("vec_id", "rank")
+
+
+def _lsh_knn_oracle_sql() -> str:
+    tagged = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sim.table_bucket_sql('embedding', t, duckdb=True)} AS bucket FROM embeddings"
+        for t in range(_sim.N_TABLES)
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(qn.embedding[i] AS DOUBLE) * CAST(nn.embedding[i] AS DOUBLE)))"
+    )
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH tagged AS (
+  {tagged}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM tagged a JOIN tagged b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), n AS (
+  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+), scored AS (
+  SELECT qid, nid, {dot} / (qn.nrm * nn.nrm) AS cosine
+  FROM cands JOIN n qn ON qid = qn.vec_id JOIN n nn ON nid = nn.vec_id
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
+SIMILARITY_LSH_KNN_SQL = _lsh_knn_oracle_sql()
+
+QUERIES["similarity_lsh_knn"] = similarity_lsh_knn
+ORACLES["similarity_lsh_knn"] = SIMILARITY_LSH_KNN_SQL

@@ -1,0 +1,107 @@
+"""Operator-level tests for the LLM-pipeline extensions: multimodal
+decode plumbing, LSH recall vs brute force, dedup on crafted near-dups.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from operating_system_map_reduce_spark.operators import dedup, multimodal, similarity
+
+
+class TestMultimodal:
+    def test_decode_stub_requires_fake(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_stub(b"payload")
+
+    def test_decode_stub_deterministic(self):
+        a = multimodal.decode_stub(b"same bytes", fake=True)
+        b = multimodal.decode_stub(b"same bytes", fake=True)
+        assert a == b
+        assert a["format"] in ("jpeg", "png", "wav", "mp4")
+        assert 16 <= a["width"] < 256 and 16 <= a["height"] < 256
+
+    def test_decode_media_plumbing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "another doc"), (3, None)],
+            ["doc_id", "text"],
+        )
+        out = multimodal.decode_media(multimodal.attach_binary(docs), fake=True)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_bytes"] == len(b"hello world")
+        assert rows[3]["n_bytes"] == 0  # null payload handled
+        assert set(out.columns) == {"doc_id", "n_bytes", "format", "width", "height", "n_frames"}
+
+
+class TestDedupOperators:
+    def test_minhash_lsh_catches_planted_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely different words about spark query engines and shuffles"
+        docs = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+        )
+        sig = dedup.minhash_signature(docs)
+        pairs = dedup.candidate_pairs(dedup.lsh_bands(sig)).collect()
+        assert (1, 2) in [(r["id_a"], r["id_b"]) for r in pairs]
+        assert (1, 3) not in [(r["id_a"], r["id_b"]) for r in pairs]
+
+    def test_jaccard_expr_exact(self, spark):
+        df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+        val = df.select(dedup.jaccard_expr(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+        assert val == pytest.approx(2 / 4)
+
+    def test_simhash_near_dup_closer_than_far(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base + " lambda"
+        far = "one two three four five six seven eight nine ten eleven twelve"
+        docs = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+        )
+        toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+        out = {r["doc_id"]: r["s"] for r in docs.select(
+            "doc_id", F.expr(dedup.simhash_spark_sql(toks)).alias("s")).collect()}
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+class TestSimilarity:
+    def test_multi_table_lsh_recall_on_top1(self, spark):
+        """Multi-table LSH recall: the exact top-1 neighbor appears in
+        the approximate result for a solid share of queries (single
+        4-bit table keeps ~(1-theta/pi)^4; 4 tables lift to 1-(1-p)^4 --
+        ~50% at these embeddings' neighbor distances)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact_top1 = {
+            r["vec_id"]: r["neighbor_id"]
+            for r in similarity.cosine_knn(emb, k=1).collect()
+        }
+        approx = similarity.lsh_knn(emb, k=5).collect()
+        found: dict[int, set[int]] = {}
+        for r in approx:
+            found.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hits = sum(1 for q, n in exact_top1.items() if n in found.get(q, set()))
+        assert hits / len(exact_top1) > 0.25
+
+    def test_lsh_knn_scores_match_exact_for_shared_pairs(self, spark):
+        """Where LSH surfaces a pair, its cosine equals the exact one."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {(r["vec_id"], r["neighbor_id"]): r["cosine"]
+                 for r in similarity.cosine_knn(emb, k=5).collect()}
+        approx = similarity.lsh_knn(emb, k=5).collect()
+        shared = [(r["vec_id"], r["neighbor_id"], r["cosine"]) for r in approx
+                  if (r["vec_id"], r["neighbor_id"]) in exact]
+        assert shared, "no overlap between exact and approximate knn"
+        for q, n, c in shared:
+            assert c == exact[(q, n)]
+
+    def test_hyperplanes_deterministic(self):
+        assert similarity.HYPERPLANES == [
+            [similarity._plane_sign(p, i) for i in range(similarity.DIM)]
+            for p in range(similarity.N_PLANES)
+        ]
+        assert all(v in (-1, 1) for row in similarity.HYPERPLANES for v in row)
