@@ -82,20 +82,34 @@ def shingle_hash_vals_sql(shingles_col: str, transform_fn: str = "transform") ->
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """(id, shingles, mh_0..mh_{N-1}); docs with no shingles dropped.
+    """(id, shingles, hvals, mh_0..mh_{N-1}); docs with no shingles dropped.
 
-    The repeated hvals subtree below is shared by all 16 min-reductions;
-    Spark's codegen subexpression elimination evaluates it once per row
-    (the per-seed md5 variant it replaced could not be CSE'd)."""
+    ``hvals`` (one md5 + hex-decode per shingle) is materialized as its
+    own projection so the 16 min-reductions each scan a ready integer
+    array.  Inlining the subtree 16x instead relied on codegen CSE that
+    does NOT fire across these lambda functions -- measured 25 s vs 2 s
+    at sf0.1."""
     toks = tokens_expr(text_col)
-    out = df.select(F.col(id_col), shingles_expr(toks).alias("shingles"))
+    # The signature work is CPU-bound (md5 per shingle, interpreted HOF
+    # lambdas), so partition count must track cores, not input bytes: a
+    # small parquet arrives as ONE split and serializes the whole stage.
+    # Shuffling raw text is cheap relative to the compute it unblocks;
+    # at 100 TB input splits already provide this and AQE coalesces.
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(ncores, F.col(id_col)).select(
+        F.col(id_col), shingles_expr(toks).alias("shingles")
+    )
     out = out.filter(F.size("shingles") > 0)
-    hv = shingle_hash_vals_sql("shingles")
-    for s in range(N_MINHASH):
-        out = out.withColumn(
-            f"mh_{s}",
-            F.expr(f"array_min(transform({hv}, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}))"),
-        )
+    out = out.withColumn("hvals", F.expr(shingle_hash_vals_sql("shingles")))
+    out = out.select(
+        "*",
+        *[
+            F.expr(
+                f"array_min(transform(hvals, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}))"
+            ).alias(f"mh_{s}")
+            for s in range(N_MINHASH)
+        ],
+    )
     return out
 
 
