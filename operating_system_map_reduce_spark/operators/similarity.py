@@ -137,6 +137,124 @@ def table_bucket_sql(vec_col: str, table: int, duckdb: bool = False) -> str:
     return _bucket_sql_for_planes(vec_col, idxs, duckdb)
 
 
+def cosine_near_dup(emb: DataFrame, threshold: float = 0.40,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Same scale shape as lsh_knn: candidates come only from shared LSH
+    buckets (shuffle key = (table, bucket), never a cross join), exact
+    cosine re-rank on candidates, threshold filter.  Pairs above the
+    threshold that share no bucket are absent by contract -- the oracle
+    reproduces the identical candidate generation so the approximation
+    itself is what gets verified."""
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 F.expr(table_bucket_sql(vec_col, t)).alias("bucket"))
+        for t in range(N_TABLES)
+    ])
+    tagged = (
+        emb.select(F.col(id_col), F.explode(buckets).alias("tb"))
+        .select(id_col, "tb.tbl", "tb.bucket")
+    )
+    a = tagged.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = tagged.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    with_norm = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("nrm")
+    )
+    aside = with_norm.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                             F.col("nrm").alias("na"))
+    bside = with_norm.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                             F.col("nrm").alias("nb"))
+    return (
+        cands.join(aside, "id_a").join(bside, "id_b")
+        .withColumn("cosine", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# IVF coarse quantization: NLIST deterministic centroids (the lowest
+# NLIST ids -- reproducible in any engine without a trained codebook),
+# every vector assigned to its nearest centroid, queries probe the
+# NPROBE nearest cells.  At scale the centroid table is broadcast
+# (NLIST rows), assignment is map-side, and the candidate join shuffles
+# on cell id only.
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", nprobe: int = IVF_NPROBE) -> DataFrame:
+    """(id, probe_rank, cell) -- nearest-centroid cells per vector.
+
+    probe_rank 1 is the home cell (where the vector is indexed);
+    ranks 1..nprobe are the cells a query scans."""
+    from pyspark.sql.window import Window
+
+    centroids = (
+        emb.orderBy(F.col(id_col).asc()).limit(IVF_NLIST)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"),
+                F.expr(norm_sql(vec_col)).alias("cn"))
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col),
+                   F.expr(norm_sql(vec_col)).alias("nrm"))
+        .join(F.broadcast(centroids), how="cross")
+        .withColumn("sim", F.expr(dot_sql(vec_col, "cv")) / (F.col("nrm") * F.col("cn")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, "probe_rank", "cell")
+    )
+
+
+def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k cosine via IVF: probe NPROBE cells per query,
+    exact cosine over vectors indexed in those cells."""
+    from pyspark.sql.window import Window
+
+    cells = ivf_cells(emb, id_col, vec_col)
+    indexed = (cells.filter(F.col("probe_rank") == 1)
+               .select(F.col(id_col).alias("nid"), "cell"))
+    probes = cells.select(F.col(id_col).alias("qid"), "cell")
+    cands = (
+        probes.join(indexed, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    with_norm = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("nrm")
+    )
+    qside = with_norm.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                             F.col("nrm").alias("qn"))
+    nside = with_norm.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                             F.col("nrm").alias("nn"))
+    scored = (
+        cands.join(qside, "qid").join(nside, "nid")
+        .withColumn("cosine", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"), F.col("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k cosine via multi-table hyperplane LSH.

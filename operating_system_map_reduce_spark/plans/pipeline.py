@@ -537,3 +537,111 @@ SIMILARITY_LSH_KNN_SQL = _lsh_knn_oracle_sql()
 
 QUERIES["similarity_lsh_knn"] = similarity_lsh_knn
 ORACLES["similarity_lsh_knn"] = SIMILARITY_LSH_KNN_SQL
+
+
+# --- embedding-cosine near-duplicate pairs ----------------------------------
+# Dedup by embedding: candidate pairs from shared LSH buckets, exact
+# cosine >= threshold.  The oracle derives the identical buckets, so
+# the LSH candidate generation is itself under test.
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_dup(emb, threshold=0.40).orderBy("id_a", "id_b")
+
+
+def _emb_dedup_oracle_sql() -> str:
+    tagged = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sim.table_bucket_sql('embedding', t, duckdb=True)} AS bucket FROM embeddings"
+        for t in range(_sim.N_TABLES)
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(an.embedding[i] AS DOUBLE) * CAST(bn.embedding[i] AS DOUBLE)))"
+    )
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH tagged AS (
+  {tagged}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM tagged a JOIN tagged b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), n AS (
+  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT id_a, id_b, {dot} / (an.nrm * bn.nrm) AS cosine
+  FROM cands JOIN n an ON id_a = an.vec_id JOIN n bn ON id_b = bn.vec_id
+) t
+WHERE cosine >= 0.40
+ORDER BY id_a, id_b
+"""
+
+
+DEDUP_EMBEDDING_SQL = _emb_dedup_oracle_sql()
+
+QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
+ORACLES["dedup_embedding_cosine"] = DEDUP_EMBEDDING_SQL
+
+
+# --- IVF approximate knn -----------------------------------------------------
+# The trained-codebook-free IVF: centroids are the NLIST lowest-id
+# vectors, assignment is argmax cosine over the broadcast centroid
+# table, queries probe the NPROBE nearest cells.
+
+def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.ivf_knn(emb, k=5).orderBy("vec_id", "rank")
+
+
+def _ivf_knn_oracle_sql() -> str:
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    cdot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    qdot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(qn.embedding[i] AS DOUBLE) * CAST(nn.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cell, embedding, nrm AS cn FROM n ORDER BY vec_id LIMIT {_sim.IVF_NLIST}
+), cells AS (
+  SELECT vec_id, probe_rank, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS probe_rank
+    FROM n v CROSS JOIN centroids c
+  ) t WHERE probe_rank <= {_sim.IVF_NPROBE}
+), cands AS (
+  SELECT DISTINCT p.vec_id AS qid, i.vec_id AS nid
+  FROM cells p JOIN (SELECT vec_id, cell FROM cells WHERE probe_rank = 1) i
+    ON p.cell = i.cell AND p.vec_id <> i.vec_id
+), scored AS (
+  SELECT qid, nid, {qdot} / (qn.nrm * nn.nrm) AS cosine
+  FROM cands JOIN n qn ON qid = qn.vec_id JOIN n nn ON nid = nn.vec_id
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
+SIMILARITY_IVF_SQL = _ivf_knn_oracle_sql()
+
+QUERIES["similarity_ivf_knn"] = similarity_ivf_knn
+ORACLES["similarity_ivf_knn"] = SIMILARITY_IVF_SQL

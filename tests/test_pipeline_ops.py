@@ -99,6 +99,36 @@ class TestSimilarity:
         for q, n, c in shared:
             assert c == exact[(q, n)]
 
+    def test_ivf_recall_on_top1(self, spark):
+        """IVF with 4-of-16 probed cells finds the exact top-1 for a
+        solid share of queries."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact_top1 = {
+            r["vec_id"]: r["neighbor_id"]
+            for r in similarity.cosine_knn(emb, k=1).collect()
+        }
+        approx = similarity.ivf_knn(emb, k=5).collect()
+        found: dict[int, set[int]] = {}
+        for r in approx:
+            found.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hits = sum(1 for q, n in exact_top1.items() if n in found.get(q, set()))
+        assert hits / len(exact_top1) > 0.25
+
+    def test_near_dup_pairs_subset_of_bruteforce(self, spark):
+        """Every LSH near-dup pair is a true >=threshold pair (no false
+        positives -- exact re-rank guarantees it), ordered id_a < id_b."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        thresh = 0.35
+        pairs = similarity.cosine_near_dup(emb, threshold=thresh).collect()
+        assert pairs, "expected at least one near-dup pair at this threshold"
+        exact = {(r["vec_id"], r["neighbor_id"]): r["cosine"]
+                 for r in similarity.cosine_knn(emb, k=50).collect()}
+        for r in pairs:
+            assert r["id_a"] < r["id_b"]
+            assert r["cosine"] >= thresh
+            key = (r["id_a"], r["id_b"])
+            assert key in exact and exact[key] == r["cosine"]
+
     def test_hyperplanes_deterministic(self):
         assert similarity.HYPERPLANES == [
             [similarity._plane_sign(p, i) for i in range(similarity.DIM)]
