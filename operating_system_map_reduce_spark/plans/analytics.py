@@ -366,6 +366,100 @@ ORDER BY event_type
 """
 
 
+# --- asof_click_attribution: backward as-of join ---------------------------
+# For every purchase event, the most recent click by the same user at
+# or before the purchase (classic attribution).  Spark side runs the
+# union-marker as-of operator: ONE shuffle on user_id, no range join.
+# Purchases with no prior click keep null click columns (outer as-of).
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", F.col("ts_us").alias("purchase_ts_us")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts_us").alias("click_ts_us")))
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="purchase_ts_us", right_ts="click_ts_us",
+                    right_cols=["click_id", "click_ts_us"], tie_col="click_id")
+    return (out.withColumn("gap_us", F.col("purchase_ts_us") - F.col("click_ts_us"))
+            .select("event_id", "user_id", "purchase_ts_us",
+                    "click_id", "click_ts_us", "gap_us")
+            .orderBy("event_id"))
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS purchase_ts_us
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.event_id, p.user_id, p.purchase_ts_us, c.click_id, c.click_ts_us,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id AND c.click_ts_us <= p.purchase_ts_us
+)
+SELECT p.event_id, p.user_id, p.purchase_ts_us,
+       r.click_id, r.click_ts_us,
+       p.purchase_ts_us - r.click_ts_us AS gap_us
+FROM purchases p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON p.event_id = r.event_id
+ORDER BY p.event_id
+"""
+
+
+# --- range_join_prior_activity: binned range join --------------------------
+# Per purchase: how many click/view events the same user produced in
+# the 10 minutes up to the purchase (inclusive).  The range predicate
+# becomes a (user_id, time-bucket) equi-join; bucket width == window
+# width so each interval explodes to at most 2 buckets.
+
+def range_join_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.temporal import range_join_binned
+
+    window_us = 600_000_000  # 10 min
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id",
+                         (F.col("ts_us") - window_us).alias("win_start_us"),
+                         F.col("ts_us").alias("win_end_us")))
+    activity = (ev.filter(F.col("event_type").isin("click", "view"))
+                .select(F.col("event_id").alias("act_id"), "user_id",
+                        F.col("ts_us").alias("act_ts_us")))
+    matched = range_join_binned(activity, purchases, key="user_id",
+                                point_ts="act_ts_us",
+                                start_col="win_start_us", end_col="win_end_us",
+                                bucket_width=window_us)
+    counts = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_prior"))
+    return (purchases.join(counts, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.coalesce("n_prior", F.lit(0)).alias("n_prior"))
+            .orderBy("event_id"))
+
+
+RANGE_JOIN_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) - 600000000 AS win_start_us,
+         epoch_us(ts) AS win_end_us
+  FROM events WHERE event_type = 'purchase'
+), activity AS (
+  SELECT user_id, epoch_us(ts) AS act_ts_us
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT p.event_id, p.user_id,
+       (SELECT COUNT(*) FROM activity a
+        WHERE a.user_id = p.user_id
+          AND a.act_ts_us BETWEEN p.win_start_us AND p.win_end_us) AS n_prior
+FROM purchases p
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -376,6 +470,8 @@ QUERIES = {
     "customer_order_coverage": customer_order_coverage,
     "events_sessionize": events_sessionize,
     "events_json_extract": events_json_extract,
+    "asof_click_attribution": asof_click_attribution,
+    "range_join_prior_activity": range_join_prior_activity,
 }
 
 ORACLES = {
@@ -388,4 +484,6 @@ ORACLES = {
     "customer_order_coverage": COVERAGE_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
+    "asof_click_attribution": ASOF_SQL,
+    "range_join_prior_activity": RANGE_JOIN_SQL,
 }
