@@ -1,0 +1,74 @@
+"""Watermarked tumbling-window aggregation over the events stream.
+
+``events.parquet`` is replayed through a real file-source readStream
+(Trigger.AvailableNow), aggregated with ``window()`` + watermark, and
+landed in a memory sink.  At scale the same plan runs unchanged against
+a directory of arriving parquet files or a Kafka source: the shuffle is
+on (window, event_type) -- constant-cardinality per trigger -- and
+state is bounded by the watermark (late rows beyond 30 min are
+dropped).  Complete output mode here because the bounded replay ends
+before the watermark would pass the final window; a live deployment
+would run update mode with the identical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "1 hour"
+WATERMARK = "30 minutes"
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY of files; the testdata
+    keeps one parquet per table.  Stage a per-sf scratch directory (repo
+    local, gitignored) holding a symlink to the file -- the read-only
+    source tree is never written."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(repo_root, ".scratch", "events_stream", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if not os.path.islink(link):
+        os.symlink(target, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over events with ts_us (BIGINT micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    return stream.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+def windowed_counts(stream: DataFrame) -> DataFrame:
+    """Tumbling 1 h window per event_type: count + value sum."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream to completion; return the sink as a DataFrame."""
+    sink = "events_windowed_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(events_stream(spark, sf_dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start_us", "event_type")

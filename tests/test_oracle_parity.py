@@ -34,5 +34,8 @@ def test_all_queries_have_oracle_or_reason():
     missing = set(_QUERIES) - set(_ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list
     # explicit so additions are deliberate.
-    allowed_missing = set()
+    # stream_quota_admission: sequential admit/record state machine --
+    # order-dependent, not SQL-expressible; semantics pinned in
+    # tests/test_streaming.py against the pure-Python tracker instead.
+    allowed_missing = {"stream_quota_admission"}
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"

@@ -1,0 +1,84 @@
+"""Structured Streaming tier tests.
+
+The windowed aggregation is checked against the equivalent batch
+computation; the stateful quota stream is checked event-for-event
+against the pure-Python QuotaTracker (the reference's exact
+admit/record semantics, p4/server/my_quota_tracker.cc:44-77).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from operating_system_map_reduce_spark.operators.quota import QuotaTracker
+from operating_system_map_reduce_spark.sources.tables import load_events
+from operating_system_map_reduce_spark.streaming import quota_stream, windows
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestWindowedCounts:
+    def test_matches_batch_windowing(self, spark):
+        got = {
+            (r["window_start_us"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in windows.run_windowed_counts(spark, SF).collect()
+        }
+        width = 3_600_000_000
+        want = {
+            (r["w"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in (
+                load_events(spark, SF)
+                .groupBy((F.floor(F.col("ts_us") / width) * width).alias("w"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, s) in want.items():
+            assert got[k][0] == n
+            assert abs(got[k][1] - s) < 1e-6
+
+
+class TestQuotaStream:
+    def test_matches_pure_python_tracker(self, spark):
+        rows = (load_events(spark, SF)
+                .select("user_id", "event_id", "ts_us", "value")
+                .collect())
+        per_user = defaultdict(list)
+        for r in rows:
+            per_user[r["user_id"]].append((r["ts_us"], r["event_id"], r["value"]))
+        want = {}
+        for uid, evs in per_user.items():
+            tracker = QuotaTracker(quota_stream.QUOTA_MAX,
+                                   quota_stream.WINDOW_US)
+            adm = rej = 0
+            amt = 0.0
+            for ts, _eid, v in sorted(evs):
+                if tracker.check_add(v, ts):
+                    adm += 1
+                    amt += v
+                else:
+                    rej += 1
+            want[uid] = (adm, rej, amt)
+
+        got = {
+            r["user_id"]: (r["n_admitted"], r["n_rejected"], r["admitted_amount"])
+            for r in quota_stream.run_quota_admission(spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for uid, (adm, rej, amt) in want.items():
+            assert got[uid][0] == adm, f"user {uid} admitted"
+            assert got[uid][1] == rej, f"user {uid} rejected"
+            assert abs(got[uid][2] - amt) < 1e-6
+
+    def test_rejected_events_not_recorded(self):
+        """The reference's core quirk: a rejected charge leaves no trace."""
+        t = QuotaTracker(10, 100.0)
+        assert t.check_add(8, 0.0)
+        assert not t.check_add(5, 1.0)   # would exceed -> rejected
+        assert t.check_add(2, 2.0)       # rejection did not consume quota
+        assert not t.check_add(1, 3.0)
+        # window expiry frees the first charge
+        assert t.check_add(8, 101.0)
