@@ -460,6 +460,134 @@ ORDER BY p.event_id
 """
 
 
+# --- q4_order_priority: conditional EXISTS semi-join -----------------------
+# TPC-H Q4 shape on our columns: orders having at least one late-shipped
+# line (l_shipdate > o_orderdate + 60 days).  left_semi keeps the probe
+# side un-duplicated, so the aggregate never double-counts and the
+# shuffle carries orderkeys only.
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- inactive_customers_by_nation: anti-join -------------------------------
+# REG's duplicate-check is an anti-join in the reference (SURVEY.md
+# section 2.5); here it generalizes to "customers with no orders".
+
+def inactive_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    inactive = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        inactive.join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_inactive"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+INACTIVE_SQL = """
+SELECT n_name, COUNT(*) AS n_inactive,
+       ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --- brand_supplier_breadth: distinct aggregation --------------------------
+# TPC-H Q16 shape: distinct supplier count per brand/size bucket.
+# count(DISTINCT) plans as a two-stage aggregate (dedup shuffle on
+# (group, suppkey), then count) -- no driver-side set-building.
+
+def brand_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_size") <= 25)
+        .groupBy("p_brand", (F.col("p_size") % 5).alias("size_mod"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+             F.count(F.lit(1)).alias("line_cnt"))
+        .orderBy("p_brand", "size_mod")
+    )
+
+
+BRAND_BREADTH_SQL = """
+SELECT p_brand, p_size % 5 AS size_mod,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand, p_size % 5
+ORDER BY p_brand, size_mod
+"""
+
+
+# --- repeat_buyer_setops: INTERSECT / EXCEPT over yearly cohorts -----------
+
+def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (orders.filter(F.year("o_orderdate") == year)
+                .select("o_custkey").distinct())
+
+    # bought in both 1996 and 1997, but not in 1998
+    steady = buyers(1996).intersect(buyers(1997)).exceptAll(buyers(1998))
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        steady.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SETOPS_SQL = """
+WITH steady AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM steady JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -472,6 +600,10 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "asof_click_attribution": asof_click_attribution,
     "range_join_prior_activity": range_join_prior_activity,
+    "q4_order_priority": q4_order_priority,
+    "inactive_customers_by_nation": inactive_customers_by_nation,
+    "brand_supplier_breadth": brand_supplier_breadth,
+    "repeat_buyer_setops": repeat_buyer_setops,
 }
 
 ORACLES = {
@@ -486,4 +618,8 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     "asof_click_attribution": ASOF_SQL,
     "range_join_prior_activity": RANGE_JOIN_SQL,
+    "q4_order_priority": Q4_SQL,
+    "inactive_customers_by_nation": INACTIVE_SQL,
+    "brand_supplier_breadth": BRAND_BREADTH_SQL,
+    "repeat_buyer_setops": SETOPS_SQL,
 }

@@ -587,6 +587,52 @@ QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
 ORACLES["dedup_embedding_cosine"] = DEDUP_EMBEDDING_SQL
 
 
+# --- SQL function registry, end-to-end --------------------------------------
+# Exercises the functions/ tier: the osmr_* scalar functions are
+# registered as Spark SQL temporary functions (JVM-side, codegen'd) and
+# the whole query text runs through spark.sql -- the engine's SQL
+# surface, not the DataFrame API.
+
+def fn_registry_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.functions.registry import ensure_builtins
+
+    ensure_builtins(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql("""
+        SELECT d.doc_id,
+               osmr_ws_tokens(d.text) AS ws_tokens,
+               osmr_bpe_tokens(d.text) AS bpe_est_tokens,
+               osmr_fingerprint(d.text) AS fingerprint,
+               ROUND(osmr_cosine(e.embedding, reverse(e.embedding)), 6) AS rev_cosine
+        FROM documents_v d JOIN embeddings_v e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id
+    """)
+
+
+FN_REGISTRY_SQL = f"""
+SELECT d.doc_id,
+       len(list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t <> '')) AS ws_tokens,
+       list_sum(list_transform(
+           list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), t -> t <> ''),
+           w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS bpe_est_tokens,
+       md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+       ROUND(
+         list_sum(list_transform(range(1, {_sim.DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(list_reverse(e.embedding)[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
+             i -> CAST(list_reverse(e.embedding)[i] AS DOUBLE) * CAST(list_reverse(e.embedding)[i] AS DOUBLE))))),
+         6) AS rev_cosine
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["fn_registry_doc_stats"] = fn_registry_doc_stats
+ORACLES["fn_registry_doc_stats"] = FN_REGISTRY_SQL
+
+
 # --- IVF approximate knn -----------------------------------------------------
 # The trained-codebook-free IVF: centroids are the NLIST lowest-id
 # vectors, assignment is argmax cosine over the broadcast centroid
