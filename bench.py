@@ -32,11 +32,20 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_lsh_buckets",
     "similarity_lsh_knn",
+    "similarity_ivf_knn",
+    "dedup_embedding_cosine",
     "multimodal_metadata",
     "text_quality",
     "text_lang_id",
     "token_count",
     "doc_fingerprint",
+    "asof_click_attribution",
+    "range_join_prior_activity",
+    "q4_order_priority",
+    "brand_supplier_breadth",
+    "repeat_buyer_setops",
+    "fn_registry_doc_stats",
+    "stream_windowed_counts",
 ]
 
 
