@@ -41,6 +41,38 @@ class TestWindowedCounts:
             assert abs(got[k][1] - s) < 1e-6
 
 
+class TestChangelogCDC:
+    def test_incremental_state_matches_batch_replay(self, spark, tmp_path):
+        from operating_system_map_reduce_spark.engine import KV_SCHEMA
+        from operating_system_map_reduce_spark.sources.changelog import ChangeLog
+        from operating_system_map_reduce_spark.streaming.changelog_cdc import ChangelogCDC
+
+        log = ChangeLog(spark, str(tmp_path / "kv"), KV_SCHEMA, key_col="key")
+        cdc = ChangelogCDC(log)
+
+        def rec(seq, op, key, value=b""):
+            return {"seq": seq, "op": op, "key": key, "value": value}
+
+        def snap(df):
+            return sorted((r["key"], bytes(r["value"])) for r in
+                          df.select("key", "value").collect())
+
+        log.append([rec(i, "insert", f"k{i}", str(i).encode()) for i in range(1, 6)])
+        log.append([rec(6, "update", "k2", b"two"), rec(7, "delete", "k3")])
+        got = cdc.catch_up()
+        assert snap(got) == snap(log.replay())
+        assert ("k3", b"3") not in snap(got)
+        assert ("k2", b"two") in snap(got)
+
+        # second wave: checkpointed resume processes only the new files
+        log.append([rec(8, "delete", "k5"), rec(9, "insert", "k6", b"six"),
+                    rec(10, "update", "k1", b"one")])
+        got2 = cdc.catch_up()
+        assert snap(got2) == snap(log.replay())
+        assert ("k6", b"six") in snap(got2)
+        assert all(k != "k5" for k, _ in snap(got2))
+
+
 class TestQuotaStream:
     def test_matches_pure_python_tracker(self, spark):
         rows = (load_events(spark, SF)
