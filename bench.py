@@ -49,6 +49,50 @@ HEADLINE = [
 ]
 
 
+def kv_mix_bench(spark, n_ops: int = 1 << 20, key_range: int = 1 << 20) -> dict:
+    """The reference's intset microbench shape (p2/bench/bench.cc:21-25,
+    96-99: 50% pre-fill, 80% lookup / 10% insert / 10% remove),
+    re-expressed as Spark bulk set operations: each op class becomes one
+    distributed (anti-)join against the pre-filled table instead of a
+    per-op critical section.  Reports ops/sec over the whole mix."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = (spark.range(key_range)
+            .filter(F.pmod(F.hash(F.col("id")), F.lit(2)) == 0)
+            .select(F.col("id").alias("key")))
+    ops = spark.range(n_ops).select(
+        F.col("id"),
+        F.pmod(F.hash(F.col("id") + 7), F.lit(10)).alias("klass"),
+        F.pmod(F.hash(F.col("id") * 31 + 3), F.lit(key_range)).alias("key"),
+    )
+    base = base.cache()
+    n_base = base.count()  # materialize pre-fill outside the timed region
+
+    t0 = time.perf_counter()
+    lookups = ops.filter(F.col("klass") < 8)
+    hits = lookups.join(base, "key", "left_semi").count()
+    lookup_n = lookups.count()
+    inserts = ops.filter(F.col("klass") == 8)
+    ins_ok = inserts.join(base, "key", "left_anti").count()   # would-insert
+    ins_n = inserts.count()
+    removes = ops.filter(F.col("klass") == 9)
+    rm_ok = removes.join(base, "key", "left_semi").count()    # would-remove
+    rm_n = removes.count()
+    dt = time.perf_counter() - t0
+    base.unpersist()
+    return {
+        "prefill": n_base,
+        "lookup_hit": hits, "lookup_miss": lookup_n - hits,
+        "insert_ok": ins_ok, "insert_dup": ins_n - ins_ok,
+        "remove_ok": rm_ok, "remove_miss": rm_n - rm_ok,
+        "total_ops": n_ops,
+        "wall_sec": round(dt, 4),
+        "ops_per_sec": round(n_ops / dt, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from operating_system_map_reduce_spark.session import get_spark
@@ -57,6 +101,17 @@ def main() -> None:
 
     spark = get_spark(app_name="osmr-bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--kv-mix" in sys.argv:
+        # reference-parity microbench (bench.cc:175-183 report shape);
+        # separate mode so the default driver contract stays one JSON line
+        stats = kv_mix_bench(spark)
+        print(json.dumps({"metric": "kv_mix_ops_per_sec",
+                          "value": stats["ops_per_sec"], "unit": "ops/sec",
+                          "detail": stats}))
+        spark.stop()
+        return
+
     qs = entrymod.queries()
 
     # JVM/codegen warm-up on the smallest SF so measured times are engine
