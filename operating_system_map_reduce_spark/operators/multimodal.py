@@ -24,8 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 DECODED_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -76,3 +76,101 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# --- feature extraction -----------------------------------------------------
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Media -> fixed-dim feature vector (the embedding-model seam).
+
+    Fake codec: FEATURE_DIM floats from the payload md5, each byte
+    scaled to [0, 1).  Real deployments swap in CLIP/wav2vec etc.; the
+    Spark side (Arrow batches, array<float> output column ready for the
+    similarity operators) is identical either way."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError("feature models unavailable; fake=True")
+                h = hashlib.md5(raw).digest()
+                out.append({
+                    "doc_id": doc_id,
+                    "features": [h[i] / 256.0 for i in range(FEATURE_DIM)],
+                })
+            yield pd.DataFrame(out, columns=["doc_id", "features"])
+
+    return df.select(id_col, payload_col).mapInPandas(feat_batches, FEATURES_SCHEMA)
+
+
+# --- resize -----------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb", BinaryType()),
+])
+
+
+def resize_media(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                 id_col: str = "doc_id", payload_col: str = "payload",
+                 fake: bool = True) -> DataFrame:
+    """Media -> bounded thumbnail.  Aspect ratio is preserved: the
+    decoded (width, height) scales down to fit (target_w, target_h),
+    never up.  Fake codec: thumbnail bytes are md5(payload | 'WxH')."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                meta = decode_stub(raw, fake=fake)
+                scale = min(target_w / meta["width"], target_h / meta["height"], 1.0)
+                w, h = max(1, int(meta["width"] * scale)), max(1, int(meta["height"] * scale))
+                thumb = hashlib.md5(raw + f"|{w}x{h}".encode()).digest()
+                out.append({"doc_id": doc_id, "width": w, "height": h, "thumb": thumb})
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "thumb"])
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+# --- frame sampling ---------------------------------------------------------
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def frame_sample(df: DataFrame, every_k: int = 4, id_col: str = "doc_id",
+                 payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Video -> every k-th frame, one output row per sampled frame (the
+    1->N fan-out shape: mapInPandas yields more rows than it consumes,
+    so the explode happens executor-side with no driver involvement).
+    Fake codec: frame bytes are md5(payload | '|' | idx)."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                meta = decode_stub(raw, fake=fake)
+                for idx in range(0, meta["n_frames"], every_k):
+                    frame = hashlib.md5(raw + b"|" + str(idx).encode()).digest()
+                    out.append({"doc_id": doc_id, "frame_idx": idx, "frame": frame})
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, FRAMES_SCHEMA)

@@ -633,6 +633,85 @@ QUERIES["fn_registry_doc_stats"] = fn_registry_doc_stats
 ORACLES["fn_registry_doc_stats"] = FN_REGISTRY_SQL
 
 
+# --- multimodal frame sampling ----------------------------------------------
+# 1->N fan-out through mapInPandas: every 4th frame of each (fake)
+# video payload, one row per frame.  The oracle re-derives n_frames and
+# the per-frame md5 from the same arithmetic, so the executor-side
+# explode is what gets verified.
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    frames = _mm.frame_sample(_mm.attach_binary(docs), every_k=4, fake=True)
+    return (
+        frames.select(
+            "doc_id", "frame_idx",
+            F.lower(F.hex(F.col("frame"))).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def _frame_sample_oracle_sql() -> str:
+    c = [f"substr(md5(text), {i}, 1)" for i in range(1, 9)]
+    byte3 = f"({_hv(c[6])} * 16 + {_hv(c[7])})"
+    return f"""
+WITH meta AS (
+  SELECT doc_id, text, 1 + ({byte3} % 32) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       md5(text || '|' || CAST(f AS VARCHAR)) AS frame_md5
+FROM meta, UNNEST(range(0, n_frames, 4)) AS t(f)
+ORDER BY doc_id, frame_idx
+"""
+
+
+MULTIMODAL_FRAMES_SQL = _frame_sample_oracle_sql()
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = MULTIMODAL_FRAMES_SQL
+
+
+# --- multimodal feature extraction ------------------------------------------
+# Media -> fixed-dim float vector via mapInPandas; the query reduces
+# each vector to an exact dyadic checksum (bytes/256 are exactly
+# representable in float32 AND double, so cross-engine equality is
+# bit-safe).
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = _mm.extract_features(_mm.attach_binary(docs), fake=True)
+    return (
+        feats.select(
+            "doc_id",
+            F.size("features").alias("n_dims"),
+            F.expr(
+                "aggregate(features, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE))"
+            ).alias("feat_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _features_oracle_sql() -> str:
+    c = [f"substr(md5(text), {i}, 1)" for i in range(1, 17)]
+    bytes_sql = [
+        f"({_hv(c[2 * i])} * 16 + {_hv(c[2 * i + 1])})" for i in range(0, 8)
+    ]
+    total = " + ".join(f"({b} / 256.0)" for b in bytes_sql)
+    return f"""
+SELECT doc_id, {_mm.FEATURE_DIM} AS n_dims, {total} AS feat_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+MULTIMODAL_FEATURES_SQL = _features_oracle_sql()
+
+QUERIES["multimodal_features"] = multimodal_features
+ORACLES["multimodal_features"] = MULTIMODAL_FEATURES_SQL
+
+
 # --- IVF approximate knn -----------------------------------------------------
 # The trained-codebook-free IVF: centroids are the NLIST lowest-id
 # vectors, assignment is argmax cosine over the broadcast centroid

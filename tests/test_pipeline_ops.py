@@ -34,6 +34,42 @@ class TestMultimodal:
         assert set(out.columns) == {"doc_id", "n_bytes", "format", "width", "height", "n_frames"}
 
 
+    def test_extract_features_shape_and_range(self, spark):
+        docs = spark.createDataFrame([(1, "a doc"), (2, "b doc")], ["doc_id", "text"])
+        out = multimodal.extract_features(multimodal.attach_binary(docs), fake=True)
+        rows = {r["doc_id"]: r["features"] for r in out.collect()}
+        assert all(len(v) == multimodal.FEATURE_DIM for v in rows.values())
+        assert all(0.0 <= x < 1.0 for v in rows.values() for x in v)
+        assert rows[1] != rows[2]
+
+    def test_resize_preserves_aspect_and_bounds(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(20)], ["doc_id", "text"])
+        out = multimodal.resize_media(multimodal.attach_binary(docs),
+                                      target_w=64, target_h=64, fake=True)
+        src = {r["doc_id"]: r for r in multimodal.decode_media(
+            multimodal.attach_binary(docs), fake=True).collect()}
+        for r in out.collect():
+            assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+            ow, oh = src[r["doc_id"]]["width"], src[r["doc_id"]]["height"]
+            if ow <= 64 and oh <= 64:   # never upscale
+                assert (r["width"], r["height"]) == (ow, oh)
+            assert len(bytes(r["thumb"])) == 16
+
+    def test_frame_sample_fanout_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"video {i}") for i in range(30)], ["doc_id", "text"])
+        meta = {r["doc_id"]: r["n_frames"] for r in multimodal.decode_media(
+            multimodal.attach_binary(docs), fake=True).collect()}
+        frames = multimodal.frame_sample(multimodal.attach_binary(docs),
+                                         every_k=4, fake=True).collect()
+        per_doc: dict[int, list[int]] = {}
+        for r in frames:
+            per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        for doc_id, n in meta.items():
+            assert sorted(per_doc[doc_id]) == list(range(0, n, 4))
+
+
 class TestDedupOperators:
     def test_minhash_lsh_catches_planted_near_dup(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
