@@ -712,6 +712,65 @@ QUERIES["multimodal_features"] = multimodal_features
 ORACLES["multimodal_features"] = MULTIMODAL_FEATURES_SQL
 
 
+# --- tf-idf top terms per language ------------------------------------------
+# Classic corpus statistics, fully declarative: explode tokens, two
+# hash aggregates (term frequency per lang, document frequency over the
+# corpus), broadcast-join the tiny df table back, window top-k.  Both
+# engines compute ln() on identical doubles; ties (equal tf and df)
+# break on the term itself.
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    exploded = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
+    n_docs = docs.count()
+    tf = exploded.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (exploded.select("doc_id", "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("lang", "rank", "term", "tf", "df",
+                    F.round("tfidf", 6).alias("tfidf"))
+            .orderBy("lang", "rank"))
+
+
+TFIDF_SQL = """
+WITH exploded AS (
+  SELECT doc_id, lang, t AS term
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS u(t)
+), tf AS (
+  SELECT lang, term, COUNT(*) AS tf FROM exploded GROUP BY lang, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM exploded) GROUP BY term
+), ndocs AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(ndocs.n AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ndocs
+)
+SELECT lang, rank, term, tf, df, ROUND(tfidf, 6) AS tfidf
+FROM (
+  SELECT lang, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
+ORACLES["text_tfidf_top_terms"] = TFIDF_SQL
+
+
 # --- IVF approximate knn -----------------------------------------------------
 # The trained-codebook-free IVF: centroids are the NLIST lowest-id
 # vectors, assignment is argmax cosine over the broadcast centroid

@@ -1,0 +1,106 @@
+"""Property-based and randomized-differential tests.
+
+The pure-Python quota state machine gets full hypothesis treatment
+(cheap per example); the Spark operators get one seeded randomized
+differential run each (a Spark job per hypothesis example would be
+prohibitively slow, and the seeded bulk run covers the same input
+space).
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from operating_system_map_reduce_spark.operators.quota import QuotaTracker
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),   # ts offset
+        st.integers(min_value=0, max_value=20),                    # amount
+    ),
+    max_size=60,
+)
+
+
+class TestQuotaTrackerProperties:
+    @given(events=events_strategy,
+           cap=st.integers(min_value=1, max_value=40),
+           window=st.floats(min_value=0.5, max_value=100))
+    @settings(max_examples=300, deadline=None)
+    def test_against_bruteforce_and_invariants(self, events, cap, window):
+        """Differential vs an independent brute-force model: an event is
+        admitted iff the sum of previously-ADMITTED events younger than
+        the window plus its amount fits the cap; rejected events leave
+        no trace.  Live sum never exceeds the cap."""
+        tracker = QuotaTracker(cap, window)
+        admitted_log: list[tuple[float, int]] = []
+        for ts, amount in sorted(events):
+            live = sum(a for t, a in admitted_log if t > ts - window)
+            want = live + amount <= cap
+            got = tracker.check_add(amount, ts)
+            assert got == want
+            if got:
+                admitted_log.append((ts, amount))
+                assert live + amount <= cap
+            # internal state only ever holds admitted, in-window events
+            assert sum(a for _, a in tracker.events) <= cap
+
+    @given(events=events_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_zero_cap_window_edge(self, events):
+        """amount 0 events always admit at cap 0; positive never do."""
+        t = QuotaTracker(0, 10.0)
+        for ts, amount in sorted(events):
+            assert t.check_add(amount, ts) == (amount == 0)
+
+
+class TestAsofJoinDifferential:
+    def test_random_bulk_vs_bruteforce(self, spark):
+        from operating_system_map_reduce_spark.operators.temporal import asof_join
+
+        rng = random.Random(42)
+        keys = ["a", "b", "c"]
+        left_rows = [(i, rng.choice(keys), rng.randint(0, 500))
+                     for i in range(200)]
+        right_rows = [(1000 + i, rng.choice(keys), rng.randint(0, 500))
+                      for i in range(200)]
+
+        left = spark.createDataFrame(left_rows, ["lid", "k", "lts"])
+        right = spark.createDataFrame(right_rows, ["rid", "k", "rts"])
+        got = {r["lid"]: (r["rid"], r["rts"]) for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "rts"], tie_col="rid").collect()}
+
+        for lid, k, lts in left_rows:
+            cands = [(rts, rid) for rid, rk, rts in right_rows
+                     if rk == k and rts <= lts]
+            want = (None, None)
+            if cands:
+                rts, rid = max(cands)   # greatest ts, then greatest rid
+                want = (rid, rts)
+            assert got[lid] == want, f"lid={lid}"
+
+    def test_random_bulk_with_tolerance(self, spark):
+        from operating_system_map_reduce_spark.operators.temporal import asof_join
+
+        rng = random.Random(7)
+        left_rows = [(i, "k", rng.randint(0, 300)) for i in range(100)]
+        right_rows = [(1000 + i, "k", rng.randint(0, 300)) for i in range(100)]
+        tol = 25
+        left = spark.createDataFrame(left_rows, ["lid", "k", "lts"])
+        right = spark.createDataFrame(right_rows, ["rid", "k", "rts"])
+        got = {r["lid"]: (r["rid"], r["rts"]) for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "rts"], tie_col="rid", tolerance=tol).collect()}
+        for lid, _k, lts in left_rows:
+            cands = [(rts, rid) for rid, _rk, rts in right_rows if rts <= lts]
+            want = (None, None)
+            if cands:
+                rts, rid = max(cands)
+                if rts >= lts - tol:
+                    want = (rid, rts)
+            assert got[lid] == want
