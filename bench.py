@@ -46,6 +46,9 @@ HEADLINE = [
     "repeat_buyer_setops",
     "fn_registry_doc_stats",
     "stream_windowed_counts",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "text_tfidf_top_terms",
 ]
 
 

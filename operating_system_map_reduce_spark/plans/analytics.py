@@ -553,6 +553,30 @@ ORDER BY p_brand, size_mod
 """
 
 
+# --- skew_salted_distinct: hot-key COUNT(DISTINCT) via salting -------------
+# l_returnflag has 3 values over all of lineitem -- the textbook hot
+# key.  A plain count-distinct funnels every (flag, suppkey) pair into
+# 3 reducers; the salted operator shards the dedup across 16 reducers
+# per flag and sums exact disjoint partials (operators/skew.py).  The
+# oracle is the plain COUNT(DISTINCT): results must be identical.
+
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.skew import salted_agg_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    return (salted_agg_distinct(li, "l_returnflag", "l_suppkey", n_salts=16)
+            .withColumnRenamed("n_distinct", "n_suppliers")
+            .orderBy("l_returnflag"))
+
+
+SKEW_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- repeat_buyer_setops: INTERSECT / EXCEPT over yearly cohorts -----------
 
 def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +628,7 @@ QUERIES = {
     "inactive_customers_by_nation": inactive_customers_by_nation,
     "brand_supplier_breadth": brand_supplier_breadth,
     "repeat_buyer_setops": repeat_buyer_setops,
+    "skew_salted_distinct": skew_salted_distinct,
 }
 
 ORACLES = {
@@ -622,4 +647,5 @@ ORACLES = {
     "inactive_customers_by_nation": INACTIVE_SQL,
     "brand_supplier_breadth": BRAND_BREADTH_SQL,
     "repeat_buyer_setops": SETOPS_SQL,
+    "skew_salted_distinct": SKEW_DISTINCT_SQL,
 }
