@@ -21,6 +21,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
 
 N_MINHASH = 16
 LSH_BANDS = 4
@@ -82,35 +84,56 @@ def shingle_hash_vals_sql(shingles_col: str, transform_fn: str = "transform") ->
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """(id, shingles, hvals, mh_0..mh_{N-1}); docs with no shingles dropped.
+    """(id, shingles, mh_0..mh_{N-1}); docs with no shingles dropped.
 
-    ``hvals`` (one md5 + hex-decode per shingle) is materialized as its
-    own projection so the 16 min-reductions each scan a ready integer
-    array.  Inlining the subtree 16x instead relied on codegen CSE that
-    does NOT fire across these lambda functions -- measured 25 s vs 2 s
-    at sf0.1."""
+    Tokenize/shingle stays in Spark SQL (cheap array ops, shared with
+    the oracle template); the hash+minimize step runs as an
+    Arrow-batched pandas iterator because the pure-SQL form -- one md5
+    plus a 12-term hex-decode per shingle, then 16 min-reductions,
+    all interpreted HOF lambdas outside codegen -- measured 6.5 s at
+    sf0.1 vs ~1 s for this path.  Python computes the IDENTICAL ints
+    (md5 hex -> first 12 digits -> mod p; affine minima in int64 numpy,
+    products < 2^62 so no overflow), so the DuckDB oracle still matches
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
     toks = tokens_expr(text_col)
-    # The signature work is CPU-bound (md5 per shingle, interpreted HOF
-    # lambdas), so partition count must track cores, not input bytes: a
-    # small parquet arrives as ONE split and serializes the whole stage.
-    # Shuffling raw text is cheap relative to the compute it unblocks;
-    # at 100 TB input splits already provide this and AQE coalesces.
+    # CPU-bound stage: partition count must track cores, not input
+    # bytes -- a small parquet arrives as ONE split and serializes the
+    # stage.  At 100 TB input splits already provide this.
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    out = df.repartition(ncores, F.col(id_col)).select(
-        F.col(id_col), shingles_expr(toks).alias("shingles")
+    out = (
+        df.repartition(ncores, F.col(id_col))
+        .select(F.col(id_col), shingles_expr(toks).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
-    out = out.filter(F.size("shingles") > 0)
-    out = out.withColumn("hvals", F.expr(shingle_hash_vals_sql("shingles")))
-    out = out.select(
-        "*",
-        *[
-            F.expr(
-                f"array_min(transform(hvals, h -> ({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}))"
-            ).alias(f"mh_{s}")
-            for s in range(N_MINHASH)
-        ],
+    a_vec = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    b_vec = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+    def sig_batches(batches):
+        for pdf in batches:
+            sigs = []
+            for shingles in pdf["shingles"]:
+                hv = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P
+                     for s in shingles),
+                    dtype=np.int64, count=len(shingles),
+                )
+                sigs.append(((a_vec * hv + b_vec) % MINHASH_P).min(axis=1))
+            mat = np.stack(sigs) if sigs else np.empty((0, N_MINHASH), dtype=np.int64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "shingles": pdf["shingles"],
+                **{f"mh_{s}": mat[:, s] for s in range(N_MINHASH)},
+            })
+
+    id_field = out.schema[id_col]
+    schema = StructType(
+        [id_field, StructField("shingles", ArrayType(StringType()))]
+        + [StructField(f"mh_{s}", LongType()) for s in range(N_MINHASH)]
     )
-    return out
+    return out.mapInPandas(sig_batches, schema)
 
 
 def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
