@@ -173,12 +173,50 @@ def jaccard_expr(sa: Column, sb: Column) -> Column:
     return inter / (F.size(da) + F.size(db) - inter)
 
 
+def simhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) via an Arrow-batched pandas stage.
+
+    Same lesson as minhash_signature: the SQL form inlines the md5
+    subtree into all 16 bit-sums and codegen CSE does NOT fire across
+    lambda functions, so every token was hashed 16x.  Python computes
+    the identical value (bit b = sign of the sum over DISTINCT tokens
+    of +/-1 from the parity of md5 hex char b; order-independent), so
+    the DuckDB oracle is unchanged."""
+    import pandas as pd
+
+    toks = tokens_expr(text_col)
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartition(ncores, F.col(id_col)).select(
+        F.col(id_col), F.array_distinct(toks).alias("toks")
+    )
+
+    def sig_batches(batches):
+        for pdf in batches:
+            sigs = []
+            for tokens in pdf["toks"]:
+                if tokens is None:   # null text -> null simhash (SQL parity)
+                    sigs.append(None)
+                    continue
+                sums = [0] * bits
+                for t in tokens:
+                    h = hashlib.md5(t.encode()).hexdigest()
+                    for b in range(bits):
+                        sums[b] += 1 if int(h[b], 16) % 2 == 1 else -1
+                sigs.append(sum(2 ** b for b in range(bits) if sums[b] >= 0))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
+
+    schema = StructType([df.schema[id_col], StructField("simhash", LongType())])
+    return out.mapInPandas(sig_batches, schema)
+
+
 def simhash_spark_sql(toks_sql: str, bits: int = SIMHASH_BITS) -> str:
     """Spark-SQL expression for a bitwise-majority SimHash: bit b is the
     sign of the sum over distinct tokens of +/-1 from the parity of md5
-    hex char b.  ONE md5 per token: the shared md5s subtree is CSE'd by
-    codegen across the 16 bit-sums.  The DuckDB twin computes
-    byte-identical values (substr/instr spell the same in both)."""
+    hex char b.  NB: the md5 subtree is re-evaluated per bit-sum here
+    (no CSE across lambdas) -- prefer simhash_signature for bulk work;
+    this form remains for SQL-surface use and as the oracle template."""
     md5s = f"transform(array_distinct({toks_sql}), t -> md5(t))"
     parts = []
     for b in range(bits):

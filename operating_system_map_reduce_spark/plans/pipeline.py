@@ -309,12 +309,8 @@ ORDER BY id_a, id_b
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks_sql = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
     return (
-        docs.select(
-            F.col("doc_id"),
-            F.expr(_dd.simhash_spark_sql(toks_sql)).alias("simhash"),
-        )
+        _dd.simhash_signature(docs)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("simhash")
