@@ -350,7 +350,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.avg("k").alias("avg_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -358,8 +358,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -57,7 +57,7 @@ def kv_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KV_ALL_KEYS_SQL = """
-SELECT COUNT(*) AS n_keys, SUM(p_partkey) AS key_checksum,
+SELECT COUNT(*) AS n_keys, CAST(SUM(p_partkey) AS BIGINT) AS key_checksum,
        MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
 FROM part
 """
@@ -212,7 +212,7 @@ def quota_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         windowed.groupBy("user_id")
         .agg(
-            F.max("window_sum").alias("peak_window"),
+            F.round(F.max("window_sum"), 6).alias("peak_window"),
             F.sum(F.when(F.col("window_sum") > 50.0, 1).otherwise(0)).alias("n_over_quota"),
         )
         .orderBy("user_id")
@@ -226,8 +226,8 @@ WITH windowed AS (
                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS window_sum
   FROM events
 )
-SELECT user_id, MAX(window_sum) AS peak_window,
-       SUM(CASE WHEN window_sum > 50.0 THEN 1 ELSE 0 END) AS n_over_quota
+SELECT user_id, ROUND(MAX(window_sum), 6) AS peak_window,
+       CAST(SUM(CASE WHEN window_sum > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_quota
 FROM windowed
 GROUP BY user_id
 ORDER BY user_id

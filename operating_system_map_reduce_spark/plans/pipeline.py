@@ -120,9 +120,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws_tokens,
-       list_sum(list_transform(
+       COALESCE(CAST(list_sum(list_transform(
            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
-           w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS bpe_est_tokens
+           w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT), 0) AS bpe_est_tokens
 FROM documents
 ORDER BY doc_id
 """
@@ -160,8 +160,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _lang_score_sql = ",\n       ".join(
-    "SUM(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> ''), "
-    f"t -> t IN ({', '.join(repr(m) for m in ms)})))) AS hits_{lang}"
+    "CAST(SUM(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> ''), "
+    f"t -> t IN ({', '.join(repr(m) for m in ms)})))) AS BIGINT) AS hits_{lang}"
     for lang, ms in _LANG_MARKERS.items()
 )
 
@@ -622,9 +622,9 @@ def fn_registry_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_REGISTRY_SQL = f"""
 SELECT d.doc_id,
        len(list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t <> '')) AS ws_tokens,
-       list_sum(list_transform(
+       COALESCE(CAST(list_sum(list_transform(
            list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), t -> t <> ''),
-           w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS bpe_est_tokens,
+           w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT), 0) AS bpe_est_tokens,
        md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
        ROUND(
          list_sum(list_transform(range(1, {_sim.DIM + 1}),

