@@ -15,9 +15,12 @@ State:
    tree reduce (operators/mapreduce.py).
 
 Charge-ordering semantics preserved from the reference (asserted by
-p4/scripts/p4.py): LOGIN before anything; request quota before
-upload/download; download sized *after* the read; rejected charges are
-not recorded; admitted charges stick even if the op then fails.
+p4/scripts/p4.py): LOGIN before anything; the upload/download check_add
+is evaluated BEFORE the request check_add and its admission recorded
+even when the request quota rejects, but ERR_QUOTA_REQ takes precedence
+in the response (my_storage.cc:185-205); download sized *after* the
+read; rejected charges are not recorded; admitted charges stick even if
+the op then fails.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import os
 import secrets
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +75,7 @@ class KVEngine:
         self.kv_log = ChangeLog(spark, os.path.join(data_dir, "kv"), KV_SCHEMA,
                                 key_col="key")
         self._seq = max(self.auth_log.max_seq(), self.kv_log.max_seq())
+        self._seq_lock = threading.Lock()
         self.quota_table: dict[str, Quotas] = {}
         self.mru = MRUManager(top_size)
         self.funcs = FuncTable()
@@ -78,8 +83,13 @@ class KVEngine:
     # ---------------------------------------------------------------- util
 
     def _next_seq(self) -> int:
-        self._seq += 1
-        return self._seq
+        """Unique, monotone changelog sequence.  Locked: concurrent
+        clients minting the same seq would corrupt replay's
+        latest-wins order (the reference serializes writes per bucket,
+        p2/server/concurrenthashmap.h:40-43)."""
+        with self._seq_lock:
+            self._seq += 1
+            return self._seq
 
     def auth_df(self) -> DataFrame:
         return self.auth_log.replay()
@@ -101,20 +111,35 @@ class KVEngine:
         return row[0]
 
     def _quotas(self, user: str) -> Quotas:
-        if user not in self.quota_table:
+        q = self.quota_table.get(user)
+        if q is None:
             up, down, req, interval = self._quota_cfg
-            self.quota_table[user] = Quotas.build(up, down, req, interval)
-        return self.quota_table[user]
+            # setdefault is atomic under the GIL: two racing clients get
+            # the SAME Quotas object, never a silently replaced one.
+            q = self.quota_table.setdefault(user, Quotas.build(up, down, req, interval))
+        return q
 
     def _charge_request(self, user: str) -> bool:
         return self._quotas(user).requests.check_add(1, self._clock())
+
+    def _charge_pair(self, user: str, channel: str, amount: int):
+        """Reference charge ordering (p4/server/my_storage.cc:185-205,
+        256-276, 441-460, 483-501): the upload/download check_add runs
+        BEFORE the request check_add, and its admission is recorded even
+        when the request quota rejects; the request error then takes
+        precedence in the response.  Returns (req_ok, channel_ok)."""
+        q = self._quotas(user)
+        now = self._clock()
+        channel_ok = getattr(q, channel).check_add(amount, now)
+        req_ok = q.requests.check_add(1, now)
+        return req_ok, channel_ok
 
     # ---------------------------------------------------------- auth table
 
     def add_user(self, user: str, password: str):
         """REG (protocol.h:95-109): insert-if-absent with fresh salt."""
         if not user or len(user) > codes.LEN_UNAME or len(password) > codes.LEN_PASSWORD:
-            return False, codes.RES_ERR_REQUEST, None
+            return False, codes.RES_ERR_REQ_FMT, None
         exists = self.auth_df().filter(F.col("username") == user).count() > 0
         if exists:
             return False, codes.RES_ERR_USER_EXISTS, None
@@ -130,7 +155,7 @@ class KVEngine:
     def set_user_data(self, user: str, password: str, content: bytes):
         """SET (protocol.h:152-168): replace caller's profile bytes."""
         if len(content) > codes.LEN_PROFILE_FILE:
-            return False, codes.RES_ERR_REQUEST, None
+            return False, codes.RES_ERR_REQ_FMT, None
         row = self._auth(user, password)
         if row is None:
             return False, codes.RES_ERR_LOGIN, None
@@ -166,12 +191,13 @@ class KVEngine:
         """KVI (protocol.h:263-285): insert-if-absent; request then upload
         quota (p4/server/my_storage.cc:180-233); MRU update + log append."""
         if not key or len(key) > codes.LEN_KEY or len(value) > codes.LEN_VAL:
-            return False, codes.RES_ERR_REQUEST, None
+            return False, codes.RES_ERR_REQ_FMT, None
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
-        if not self._charge_request(user):
+        req_ok, up_ok = self._charge_pair(user, "uploads", len(value))
+        if not req_ok:
             return False, codes.RES_ERR_QUOTA_REQ, None
-        if not self._quotas(user).uploads.check_add(len(value), self._clock()):
+        if not up_ok:
             return False, codes.RES_ERR_QUOTA_UP, None
         exists = self.kv_df().filter(F.col("key") == key).count() > 0
         if exists:
@@ -184,17 +210,22 @@ class KVEngine:
     def kv_get(self, user: str, password: str, key: str):
         """KVG (protocol.h:287-306): point read; download quota is sized by
         the value and charged after the read -- a blocked download is NOT
-        recorded (p4/scripts/p4.py:81-83)."""
+        recorded (p4/scripts/p4.py:81-83).  A missing key still charges
+        the request and a 0-byte download, and quota errors take
+        precedence over ERR_KEY (my_storage.cc:243-283)."""
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
-        if not self._charge_request(user):
-            return False, codes.RES_ERR_QUOTA_REQ, None
         rows = self.kv_df().filter(F.col("key") == key).select("value").collect()
+        value = b""
+        if rows and rows[0]["value"] is not None:
+            value = bytes(rows[0]["value"])
+        req_ok, down_ok = self._charge_pair(user, "downloads", len(value))
+        if not req_ok:
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        if not down_ok:
+            return False, codes.RES_ERR_QUOTA_DOWN, None
         if not rows:
             return False, codes.RES_ERR_KEY, None
-        value = bytes(rows[0]["value"]) if rows[0]["value"] is not None else b""
-        if not self._quotas(user).downloads.check_add(len(value), self._clock()):
-            return False, codes.RES_ERR_QUOTA_DOWN, None
         self.mru.insert(key)
         return True, codes.RES_OK, value
 
@@ -216,12 +247,13 @@ class KVEngine:
         """KVU (protocol.h:327-347): distinct OK_INSERT / OK_UPDATE codes
         via existence probe (the MERGE-metrics pattern, SURVEY 2.1 #11)."""
         if not key or len(key) > codes.LEN_KEY or len(value) > codes.LEN_VAL:
-            return False, codes.RES_ERR_REQUEST, None
+            return False, codes.RES_ERR_REQ_FMT, None
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
-        if not self._charge_request(user):
+        req_ok, up_ok = self._charge_pair(user, "uploads", len(value))
+        if not req_ok:
             return False, codes.RES_ERR_QUOTA_REQ, None
-        if not self._quotas(user).uploads.check_add(len(value), self._clock()):
+        if not up_ok:
             return False, codes.RES_ERR_QUOTA_UP, None
         exists = self.kv_df().filter(F.col("key") == key).count() > 0
         self.kv_log.append([{"seq": self._next_seq(),
@@ -232,32 +264,38 @@ class KVEngine:
 
     def kv_all(self, user: str, password: str):
         """KVA (protocol.h:349-367): all keys, newline-joined; download
-        quota sized by the result."""
+        quota sized by the result.  ERR_NO_DATA is returned BEFORE any
+        quota charge; otherwise download-then-request are both evaluated
+        with the request error taking precedence (my_storage.cc:425-463)."""
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
-        if not self._charge_request(user):
-            return False, codes.RES_ERR_QUOTA_REQ, None
         keys = [r["key"] for r in self.kv_df().select("key").collect()]
         if not keys:
             return False, codes.RES_ERR_NO_DATA, None
         payload = "\n".join(keys).encode()
-        if not self._quotas(user).downloads.check_add(len(payload), self._clock()):
+        req_ok, down_ok = self._charge_pair(user, "downloads", len(payload))
+        if not req_ok:
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        if not down_ok:
             return False, codes.RES_ERR_QUOTA_DOWN, None
         return True, codes.RES_OK, payload
 
     def kv_top(self, user: str, password: str):
         """KVT (protocol.h:393-411): MRU keys, most-recent-first (order is
-        asserted by p4/scripts/p4.py:127-128)."""
+        asserted by p4/scripts/p4.py:127-128).  Quota charges (download
+        sized by the payload, then request) happen BEFORE the empty-MRU
+        check, with the request error first (my_storage.cc:473-508)."""
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
-        if not self._charge_request(user):
-            return False, codes.RES_ERR_QUOTA_REQ, None
         keys = self.mru.get()
+        payload = "\n".join(keys).encode() if keys else b""
+        req_ok, down_ok = self._charge_pair(user, "downloads", len(payload))
+        if not req_ok:
+            return False, codes.RES_ERR_QUOTA_REQ, None
+        if not down_ok:
+            return False, codes.RES_ERR_QUOTA_DOWN, None
         if not keys:
             return False, codes.RES_ERR_NO_DATA, None
-        payload = "\n".join(keys).encode()
-        if not self._quotas(user).downloads.check_add(len(payload), self._clock()):
-            return False, codes.RES_ERR_QUOTA_DOWN, None
         return True, codes.RES_OK, payload
 
     # -----------------------------------------------------------mapreduce

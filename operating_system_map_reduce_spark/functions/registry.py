@@ -74,7 +74,7 @@ class SqlFunctionRegistry:
     def register(self, name: str, signature: str, body: str,
                  probe: str | None = None) -> str:
         if not name or len(name) > codes.LEN_FNAME:
-            return codes.RES_ERR_REQUEST
+            return codes.RES_ERR_REQ_FMT
         with self._lock:
             if name in self._names:
                 return codes.RES_ERR_FUNC

@@ -40,11 +40,19 @@ def tokens_expr(text_col: str = "text") -> Column:
 
 
 def shingles_expr(toks: Column, n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingles as space-joined strings (array, with dups)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    """Word n-gram shingles as space-joined strings (array, with dups).
+
+    Docs shorter than n tokens yield an EMPTY array: F.sequence(1, k)
+    with k < 1 produces a descending sequence and slice() then throws
+    INVALID_PARAMETER_VALUE.START, so the guard is load-bearing, not
+    cosmetic (matches the oracles' WHERE len(toks) >= n)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Universal-hash MinHash family: ONE md5 per shingle -> 48-bit int ->
@@ -199,6 +207,12 @@ def simhash_signature(df: DataFrame, id_col: str = "doc_id",
                 if tokens is None:   # null text -> null simhash (SQL parity)
                     sigs.append(None)
                     continue
+                if len(tokens) == 0:
+                    # Defined value for empty docs: 0 on every path.
+                    # (Zero-init sums would otherwise give all-bits-set
+                    # here while DuckDB's list_sum over [] is NULL -> 0.)
+                    sigs.append(0)
+                    continue
                 sums = [0] * bits
                 for t in tokens:
                     h = hashlib.md5(t.encode()).hexdigest()
@@ -226,7 +240,9 @@ def simhash_spark_sql(toks_sql: str, bits: int = SIMHASH_BITS) -> str:
             f"THEN 1 ELSE -1 END)"
         )
         parts.append(f"CASE WHEN {s} >= 0 THEN {2 ** b} ELSE 0 END")
-    return " + ".join(parts)
+    # Empty token list -> 0 (matches the pandas path and DuckDB, where
+    # list_sum([]) is NULL so every bit CASE falls to ELSE 0).
+    return f"CASE WHEN size(array_distinct({toks_sql})) = 0 THEN 0 ELSE " + " + ".join(parts) + " END"
 
 
 def simhash_duckdb_sql(toks_sql: str, bits: int = SIMHASH_BITS) -> str:

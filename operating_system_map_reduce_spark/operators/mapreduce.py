@@ -54,9 +54,9 @@ class FuncTable:
     def register_source(self, name: str, source: bytes, associative: bool = False) -> str:
         """Register from Python source bytes; returns a protocol code."""
         if not name or len(name) > codes.LEN_FNAME:
-            return codes.RES_ERR_REQUEST
+            return codes.RES_ERR_REQ_FMT
         if len(source) > codes.LEN_SO:
-            return codes.RES_ERR_REQUEST
+            return codes.RES_ERR_REQ_FMT
         ns: dict = {}
         try:
             exec(compile(source, f"<mr:{name}>", "exec"), ns)  # noqa: S102 - the KVF contract is executing user code

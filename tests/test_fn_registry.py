@@ -39,7 +39,7 @@ class TestSqlFunctionRegistry:
     def test_name_cap(self, spark):
         reg = SqlFunctionRegistry(spark)
         assert reg.register("x" * (codes.LEN_FNAME + 1),
-                            "(x INT) RETURNS INT", "x") == codes.RES_ERR_REQUEST
+                            "(x INT) RETURNS INT", "x") == codes.RES_ERR_REQ_FMT
 
     def test_functions_compute(self, spark):
         ensure_builtins(spark)

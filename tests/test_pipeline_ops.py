@@ -83,6 +83,49 @@ class TestDedupOperators:
         assert (1, 2) in [(r["id_a"], r["id_b"]) for r in pairs]
         assert (1, 3) not in [(r["id_a"], r["id_b"]) for r in pairs]
 
+    def test_short_docs_yield_empty_shingles_not_crash(self, spark):
+        """Docs with < SHINGLE_N tokens must produce an EMPTY shingle
+        array: unguarded F.sequence(1, size-2) is descending for short
+        docs and slice() then throws INVALID_PARAMETER_VALUE.START."""
+        docs = spark.createDataFrame(
+            [(1, "single"), (2, "two words"), (3, ""), (4, "!!! ???"),
+             (5, "three tokens here exactly ok")],
+            ["doc_id", "text"],
+        )
+        toks = dedup.tokens_expr()
+        rows = {r["doc_id"]: r["sh"] for r in docs.select(
+            "doc_id", dedup.shingles_expr(toks).alias("sh")).collect()}
+        assert rows[1] == [] and rows[2] == [] and rows[3] == [] and rows[4] == []
+        assert len(rows[5]) == 3  # 5 tokens -> 3 trigram shingles
+        # and the full signature path drops them instead of dying
+        sig_ids = [r["doc_id"] for r in dedup.minhash_signature(docs).collect()]
+        assert sig_ids == [5]
+
+    def test_simhash_empty_tokens_is_zero_everywhere(self, spark):
+        """Empty-token docs hash to 0 on the pandas path, the Spark SQL
+        template, and the DuckDB template (where list_sum([]) is NULL ->
+        every bit CASE falls to ELSE 0)."""
+        import duckdb
+
+        docs = spark.createDataFrame(
+            [(1, "!!! ???"), (2, ""), (3, "alpha beta gamma")], ["doc_id", "text"]
+        )
+        pandas_path = {r["doc_id"]: r["simhash"]
+                       for r in dedup.simhash_signature(docs).collect()}
+        toks = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+        sql_path = {r["doc_id"]: r["s"] for r in docs.select(
+            "doc_id", F.expr(dedup.simhash_spark_sql(toks)).alias("s")).collect()}
+        duck_toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)",
+                        [(1, "!!! ???"), (2, ""), (3, "alpha beta gamma")])
+        duck_path = dict(con.execute(
+            f"SELECT doc_id, {dedup.simhash_duckdb_sql(duck_toks)} FROM docs").fetchall())
+        assert pandas_path[1] == sql_path[1] == duck_path[1] == 0
+        assert pandas_path[2] == sql_path[2] == duck_path[2] == 0
+        assert pandas_path[3] == sql_path[3] == duck_path[3] != 0
+
     def test_jaccard_expr_exact(self, spark):
         df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
         val = df.select(dedup.jaccard_expr(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]

@@ -106,8 +106,11 @@ class TestDownloadQuota:
 class TestRequestQuota:
     def test_request_quota_trumps_everything(self, clocked):
         """p4.py:103-109: once request quota is gone, even ops that would
-        fail differently return ERR_QUOTA_REQ."""
+        fail differently return ERR_QUOTA_REQ.  (kv_all is seeded first:
+        the reference checks ERR_NO_DATA before any charge,
+        my_storage.cc:436-439.)"""
         eng, clock = clocked
+        assert eng.kv_insert("alice", "pw", "seedkey", b"v")[1] == codes.RES_OK
         for i in range(24):
             eng.kv_get("alice", "pw", "missing")  # ERR_KEY, but charges a request
         assert eng.kv_get("alice", "pw", "missing")[1] == codes.RES_ERR_QUOTA_REQ
@@ -115,6 +118,35 @@ class TestRequestQuota:
         assert eng.kv_all("alice", "pw")[1] == codes.RES_ERR_QUOTA_REQ
         clock.advance(6.5)
         assert eng.kv_insert("alice", "pw", "k", b"v")[1] == codes.RES_OK
+
+    def test_kv_all_empty_store_is_no_data_before_quota(self, clocked):
+        """my_storage.cc:436-439: empty-store KVA short-circuits to
+        ERR_NO_DATA without charging request or download quota."""
+        eng, clock = clocked
+        for i in range(50):
+            assert eng.kv_all("alice", "pw")[1] == codes.RES_ERR_NO_DATA
+        # no request was charged by any of those calls
+        assert eng.kv_insert("alice", "pw", "k", b"v")[1] == codes.RES_OK
+
+    def test_channel_charge_recorded_even_when_request_rejects(self, clocked):
+        """my_storage.cc:185-205: the upload check_add runs BEFORE the
+        request check_add and its admission sticks even though the
+        response is ERR_QUOTA_REQ."""
+        eng, clock = clocked
+        eng.kv_insert("alice", "pw", "seedkey", b"v")      # t=1000: 1 req
+        for i in range(23):
+            eng.kv_get("alice", "pw", "missing")           # t=1000: 24 reqs total
+        clock.advance(4.0)                                 # t=1004: reqs still in window
+        # request quota exhausted; this 5000-byte upload is ADMITTED into
+        # the upload window (expires t=1010) even though the response is
+        # the request error
+        assert eng.kv_insert("alice", "pw", "big", b"y" * 5000)[1] == codes.RES_ERR_QUOTA_REQ
+        clock.advance(2.5)                                 # t=1006.5: t=1000 reqs expired
+        # requests are free again, but the recorded 5000 still occupies
+        # the upload window -> a second 5000 exceeds 8192
+        assert eng.kv_insert("alice", "pw", "big2", b"y" * 5000)[1] == codes.RES_ERR_QUOTA_UP
+        # under the OLD short-circuit (request error skips upload charge)
+        # this insert would have succeeded
 
 
 class TestMRU:
