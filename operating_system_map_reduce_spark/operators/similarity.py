@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, FloatType, IntegerType,
+                               LongType, StructField, StructType)
 
 N_PLANES = 16
 DIM = 64
@@ -45,7 +48,13 @@ HYPERPLANES: list[list[int]] = [
 
 
 def dot_sql(a: str, b: str) -> str:
-    """Spark-SQL double dot product, left-to-right fold."""
+    """Spark-SQL double dot product, left-to-right fold.
+
+    NB: interpreted HOF lambdas -- no codegen.  Kept for the SQL
+    surface (functions/registry.py osmr_cosine) and as the oracle
+    template; bulk plans use the numpy stages below, which compute the
+    IDENTICAL doubles (np.cumsum is a sequential fold, so association
+    order matches this aggregate and DuckDB's list_sum bit-for-bit)."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -56,28 +65,181 @@ def norm_sql(a: str) -> str:
     return f"sqrt({dot_sql(a, a)})"
 
 
+# --- numpy kernels (Arrow-batched, bit-identical to the SQL folds) --------
+
+def _stack(series) -> np.ndarray:
+    """pandas Series of float32 arrays -> (n, DIM) float64 matrix.
+    float32 -> float64 is exact, matching CAST(x AS DOUBLE)."""
+    if len(series) == 0:
+        return np.empty((0, DIM), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot as a LEFT-TO-RIGHT fold: cumsum along the index
+    axis is sequential ((p1+p2)+p3...), bit-identical to the SQL
+    aggregate and DuckDB list_sum -- np.sum/np.dot pairwise-associate
+    and may differ in ulps, so they must NOT be used here."""
+    if A.shape[0] == 0:
+        return np.empty(0, dtype=np.float64)
+    return np.cumsum(A * B, axis=1)[:, -1]
+
+
+PLANES_MAT = np.array(HYPERPLANES, dtype=np.float64)  # (N_PLANES, DIM)
+
+
+def vector_stats(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, nrm, bkt_0..bkt_{N_TABLES-1}) in ONE Arrow pass.
+
+    Replaces N_PLANES interpreted HOF dot products per row (the
+    round-1 bench's top cost) with a numpy stage; norms ride along so
+    downstream re-ranks need no second pass.  Map-side only -- no
+    shuffle; at 100 TB this runs inside the scan stage."""
+    import pandas as pd
+
+    ncores = emb.sparkSession.sparkContext.defaultParallelism
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_field = src.schema[id_col]
+    vec_field = src.schema[vec_col]
+
+    def stats_batches(batches):
+        for pdf in batches:
+            E = _stack(pdf[vec_col])
+            nrm = np.sqrt(_seq_dot(E, E))
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col], "nrm": nrm}
+            for t in range(N_TABLES):
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for r in range(TABLE_BITS):
+                    plane = PLANES_MAT[t * TABLE_BITS + r]
+                    # x * (+/-1.0) is exact, so the products match the
+                    # SQL CAST(x AS DOUBLE) * (+/-1) term-for-term.
+                    d = _seq_dot(E, np.broadcast_to(plane, E.shape))
+                    bucket += np.where(d >= 0, 2 ** r, 0)
+                out[f"bkt_{t}"] = bucket
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [id_field, vec_field, StructField("nrm", DoubleType())]
+        + [StructField(f"bkt_{t}", LongType()) for t in range(N_TABLES)]
+    )
+    return src.repartition(ncores, F.col(id_col)).mapInPandas(stats_batches, schema)
+
+
+def score_pairs(pairs: DataFrame, left: str = "qid", right: str = "nid",
+                out_col: str = "cosine") -> DataFrame:
+    """(left, right, cosine) from a candidate frame carrying va/na and
+    vb/nb vector+norm columns.  Rounding stays in Spark afterwards:
+    F.round is HALF_UP while np.round is half-even, so rounding here
+    would diverge from the oracle at .5 boundaries."""
+    import pandas as pd
+
+    left_field = pairs.schema[left]
+    right_field = pairs.schema[right]
+
+    def score_batches(batches):
+        for pdf in batches:
+            A = _stack(pdf["va"])
+            B = _stack(pdf["vb"])
+            cos = _seq_dot(A, B) / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            yield pd.DataFrame({left: pdf[left], right: pdf[right], out_col: cos})
+
+    schema = StructType([left_field, right_field, StructField(out_col, DoubleType())])
+    return pairs.select(left, right, "va", "na", "vb", "nb").mapInPandas(score_batches, schema)
+
+
+def _chunked_cosines(Q: np.ndarray, E: np.ndarray, qn: np.ndarray,
+                     en: np.ndarray, chunk: int = 128):
+    """Yield (start, cosine block) for Q x E without materializing the
+    full (q, m, DIM) product tensor -- blocks bound memory on hot
+    (skewed) buckets.  Folds stay sequential via cumsum on the vector
+    axis, so every cosine is bit-identical to the SQL form."""
+    for s in range(0, Q.shape[0], chunk):
+        q = Q[s:s + chunk]
+        prods = q[:, None, :] * E[None, :, :]
+        dots = np.cumsum(prods, axis=2)[:, :, -1]
+        yield s, dots / (qn[s:s + chunk, None] * en[None, :])
+
+
+def _grouped_topk(members: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Per-group all-pairs cosine, emitting each member's top-k
+    neighbors WITHIN its group as slim (qid, nid, cosine) rows.
+
+    This is the scale-critical shape for bucketed ANN: the quadratic
+    work happens inside an Arrow batch (numpy), and only k rows per
+    member leave the group -- versus materializing every candidate
+    pair through two vector-carrying shuffled joins + a distinct,
+    which round-1 profiling showed dominates wall-clock (~1M wide
+    rows for 2k vectors at sf0.1).  Global top-k over the union of
+    per-group top-k is exact: any pair dropped here had >= k better
+    pairs in the SAME group, which also beat it globally (tie-break
+    nid-asc is preserved by sorting members and stable argsort)."""
+    import pandas as pd
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"qid": ids[:0], "nid": ids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        q_out, n_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(E, E, nrm, nrm):
+            for local in range(cos.shape[0]):
+                cos[local, s + local] = -np.inf  # exclude self
+            kk = min(k, m - 1)
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cos, idx, axis=1)
+            keep = np.isfinite(vals)
+            q_out.append(np.repeat(ids[s:s + cos.shape[0]], kk)[keep.ravel()])
+            n_out.append(ids[idx].ravel()[keep.ravel()])
+            c_out.append(vals.ravel()[keep.ravel()])
+        return pd.DataFrame({"qid": np.concatenate(q_out),
+                             "nid": np.concatenate(n_out),
+                             "cosine": np.concatenate(c_out)})
+
+    id_type = members.schema["__id"].dataType
+    schema = StructType([
+        StructField("qid", id_type), StructField("nid", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    return members.groupBy(*group_cols).applyInPandas(topk_fn, schema)
+
+
+def _bucket_members(stats: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(tbl, bucket, __id, __vec, __nrm): one row per (vector, table).
+    Explodes the vector payload x N_TABLES -- at 100 TB this is the
+    scan-side fanout that replaces an n^2 candidate join."""
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), F.col(f"bkt_{t}").alias("bucket"))
+        for t in range(N_TABLES)
+    ])
+    return (
+        stats.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+                     F.col("nrm").alias("__nrm"), F.explode(buckets).alias("tb"))
+        .select("__id", "__vec", "__nrm", "tb.tbl", "tb.bucket")
+    )
+
+
 def cosine_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for every vector.
 
-    Plan shape: precompute norms once (map-side), self-join (BHJ when
-    one side broadcasts; at scale, replace with LSH-bucketed join),
-    window top-k per query id."""
+    Plan shape: precompute norms once (map-side numpy stage), self-join
+    (BHJ when one side broadcasts; at scale, replace with LSH-bucketed
+    join), numpy cosine on the pairs, window top-k per query id."""
     from pyspark.sql.window import Window
 
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("norm")
-    )
+    with_norm = vector_stats(emb, id_col, vec_col).select(id_col, vec_col, "nrm")
     a = with_norm.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("norm").alias("qn")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
     )
     b = with_norm.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("norm").alias("nn")
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
     )
-    pairs = (
-        a.join(b, F.col("qid") != F.col("nid"))
-        .withColumn("cosine", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn")))
-    )
+    pairs = score_pairs(a.join(b, F.col("qid") != F.col("nid")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -147,35 +309,55 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.40,
     threshold that share no bucket are absent by contract -- the oracle
     reproduces the identical candidate generation so the approximation
     itself is what gets verified."""
+    import pandas as pd
+
+    stats = vector_stats(emb, id_col, vec_col)
+    members = _bucket_members(stats, id_col, vec_col)
+
+    def near_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        a_out, b_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(E, E, nrm, nrm):
+            for local in range(cos.shape[0]):
+                # keep only the upper triangle: id_a < id_b (ids sorted)
+                cos[local, :s + local + 1] = -np.inf
+            qi, ni = np.nonzero(cos >= threshold)
+            a_out.append(ids[qi + s])
+            b_out.append(ids[ni])
+            c_out.append(cos[qi, ni])
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out),
+                             "cosine": np.concatenate(c_out)})
+
+    id_type = members.schema["__id"].dataType
+    schema = StructType([
+        StructField("id_a", id_type), StructField("id_b", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    return (
+        members.groupBy("tbl", "bucket").applyInPandas(near_fn, schema)
+        .groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _explode_tables(stats: DataFrame, id_col: str) -> DataFrame:
+    """(id, tbl, bucket) from a vector_stats frame -- the only
+    row-multiplying step (x N_TABLES); ids only, vectors stay behind."""
     buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 F.expr(table_bucket_sql(vec_col, t)).alias("bucket"))
+        F.struct(F.lit(t).alias("tbl"), F.col(f"bkt_{t}").alias("bucket"))
         for t in range(N_TABLES)
     ])
-    tagged = (
-        emb.select(F.col(id_col), F.explode(buckets).alias("tb"))
-        .select(id_col, "tb.tbl", "tb.bucket")
-    )
-    a = tagged.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-    b = tagged.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
-    cands = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("nrm")
-    )
-    aside = with_norm.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                             F.col("nrm").alias("na"))
-    bside = with_norm.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                             F.col("nrm").alias("nb"))
     return (
-        cands.join(aside, "id_a").join(bside, "id_b")
-        .withColumn("cosine", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        stats.select(F.col(id_col), F.explode(buckets).alias("tb"))
+        .select(id_col, "tb.tbl", "tb.bucket")
     )
 
 
@@ -197,26 +379,54 @@ def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
     """(id, probe_rank, cell) -- nearest-centroid cells per vector.
 
     probe_rank 1 is the home cell (where the vector is indexed);
-    ranks 1..nprobe are the cells a query scans."""
-    from pyspark.sql.window import Window
+    ranks 1..nprobe are the cells a query scans.
 
-    centroids = (
+    The centroid table (IVF_NLIST rows) is collected to the driver and
+    closed over by the numpy stage -- the mapInPandas equivalent of a
+    broadcast join, removing both the cross-join row blowup (n x NLIST
+    interpreted dots) and the per-vector ranking shuffle: each row ranks
+    its own NLIST sims in-batch, so the whole stage is map-side."""
+    import pandas as pd
+
+    cent_rows = (
         emb.orderBy(F.col(id_col).asc()).limit(IVF_NLIST)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"),
-                F.expr(norm_sql(vec_col)).alias("cn"))
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .collect()
     )
-    scored = (
-        emb.select(F.col(id_col), F.col(vec_col),
-                   F.expr(norm_sql(vec_col)).alias("nrm"))
-        .join(F.broadcast(centroids), how="cross")
-        .withColumn("sim", F.expr(dot_sql(vec_col, "cv")) / (F.col("nrm") * F.col("cn")))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select(id_col, "probe_rank", "cell")
-    )
+    # rows sorted by cell id: stable argsort then breaks sim ties by
+    # ascending cell, matching ORDER BY sim DESC, cell ASC in the oracle.
+    cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    ncores = emb.sparkSession.sparkContext.defaultParallelism
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_field = src.schema[id_col]
+
+    def cell_batches(batches):
+        for pdf in batches:
+            E = _stack(pdf[vec_col])
+            if E.shape[0] == 0:
+                continue
+            nrm = np.sqrt(_seq_dot(E, E))
+            sims = np.empty((E.shape[0], len(cent_ids)), dtype=np.float64)
+            for j in range(len(cent_ids)):
+                sims[:, j] = _seq_dot(E, np.broadcast_to(C[j], E.shape)) / (nrm * cn[j])
+            # stable argsort on -sim: ties keep column order = cell asc
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = E.shape[0]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                "probe_rank": np.tile(np.arange(1, nprobe + 1), n),
+                "cell": cent_ids[order].ravel(),
+            })
+
+    schema = StructType([
+        id_field,
+        StructField("probe_rank", IntegerType()),
+        StructField("cell", LongType()),
+    ])
+    return src.repartition(ncores, F.col(id_col)).mapInPandas(cell_batches, schema)
 
 
 def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
@@ -225,27 +435,60 @@ def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     exact cosine over vectors indexed in those cells."""
     from pyspark.sql.window import Window
 
+    import pandas as pd
+
     cells = ivf_cells(emb, id_col, vec_col)
-    indexed = (cells.filter(F.col("probe_rank") == 1)
-               .select(F.col(id_col).alias("nid"), "cell"))
-    probes = cells.select(F.col(id_col).alias("qid"), "cell")
-    cands = (
-        probes.join(indexed, "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
+    stats = vector_stats(emb, id_col, vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        F.col("nrm").alias("__nrm"))
+    # one row per (vector, probed cell), tagged with whether the vector
+    # is INDEXED there (home cell, probe_rank 1).  Each cell group then
+    # scores its probing queries against its indexed members in numpy;
+    # a neighbor is indexed in exactly one cell, so (qid, nid) pairs
+    # are unique across groups -- no distinct needed, and only top-k
+    # slim rows leave each group.
+    members = (
+        cells.withColumnRenamed(id_col, "__id")
+        .join(stats, "__id")
+        .withColumn("indexed", (F.col("probe_rank") == 1).cast("boolean"))
     )
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("nrm")
-    )
-    qside = with_norm.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                             F.col("nrm").alias("qn"))
-    nside = with_norm.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                             F.col("nrm").alias("nn"))
-    scored = (
-        cands.join(qside, "qid").join(nside, "nid")
-        .withColumn("cosine", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn")))
-    )
+
+    def cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        idx_mask = pdf["indexed"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        nids = ids[idx_mask]
+        if len(nids) == 0 or len(ids) == 0:
+            return pd.DataFrame({"qid": ids[:0], "nid": ids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        NE, nn = E[idx_mask], nrm[idx_mask]
+        q_out, n_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(E, NE, nrm, nn):
+            qids_blk = ids[s:s + cos.shape[0]]
+            self_pos = np.searchsorted(nids, qids_blk)
+            for local, qv in enumerate(qids_blk):
+                p = self_pos[local]
+                if p < len(nids) and nids[p] == qv:
+                    cos[local, p] = -np.inf  # exclude self
+            kk = min(k, len(nids))
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cos, order, axis=1)
+            keep = np.isfinite(vals)
+            q_out.append(np.repeat(qids_blk, kk)[keep.ravel()])
+            n_out.append(nids[order].ravel()[keep.ravel()])
+            c_out.append(vals.ravel()[keep.ravel()])
+        return pd.DataFrame({"qid": np.concatenate(q_out),
+                             "nid": np.concatenate(n_out),
+                             "cosine": np.concatenate(c_out)})
+
+    id_type = stats.schema["__id"].dataType
+    schema = StructType([
+        StructField("qid", id_type), StructField("nid", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    scored = members.groupBy("cell").applyInPandas(cell_fn, schema)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -270,36 +513,17 @@ def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     genuinely absent -- that is the approximation contract."""
     from pyspark.sql.window import Window
 
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 F.expr(table_bucket_sql(vec_col, t)).alias("bucket"))
-        for t in range(N_TABLES)
-    ])
-    # ids only ride through the bucket join + distinct; vectors are
-    # re-attached afterwards (shuffling 64-float payloads through the
-    # candidate dedup would dominate the exchange at scale).
-    tagged = (
-        emb.select(F.col(id_col), F.explode(buckets).alias("tb"))
-        .select(id_col, "tb.tbl", "tb.bucket")
-    )
-    a = tagged.select(F.col(id_col).alias("qid"), "tbl", "bucket")
-    b = tagged.select(F.col(id_col).alias("nid"), "tbl", "bucket")
-    cands = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
-    )
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("nrm")
-    )
-    qside = with_norm.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                             F.col("nrm").alias("qn"))
-    nside = with_norm.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                             F.col("nrm").alias("nn"))
+    # Quadratic work stays inside each (table, bucket) Arrow group; a
+    # vector appears in exactly one bucket per table, so its global
+    # candidate set is the union of its N_TABLES groups and the union
+    # of per-group top-k contains the global top-k.  Only slim
+    # (qid, nid, cosine) rows shuffle after the group stage; the same
+    # neighbor found via two tables dedups by max (identical doubles).
+    stats = vector_stats(emb, id_col, vec_col)
+    members = _bucket_members(stats, id_col, vec_col)
     scored = (
-        cands.join(qside, "qid").join(nside, "nid")
-        .withColumn("cosine", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn")))
+        _grouped_topk(members, ["tbl", "bucket"], k)
+        .groupBy("qid", "nid").agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
