@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "similarity_lsh_buckets",
     "similarity_lsh_knn",
     "similarity_ivf_knn",

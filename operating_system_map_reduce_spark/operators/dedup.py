@@ -21,8 +21,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 N_MINHASH = 16
 LSH_BANDS = 4
@@ -53,6 +53,60 @@ def shingles_expr(toks: Column, n: int = SHINGLE_N) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def py_shingles(toks, n: int = SHINGLE_N) -> list[str]:
+    """Distinct word n-gram shingles from a token list, first-occurrence
+    order -- byte-identical to
+    array_distinct(shingles_expr(tokens_expr())) (space-joined slices)
+    and to DuckDB's list_distinct(list_transform(...slice...)).
+
+    Exists because the SQL form's transform(slice+concat_ws) lambdas
+    are INTERPRETED and copy per element: shingling all docs of a
+    one-split parquet measured 9.5 s single-core at sf0.1 (and project
+    pushdown moves the expression BELOW a repartition exchange, so
+    adding cores via repartition does not help the SQL form)."""
+    if toks is None or len(toks) < n:
+        return []
+    return list(dict.fromkeys(
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+    ))
+
+
+def shingle_postings(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(id, n, s): one row per (doc, distinct shingle) -- the inverted
+    index feed for the set-similarity join.  Tokenization stays in
+    Spark SQL (engine-shared semantics); shingling runs in an
+    Arrow-batched stage after a repartition, so the CPU-bound work
+    spreads across cores (mapInPandas is a pushdown barrier, unlike a
+    bare projection)."""
+    import pandas as pd
+
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = (
+        df.repartition(ncores, F.col(id_col))
+        .select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    )
+
+    def posting_batches(batches):
+        for pdf in batches:
+            ids, ns, ss = [], [], []
+            for i, toks in zip(pdf[id_col], pdf["toks"]):
+                shingles = py_shingles(toks, n)
+                if not shingles:
+                    continue
+                ids.extend([i] * len(shingles))
+                ns.extend([len(shingles)] * len(shingles))
+                ss.extend(shingles)
+            yield pd.DataFrame({id_col: ids, "n": ns, "s": ss})
+
+    schema = StructType([
+        df.schema[id_col],
+        StructField("n", IntegerType()),
+        StructField("s", StringType()),
+    ])
+    return toks_df.mapInPandas(posting_batches, schema)
 
 
 # Universal-hash MinHash family: ONE md5 per shingle -> 48-bit int ->
@@ -94,35 +148,41 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """(id, shingles, mh_0..mh_{N-1}); docs with no shingles dropped.
 
-    Tokenize/shingle stays in Spark SQL (cheap array ops, shared with
-    the oracle template); the hash+minimize step runs as an
-    Arrow-batched pandas iterator because the pure-SQL form -- one md5
-    plus a 12-term hex-decode per shingle, then 16 min-reductions,
-    all interpreted HOF lambdas outside codegen -- measured 6.5 s at
-    sf0.1 vs ~1 s for this path.  Python computes the IDENTICAL ints
-    (md5 hex -> first 12 digits -> mod p; affine minima in int64 numpy,
-    products < 2^62 so no overflow), so the DuckDB oracle still matches
-    bit-for-bit."""
+    Tokenization stays in Spark SQL (cheap, engine-shared semantics);
+    shingling AND hash+minimize run in one Arrow-batched pandas stage.
+    The pure-SQL form -- per-element slice/concat_ws shingling, one md5
+    plus a 12-term hex-decode per shingle, then 16 min-reductions, all
+    interpreted HOF lambdas outside codegen -- measured 6.5 s at sf0.1
+    for hashing alone, plus ~5 s single-core for shingling (project
+    pushdown hoists a shingle PROJECTION below the repartition
+    exchange, so only a mapInPandas barrier actually distributes it).
+    Python computes IDENTICAL values (py_shingles == the SQL slices;
+    md5 hex -> first 12 digits -> mod p; affine minima in int64 numpy,
+    products < 2^62 so no overflow), so the DuckDB oracle still
+    matches bit-for-bit."""
     import numpy as np
     import pandas as pd
 
-    toks = tokens_expr(text_col)
     # CPU-bound stage: partition count must track cores, not input
     # bytes -- a small parquet arrives as ONE split and serializes the
     # stage.  At 100 TB input splits already provide this.
     ncores = df.sparkSession.sparkContext.defaultParallelism
     out = (
         df.repartition(ncores, F.col(id_col))
-        .select(F.col(id_col), shingles_expr(toks).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select(F.col(id_col), tokens_expr(text_col).alias("toks"))
     )
     a_vec = np.array(MINHASH_A, dtype=np.int64)[:, None]
     b_vec = np.array(MINHASH_B, dtype=np.int64)[:, None]
 
     def sig_batches(batches):
         for pdf in batches:
-            sigs = []
-            for shingles in pdf["shingles"]:
+            ids, all_shingles, sigs = [], [], []
+            for i, toks in zip(pdf[id_col], pdf["toks"]):
+                shingles = py_shingles(toks)
+                if not shingles:
+                    continue  # docs with no shingles dropped (as before)
+                ids.append(i)
+                all_shingles.append(shingles)
                 hv = np.fromiter(
                     (int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P
                      for s in shingles),
@@ -131,8 +191,8 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                 sigs.append(((a_vec * hv + b_vec) % MINHASH_P).min(axis=1))
             mat = np.stack(sigs) if sigs else np.empty((0, N_MINHASH), dtype=np.int64)
             yield pd.DataFrame({
-                id_col: pdf[id_col],
-                "shingles": pdf["shingles"],
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "shingles": pd.Series(all_shingles, dtype=object),
                 **{f"mh_{s}": mat[:, s] for s in range(N_MINHASH)},
             })
 

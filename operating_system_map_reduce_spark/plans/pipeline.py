@@ -359,18 +359,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.2 shares at least one shingle, so no qualifying pair is
     missed -- but the candidate space is sum-over-shingles(freq^2)
     instead of n^2 docs.  (The previous all-pairs array_intersect form
-    was a BroadcastNestedLoopJoin: 16 s at sf0.01, quadratic beyond.)"""
+    was a BroadcastNestedLoopJoin: 16 s at sf0.01, quadratic beyond.)
+
+    Perf notes (round-2 profiling):
+    - shingling runs in the Arrow stage of shingle_postings, NOT as a
+      SQL projection: interpreted transform(slice+concat_ws) lambdas
+      shingled all docs of the one-split parquet on a single core
+      (9.5 s of the 14.7 s round-1 time), and project pushdown hoists
+      a bare projection below any repartition, so only a mapInPandas
+      barrier actually distributes the work.
+    - length filter in the join condition: J >= t needs
+      |A inter B| >= t*max(|A|,|B|), so |A|,|B| within a factor 1/t of
+      each other -- prunes postings pairs before the group-count.  The
+      next scale lever (not needed at df_max=25 here) is PPJoin-style
+      prefix filtering on a global shingle-frequency order."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"),
-        F.array_distinct(_dd.shingles_expr(_dd.tokens_expr())).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                  F.col("s").alias("s_b"))
     inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+               & (F.col("n_a") * F.lit(5) >= F.col("n_b"))
+               & (F.col("n_b") * F.lit(5) >= F.col("n_a")))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).cast("double").alias("inter"))
     )
