@@ -7,9 +7,13 @@ SQL-expressible (tumbling windows are epoch-aligned hourly buckets) and
 carries a DuckDB oracle.  ``stream_quota_admission`` is the reference's
 sequential admit/record quota state machine
 (p4/server/my_quota_tracker.cc:44-77) -- order-dependent and
-non-associative, hence deliberately NO oracle entry: the driver records
-the weaker rows-only check, and tests/test_streaming.py pins the exact
-semantics against the pure-Python tracker.
+non-associative, but still oracled: a recursive CTE replays the fold
+event-by-event per user (state = the list of live admitted (ts, amt)
+pairs, exactly my_quota_tracker's deque).  Both engines evaluate the
+admission sum as a left-to-right fold over the same event order
+(Python ``sum`` / DuckDB ``list_sum``), so the doubles match
+bit-for-bit -- no rounding needed.  tests/test_streaming.py
+additionally pins the semantics against the pure-Python tracker.
 """
 
 from __future__ import annotations
@@ -37,6 +41,49 @@ def stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_quota_admission(spark, sf_dir)
 
 
+# Recursive-CTE replay of the sliding-window admission state machine
+# (p4/server/my_quota_tracker.cc:44-77).  Base case: one row per user
+# with empty live-event state; recursive step: process that user's
+# rn-th event -- evict live entries older than the window, admit iff
+# the left-to-right sum of live amounts plus this amount stays within
+# QUOTA_MAX, and record admitted events in state.  Mirrors
+# streaming/quota_stream._admit_group line for line.
+STREAM_QUOTA_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ev
+  FROM events
+),
+sim AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, max(n_ev) AS n_ev,
+         CAST([] AS STRUCT(ts BIGINT, amt DOUBLE)[]) AS live,
+         CAST(0 AS BIGINT) AS n_admitted, CAST(0 AS BIGINT) AS n_rejected,
+         CAST(0.0 AS DOUBLE) AS admitted_amount
+  FROM ev GROUP BY user_id
+  UNION ALL
+  SELECT user_id, rn, n_ev,
+         CASE WHEN adm THEN list_append(kept, {'ts': ts_us, 'amt': value}) ELSE kept END AS live,
+         n_admitted + CASE WHEN adm THEN 1 ELSE 0 END,
+         n_rejected + CASE WHEN adm THEN 0 ELSE 1 END,
+         admitted_amount + CASE WHEN adm THEN value ELSE 0.0 END
+  FROM (
+    SELECT t.*,
+           COALESCE(list_sum(list_transform(kept, x -> x.amt)), 0.0) + value <= 50.0 AS adm
+    FROM (
+      SELECT s.user_id, s.rn + 1 AS rn, s.n_ev,
+             list_filter(s.live, x -> x.ts > e.ts_us - 3600000000) AS kept,
+             e.ts_us, e.value,
+             s.n_admitted, s.n_rejected, s.admitted_amount
+      FROM sim s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ) t
+  )
+)
+SELECT user_id, n_admitted, n_rejected, admitted_amount
+FROM sim WHERE rn = n_ev ORDER BY user_id
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_quota_admission": stream_quota_admission,
@@ -44,4 +91,5 @@ QUERIES = {
 
 ORACLES = {
     "stream_windowed_counts": STREAM_WINDOW_SQL,
+    "stream_quota_admission": STREAM_QUOTA_SQL,
 }

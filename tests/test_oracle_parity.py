@@ -33,9 +33,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_all_queries_have_oracle_or_reason():
     missing = set(_QUERIES) - set(_ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list
-    # explicit so additions are deliberate.
-    # stream_quota_admission: sequential admit/record state machine --
-    # order-dependent, not SQL-expressible; semantics pinned in
-    # tests/test_streaming.py against the pure-Python tracker instead.
-    allowed_missing = {"stream_quota_admission"}
+    # explicit so additions are deliberate.  (Empty since round 2:
+    # stream_quota_admission gained a recursive-CTE oracle.)
+    allowed_missing: set[str] = set()
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
