@@ -76,11 +76,22 @@ class KVEngine:
                                 key_col="key")
         self._seq = max(self.auth_log.max_seq(), self.kv_log.max_seq())
         self._seq_lock = threading.Lock()
+        # Striped per-key write locks: the reference serializes writers
+        # per hash bucket (p2/server/concurrenthashmap.h:40-43), which
+        # is what makes its check-then-insert/upsert/remove atomic under
+        # 1,024 concurrent clients (p2/scripts/grading_p2_races.py).
+        self._stripes = [threading.Lock() for _ in range(64)]
         self.quota_table: dict[str, Quotas] = {}
         self.mru = MRUManager(top_size)
         self.funcs = FuncTable()
 
     # ---------------------------------------------------------------- util
+
+    def _key_lock(self, key: str) -> threading.Lock:
+        """Writer lock for one hash stripe (per-bucket serialization,
+        p2/server/concurrenthashmap.h:40-43).  Readers stay lock-free:
+        the replay view is a consistent snapshot of fsync'd batches."""
+        return self._stripes[hash(key) & 63]
 
     def _next_seq(self) -> int:
         """Unique, monotone changelog sequence.  Locked: concurrent
@@ -140,16 +151,17 @@ class KVEngine:
         """REG (protocol.h:95-109): insert-if-absent with fresh salt."""
         if not user or len(user) > codes.LEN_UNAME or len(password) > codes.LEN_PASSWORD:
             return False, codes.RES_ERR_REQ_FMT, None
-        exists = self.auth_df().filter(F.col("username") == user).count() > 0
-        if exists:
-            return False, codes.RES_ERR_USER_EXISTS, None
-        salt = secrets.token_bytes(16)
-        self.auth_log.append([{
-            "seq": self._next_seq(), "op": "insert", "username": user,
-            "salt": salt,
-            "pass_hash": hashlib.sha256(password.encode() + salt).digest(),
-            "content": b"",
-        }])
+        with self._key_lock(user):
+            exists = self.auth_df().filter(F.col("username") == user).count() > 0
+            if exists:
+                return False, codes.RES_ERR_USER_EXISTS, None
+            salt = secrets.token_bytes(16)
+            self.auth_log.append([{
+                "seq": self._next_seq(), "op": "insert", "username": user,
+                "salt": salt,
+                "pass_hash": hashlib.sha256(password.encode() + salt).digest(),
+                "content": b"",
+            }])
         return True, codes.RES_OK, None
 
     def set_user_data(self, user: str, password: str, content: bytes):
@@ -199,11 +211,12 @@ class KVEngine:
             return False, codes.RES_ERR_QUOTA_REQ, None
         if not up_ok:
             return False, codes.RES_ERR_QUOTA_UP, None
-        exists = self.kv_df().filter(F.col("key") == key).count() > 0
-        if exists:
-            return False, codes.RES_ERR_KEY, None
-        self.kv_log.append([{"seq": self._next_seq(), "op": "insert",
-                             "key": key, "value": bytes(value)}])
+        with self._key_lock(key):
+            exists = self.kv_df().filter(F.col("key") == key).count() > 0
+            if exists:
+                return False, codes.RES_ERR_KEY, None
+            self.kv_log.append([{"seq": self._next_seq(), "op": "insert",
+                                 "key": key, "value": bytes(value)}])
         self.mru.insert(key)
         return True, codes.RES_OK, None
 
@@ -235,11 +248,12 @@ class KVEngine:
             return False, codes.RES_ERR_LOGIN, None
         if not self._charge_request(user):
             return False, codes.RES_ERR_QUOTA_REQ, None
-        exists = self.kv_df().filter(F.col("key") == key).count() > 0
-        if not exists:
-            return False, codes.RES_ERR_KEY, None
-        self.kv_log.append([{"seq": self._next_seq(), "op": "delete",
-                             "key": key, "value": None}])
+        with self._key_lock(key):
+            exists = self.kv_df().filter(F.col("key") == key).count() > 0
+            if not exists:
+                return False, codes.RES_ERR_KEY, None
+            self.kv_log.append([{"seq": self._next_seq(), "op": "delete",
+                                 "key": key, "value": None}])
         self.mru.remove(key)
         return True, codes.RES_OK, None
 
@@ -255,10 +269,11 @@ class KVEngine:
             return False, codes.RES_ERR_QUOTA_REQ, None
         if not up_ok:
             return False, codes.RES_ERR_QUOTA_UP, None
-        exists = self.kv_df().filter(F.col("key") == key).count() > 0
-        self.kv_log.append([{"seq": self._next_seq(),
-                             "op": "update" if exists else "insert",
-                             "key": key, "value": bytes(value)}])
+        with self._key_lock(key):
+            exists = self.kv_df().filter(F.col("key") == key).count() > 0
+            self.kv_log.append([{"seq": self._next_seq(),
+                                 "op": "update" if exists else "insert",
+                                 "key": key, "value": bytes(value)}])
         self.mru.insert(key)
         return True, codes.RES_OKUPD if exists else codes.RES_OKINS, None
 
