@@ -42,6 +42,16 @@ _MAP_OUT_SCHEMA = StructType([
     StructField("mapped", BinaryType()),
 ])
 
+# Size guards (SURVEY section 7 risk 1).  The reference bounds every
+# transmitted value at LEN_VAL structurally (p5/common/protocol.h:257-260)
+# and answers oversized transmissions with ERR_XMIT (protocol.h:235).
+# Each map output is held to LEN_VAL; the non-associative global reduce
+# additionally caps the total bytes collected to the driver, because at
+# 100 TB "rows x 1 MB" is a driver OOM, not a payload.
+MAX_REDUCE_INPUT_BYTES = 256 * 1024 * 1024
+
+_XMIT_MARKER = "KMR_MAP_OUTPUT_OVER_LEN_VAL"
+
 
 class FuncTable:
     """Validated registry of named (map, reduce) pairs under a lock
@@ -85,7 +95,9 @@ class FuncTable:
 
 
 def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
-                   associative: bool = False) -> tuple[bool, str, bytes]:
+                   associative: bool = False,
+                   max_reduce_input_bytes: int = MAX_REDUCE_INPUT_BYTES,
+                   ) -> tuple[bool, str, bytes]:
     """Run map over every (key, value) pair of the snapshot, then the
     global reduce.  Returns (ok, code, payload)."""
     try:
@@ -107,10 +119,27 @@ def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
             # in deterministic key order (the reference feeds scan order;
             # its tests are order-insensitive, so sorted order is the
             # deterministic choice -- SURVEY.md section 2.2 reduce_func).
-            rows = mapped.orderBy("key").collect()
-            result = reduce_fn([bytes(r.mapped) if r.mapped is not None else b"" for r in rows])
-        return True, codes.RES_OK, bytes(result) if result is not None else b""
-    except Exception:
+            # Streamed partition-by-partition with a byte budget: the
+            # driver aborts with ERR_XMIT instead of OOMing when map
+            # outputs exceed the envelope (SURVEY section 7 risk 1).
+            vals, total = [], 0
+            for r in mapped.orderBy("key").toLocalIterator(prefetchPartitions=True):
+                b = bytes(r.mapped) if r.mapped is not None else b""
+                total += len(b)
+                if total > max_reduce_input_bytes:
+                    return False, codes.RES_ERR_XMIT, b""
+                vals.append(b)
+            result = reduce_fn(vals)
+        result = bytes(result) if result is not None else b""
+        if len(result) > codes.LEN_VAL:
+            # The reply rides the same value envelope as any payload.
+            return False, codes.RES_ERR_XMIT, b""
+        return True, codes.RES_OK, result
+    except Exception as exc:
+        if _XMIT_MARKER in str(exc):
+            # A single map output burst LEN_VAL (guard raised in the
+            # Python worker) -- a too-big transmission, not a crash.
+            return False, codes.RES_ERR_XMIT, b""
         # UDF crash containment: the Python worker died / raised, the
         # engine did not (reference: seccomp-killed child => ERR_SERVER).
         return False, codes.RES_ERR_SERVER, b""
@@ -121,8 +150,11 @@ def _make_map_batches(map_fn: MapFn):
         for pdf in batches:
             out_keys, out_vals = [], []
             for key, value in zip(pdf["key"], pdf["value"]):
+                out = map_fn(key, bytes(value) if value is not None else b"")
+                if out is not None and len(out) > codes.LEN_VAL:
+                    raise ValueError(_XMIT_MARKER)
                 out_keys.append(key)
-                out_vals.append(map_fn(key, bytes(value) if value is not None else b""))
+                out_vals.append(out)
             yield pd.DataFrame({"key": out_keys, "mapped": out_vals})
     return map_batches
 

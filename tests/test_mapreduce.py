@@ -65,6 +65,24 @@ def reduce(values):
     return str(sum(int(v) for v in values if v)).encode()
 """
 
+# map output bursts the LEN_VAL envelope (p5/common/protocol.h:257-260)
+HUGE_MAP_SRC = b"""
+def map(key, value):
+    return b"x" * (1024 * 1024 + 1)
+
+def reduce(values):
+    return b""
+"""
+
+# each map output is legal, but the reduce reply bursts LEN_VAL
+HUGE_REDUCE_SRC = b"""
+def map(key, value):
+    return b"y" * (1024 * 256)
+
+def reduce(values):
+    return b"".join(values)
+"""
+
 
 @pytest.fixture()
 def engine(spark, tmp_path):
@@ -136,6 +154,35 @@ class TestInvocation:
         ok_t, _, tree_res = engine.invoke_mr("bob", "bob_is_the_best", "sum_t")
         assert (ok_g, ok_t) == (True, True)
         assert global_res == tree_res == b"36"
+
+    def test_oversized_map_output_is_err_xmit(self, engine):
+        """SURVEY section 7 risk 1: a map output over LEN_VAL is a
+        guarded ERR_XMIT (protocol.h:235), not a crash, and the engine
+        stays alive."""
+        engine.register_mr("alice", "alice_is_awesome", "hugem", HUGE_MAP_SRC)
+        assert engine.invoke_mr("bob", "bob_is_the_best", "hugem")[1] == codes.RES_ERR_XMIT
+        assert engine.kv_get("bob", "bob_is_the_best", "k1")[2] == b"1"
+
+    def test_oversized_reduce_reply_is_err_xmit(self, engine):
+        """The reduce reply rides the same value envelope: 8 x 256 KiB
+        joined = 2 MiB > LEN_VAL -> ERR_XMIT, engine alive."""
+        engine.register_mr("alice", "alice_is_awesome", "huger", HUGE_REDUCE_SRC)
+        assert engine.invoke_mr("bob", "bob_is_the_best", "huger")[1] == codes.RES_ERR_XMIT
+        assert engine.kv_all("bob", "bob_is_the_best")[1] == codes.RES_OK
+
+    def test_reduce_input_byte_budget(self, engine):
+        """Driver-side collect budget: with a tiny cap the non-associative
+        path aborts with ERR_XMIT instead of materializing everything."""
+        from operating_system_map_reduce_spark.operators.mapreduce import run_map_reduce
+        entry_code = engine.funcs.register_source("cap", ALL_KEYS_SRC)
+        assert entry_code == codes.RES_OK
+        map_fn, reduce_fn, _ = engine.funcs.get("cap")
+        ok, code, _ = run_map_reduce(engine.kv_df(), map_fn, reduce_fn,
+                                     max_reduce_input_bytes=4)
+        assert (ok, code) == (False, codes.RES_ERR_XMIT)
+        ok, code, data = run_map_reduce(engine.kv_df(), map_fn, reduce_fn)
+        assert (ok, code) == (True, codes.RES_OK)
+        assert sorted(data.decode().split("\n")) == [f"k{i}" for i in range(1, 9)]
 
     def test_mr_sees_consistent_snapshot(self, engine):
         """Writes after the snapshot DataFrame is taken don't leak into a
