@@ -303,6 +303,47 @@ ORDER BY key
 """
 
 
+# --- at-rest AES parity (p1/common/crypto.h:26-49) ------------------------
+# The reference AES-encrypts every payload it persists or transmits
+# (aes_crypt_msg, p1/common/my_crypto.cc).  Spark-first at-rest parity:
+# encrypt the kv value column with the built-in aes_encrypt, decrypt it
+# back, and emit DuckDB-derivable evidence -- the plaintext digest of
+# the decrypted bytes (proves decrypt(encrypt(x)) == x), the PKCS block
+# envelope of the ciphertext, and the roundtrip flag.  ECB is used ONLY
+# because the oracle needs a deterministic ciphertext length; a real
+# deployment uses GCM with a random IV (same built-in, one argument).
+
+_AES_KEY = "0123456789abcdef0123456789abcdef"  # 32 bytes -> AES-256
+
+
+def kv_aes_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    plain = F.encode(F.col("p_name"), "UTF-8")
+    enc = F.aes_encrypt(plain, F.lit(_AES_KEY), F.lit("ECB"), F.lit("PKCS"))
+    dec = F.aes_decrypt(F.col("cipher"), F.lit(_AES_KEY), F.lit("ECB"), F.lit("PKCS"))
+    return (
+        part.select(F.col("p_partkey").alias("key"), plain.alias("plain"),
+                    enc.alias("cipher"))
+        .select(
+            F.col("key"),
+            F.octet_length("cipher").cast("bigint").alias("cipher_len"),
+            F.md5(dec).alias("plain_md5"),
+            (dec == F.col("plain")).alias("roundtrip_ok"),
+        )
+        .orderBy("key")
+    )
+
+
+KV_AES_SQL = """
+SELECT p_partkey AS key,
+       CAST((strlen(p_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len,
+       md5(p_name) AS plain_md5,
+       TRUE AS roundtrip_ok
+FROM part
+ORDER BY key
+"""
+
+
 QUERIES = {
     "kv_get_point": kv_get_point,
     "kv_all_keys": kv_all_keys,
@@ -314,6 +355,7 @@ QUERIES = {
     "auth_hash_users": auth_hash_users,
     "all_users_fold": all_users_fold,
     "mr_odd_key_vals": mr_odd_key_vals,
+    "kv_aes_at_rest": kv_aes_at_rest,
 }
 
 ORACLES = {
@@ -327,4 +369,5 @@ ORACLES = {
     "auth_hash_users": AUTH_HASH_SQL,
     "all_users_fold": ALL_USERS_SQL,
     "mr_odd_key_vals": MR_ODD_SQL,
+    "kv_aes_at_rest": KV_AES_SQL,
 }

@@ -143,3 +143,29 @@ class TestDurability:
         assert eng2.kv_get("alice", "alice_is_awesome", "k")[2] == b"v4"
         ok, _, users = eng2.get_all_users("alice", "alice_is_awesome")
         assert sorted(users.decode().split("\n")) == ["alice", "bob"]
+
+
+class TestAesAtRest:
+    """At-rest crypto parity (p1/common/crypto.h:26-49): the engine-tier
+    aes_encrypt/aes_decrypt roundtrip recovers every value; a wrong key
+    never silently yields the plaintext."""
+
+    def test_roundtrip_and_wrong_key(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.plans.kvqueries import (
+            _AES_KEY, kv_aes_at_rest)
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        res = kv_aes_at_rest(spark, sf_dir)
+        assert res.filter(~F.col("roundtrip_ok")).count() == 0
+
+        part = load_table(spark, sf_dir, "part").limit(50)
+        plain = F.encode(F.col("p_name"), "UTF-8")
+        enc = F.aes_encrypt(plain, F.lit(_AES_KEY), F.lit("ECB"), F.lit("PKCS"))
+        wrong = F.try_aes_decrypt(F.col("cipher"), F.lit("x" * 32),
+                                  F.lit("ECB"), F.lit("PKCS"))
+        leaked = (part.select(plain.alias("plain"), enc.alias("cipher"))
+                  .select((F.col("plain") == wrong).alias("leak"))
+                  .filter(F.col("leak")).count())
+        assert leaked == 0
