@@ -23,8 +23,8 @@ import hashlib
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, DoubleType, FloatType, IntegerType,
-                               LongType, StructField, StructType)
+from pyspark.sql.types import (BooleanType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
 
 N_PLANES = 16
 DIM = 64
@@ -208,18 +208,79 @@ def _grouped_topk(members: DataFrame, group_cols: list[str], k: int) -> DataFram
     return members.groupBy(*group_cols).applyInPandas(topk_fn, schema)
 
 
-def _bucket_members(stats: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(tbl, bucket, __id, __vec, __nrm): one row per (vector, table).
-    Explodes the vector payload x N_TABLES -- at 100 TB this is the
-    scan-side fanout that replaces an n^2 candidate join."""
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"), F.col(f"bkt_{t}").alias("bucket"))
-        for t in range(N_TABLES)
+def lsh_members(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(tbl, bucket, __id, __vec, __nrm) in ONE map-side Arrow pass.
+
+    Fuses vector_stats + the xN_TABLES fanout into the scan stage: no
+    repartition shuffle, no separate explode projection -- stage-count
+    is what dominates bucketed-ANN wall clock once the folds are numpy
+    (round-2 profile: each extra stage ~0.15-0.6 s at sf0.1).  At
+    100 TB parquet supplies the map-side parallelism (many splits);
+    the only shuffle left in the plan is the groupBy on (tbl, bucket)."""
+    import pandas as pd
+
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_field, vec_field = src.schema[id_col], src.schema[vec_col]
+
+    def member_batches(batches):
+        for pdf in batches:
+            E = _stack(pdf[vec_col])
+            n = E.shape[0]
+            if n == 0:
+                continue
+            nrm = np.sqrt(_seq_dot(E, E))
+            buckets = np.empty((N_TABLES, n), dtype=np.int64)
+            for t in range(N_TABLES):
+                b = np.zeros(n, dtype=np.int64)
+                for r in range(TABLE_BITS):
+                    plane = PLANES_MAT[t * TABLE_BITS + r]
+                    d = _seq_dot(E, np.broadcast_to(plane, E.shape))
+                    b += np.where(d >= 0, 2 ** r, 0)
+                buckets[t] = b
+            yield pd.DataFrame({
+                "tbl": np.repeat(np.arange(N_TABLES, dtype=np.int32), n),
+                "bucket": buckets.ravel(),
+                "__id": np.tile(pdf[id_col].to_numpy(), N_TABLES),
+                "__vec": pd.Series(list(pdf[vec_col]) * N_TABLES),
+                "__nrm": np.tile(nrm, N_TABLES),
+            })
+
+    schema = StructType([
+        StructField("tbl", IntegerType()), StructField("bucket", LongType()),
+        StructField("__id", id_field.dataType),
+        StructField("__vec", vec_field.dataType),
+        StructField("__nrm", DoubleType()),
     ])
+    return src.mapInPandas(member_batches, schema)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(vec_id, rank, neighbor_id, cosine) from slim candidate rows in
+    ONE shuffle on qid: dedup duplicate (qid, nid) pairs by max (the
+    same neighbor reached via several tables/cells scores identical
+    doubles), order by cosine desc / nid asc, emit ranks 1..k.
+
+    Stays JVM-side: both the max-dedup aggregate and the ranking window
+    are whole-stage-codegen operators over slim rows.  A pandas variant
+    was measured and rejected twice at sf0.1 -- per-qid applyInPandas
+    pays ~ms of pandas setup per group (6 s for 2k groups once AQE
+    coalesces them into one task), and even a vectorized
+    whole-partition mapInPandas loses to codegen because each python
+    stage boundary costs ~0.4-0.5 s of worker dispatch regardless of
+    work."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        stats.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
-                     F.col("nrm").alias("__nrm"), F.explode(buckets).alias("tb"))
-        .select("__id", "__vec", "__nrm", "tb.tbl", "tb.bucket")
+        scored.groupBy("qid", "nid").agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"), F.col("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(F.col("cosine"), 6).alias("cosine"),
+        )
     )
 
 
@@ -311,8 +372,7 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.40,
     itself is what gets verified."""
     import pandas as pd
 
-    stats = vector_stats(emb, id_col, vec_col)
-    members = _bucket_members(stats, id_col, vec_col)
+    members = lsh_members(emb, id_col, vec_col)
 
     def near_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
@@ -348,19 +408,6 @@ def cosine_near_dup(emb: DataFrame, threshold: float = 0.40,
     )
 
 
-def _explode_tables(stats: DataFrame, id_col: str) -> DataFrame:
-    """(id, tbl, bucket) from a vector_stats frame -- the only
-    row-multiplying step (x N_TABLES); ids only, vectors stay behind."""
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("tbl"), F.col(f"bkt_{t}").alias("bucket"))
-        for t in range(N_TABLES)
-    ])
-    return (
-        stats.select(F.col(id_col), F.explode(buckets).alias("tb"))
-        .select(id_col, "tb.tbl", "tb.bucket")
-    )
-
-
 # IVF coarse quantization: NLIST deterministic centroids (the lowest
 # NLIST ids -- reproducible in any engine without a trained codebook),
 # every vector assigned to its nearest centroid, queries probe the
@@ -374,18 +421,20 @@ IVF_NLIST = 64
 IVF_NPROBE = 4
 
 
-def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding", nprobe: int = IVF_NPROBE) -> DataFrame:
-    """(id, probe_rank, cell) -- nearest-centroid cells per vector.
+def ivf_members(emb: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                nprobe: int = IVF_NPROBE) -> DataFrame:
+    """(cell, indexed, __id, __vec, __nrm): nearest-centroid probe
+    assignment fused with norms in one map-side Arrow pass.
 
-    probe_rank 1 is the home cell (where the vector is indexed);
-    ranks 1..nprobe are the cells a query scans.
-
-    The centroid table (IVF_NLIST rows) is collected to the driver and
-    closed over by the numpy stage -- the mapInPandas equivalent of a
-    broadcast join, removing both the cross-join row blowup (n x NLIST
-    interpreted dots) and the per-vector ranking shuffle: each row ranks
-    its own NLIST sims in-batch, so the whole stage is map-side."""
+    The centroid table (IVF_NLIST deterministic rows -- the lowest ids,
+    reproducible in any engine without a trained codebook) is collected
+    to the driver and closed over by the numpy stage: the mapInPandas
+    equivalent of a broadcast join.  Each vector ranks its own NLIST
+    sims in-batch and emits one row per probed cell, tagged with
+    whether the vector is INDEXED there (home cell = nearest).  No
+    repartition, no cells-to-stats join -- the only shuffle in the
+    ivf_knn plan is the groupBy on cell."""
     import pandas as pd
 
     cent_rows = (
@@ -399,59 +448,53 @@ def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
 
-    ncores = emb.sparkSession.sparkContext.defaultParallelism
     src = emb.select(F.col(id_col), F.col(vec_col))
-    id_field = src.schema[id_col]
+    id_field, vec_field = src.schema[id_col], src.schema[vec_col]
 
-    def cell_batches(batches):
+    def member_batches(batches):
         for pdf in batches:
             E = _stack(pdf[vec_col])
-            if E.shape[0] == 0:
+            n = E.shape[0]
+            if n == 0:
                 continue
             nrm = np.sqrt(_seq_dot(E, E))
-            sims = np.empty((E.shape[0], len(cent_ids)), dtype=np.float64)
+            sims = np.empty((n, len(cent_ids)), dtype=np.float64)
             for j in range(len(cent_ids)):
                 sims[:, j] = _seq_dot(E, np.broadcast_to(C[j], E.shape)) / (nrm * cn[j])
             # stable argsort on -sim: ties keep column order = cell asc
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            n = E.shape[0]
             yield pd.DataFrame({
-                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
-                "probe_rank": np.tile(np.arange(1, nprobe + 1), n),
                 "cell": cent_ids[order].ravel(),
+                "indexed": np.tile(
+                    np.arange(nprobe) == 0, n),
+                "__id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                "__vec": pd.Series(
+                    [v for v in pdf[vec_col] for _ in range(nprobe)]),
+                "__nrm": np.repeat(nrm, nprobe),
             })
 
     schema = StructType([
-        id_field,
-        StructField("probe_rank", IntegerType()),
-        StructField("cell", LongType()),
+        StructField("cell", LongType()), StructField("indexed", BooleanType()),
+        StructField("__id", id_field.dataType),
+        StructField("__vec", vec_field.dataType),
+        StructField("__nrm", DoubleType()),
     ])
-    return src.repartition(ncores, F.col(id_col)).mapInPandas(cell_batches, schema)
+    return src.mapInPandas(member_batches, schema)
 
 
 def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k cosine via IVF: probe NPROBE cells per query,
-    exact cosine over vectors indexed in those cells."""
-    from pyspark.sql.window import Window
+    exact cosine over vectors indexed in those cells.
 
+    Plan shape (3 stages): fused map-side probe assignment, one shuffle
+    on cell for in-group scoring (a neighbor is indexed in exactly one
+    cell, so (qid, nid) pairs are unique across groups -- no distinct
+    needed, and only top-k slim rows leave each group), then the
+    JVM-side dedup + ranking of _ranked_topk."""
     import pandas as pd
 
-    cells = ivf_cells(emb, id_col, vec_col)
-    stats = vector_stats(emb, id_col, vec_col).select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
-        F.col("nrm").alias("__nrm"))
-    # one row per (vector, probed cell), tagged with whether the vector
-    # is INDEXED there (home cell, probe_rank 1).  Each cell group then
-    # scores its probing queries against its indexed members in numpy;
-    # a neighbor is indexed in exactly one cell, so (qid, nid) pairs
-    # are unique across groups -- no distinct needed, and only top-k
-    # slim rows leave each group.
-    members = (
-        cells.withColumnRenamed(id_col, "__id")
-        .join(stats, "__id")
-        .withColumn("indexed", (F.col("probe_rank") == 1).cast("boolean"))
-    )
+    members = ivf_members(emb, id_col, vec_col)
 
     def cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
@@ -483,22 +526,13 @@ def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
                              "nid": np.concatenate(n_out),
                              "cosine": np.concatenate(c_out)})
 
-    id_type = stats.schema["__id"].dataType
+    id_type = members.schema["__id"].dataType
     schema = StructType([
         StructField("qid", id_type), StructField("nid", id_type),
         StructField("cosine", DoubleType()),
     ])
     scored = members.groupBy("cell").applyInPandas(cell_fn, schema)
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id"), F.col("rank"),
-            F.col("nid").alias("neighbor_id"),
-            F.round(F.col("cosine"), 6).alias("cosine"),
-        )
-    )
+    return _ranked_topk(scored, k)
 
 
 def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
@@ -509,29 +543,18 @@ def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     (table, bucket, id, vec); candidates = distinct same-bucket pairs in
     ANY table (equi-join per table -- the shuffle key is (table,
     bucket), never an O(n^2) cross product); exact cosine only on
-    candidates; window top-k.  Missing neighbors (no shared bucket) are
-    genuinely absent -- that is the approximation contract."""
-    from pyspark.sql.window import Window
+    candidates; per-qid ranked top-k.  Missing neighbors (no shared
+    bucket) are genuinely absent -- that is the approximation contract.
 
+    Plan shape: fused map-side bucketing, one shuffle on (tbl, bucket)
+    for in-group scoring, then the JVM-side dedup + ranking of
+    _ranked_topk."""
     # Quadratic work stays inside each (table, bucket) Arrow group; a
     # vector appears in exactly one bucket per table, so its global
     # candidate set is the union of its N_TABLES groups and the union
     # of per-group top-k contains the global top-k.  Only slim
     # (qid, nid, cosine) rows shuffle after the group stage; the same
     # neighbor found via two tables dedups by max (identical doubles).
-    stats = vector_stats(emb, id_col, vec_col)
-    members = _bucket_members(stats, id_col, vec_col)
-    scored = (
-        _grouped_topk(members, ["tbl", "bucket"], k)
-        .groupBy("qid", "nid").agg(F.max("cosine").alias("cosine"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id"), F.col("rank"),
-            F.col("nid").alias("neighbor_id"),
-            F.round(F.col("cosine"), 6).alias("cosine"),
-        )
-    )
+    members = lsh_members(emb, id_col, vec_col)
+    scored = _grouped_topk(members, ["tbl", "bucket"], k)
+    return _ranked_topk(scored, k)
