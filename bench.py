@@ -52,6 +52,7 @@ HEADLINE = [
     "repeat_buyer_setops",
     "fn_registry_doc_stats",
     "stream_windowed_counts",
+    "stream_dedup_first_seen",
     "multimodal_frame_sample",
     "multimodal_features",
     "text_tfidf_top_terms",

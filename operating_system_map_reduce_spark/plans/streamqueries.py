@@ -21,11 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from operating_system_map_reduce_spark.streaming.quota_stream import run_quota_admission
-from operating_system_map_reduce_spark.streaming.windows import run_windowed_counts
+from operating_system_map_reduce_spark.streaming.windows import (
+    run_dedup_first_seen, run_windowed_counts)
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_counts(spark, sf_dir)
+
+
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_dedup_first_seen(spark, sf_dir)
+
+
+# The watermark-bounded streaming dedup collapses to a plain DISTINCT
+# over the bounded replay (see streaming/windows.dedup_first_seen).
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       user_id, event_type
+FROM events
+ORDER BY window_start_us, user_id, event_type
+"""
 
 
 STREAM_WINDOW_SQL = """
@@ -86,10 +101,12 @@ FROM sim WHERE rn = n_ev ORDER BY user_id
 
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_quota_admission": stream_quota_admission,
 }
 
 ORACLES = {
     "stream_windowed_counts": STREAM_WINDOW_SQL,
+    "stream_dedup_first_seen": STREAM_DEDUP_SQL,
     "stream_quota_admission": STREAM_QUOTA_SQL,
 }

@@ -62,6 +62,43 @@ def windowed_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_first_seen(stream: DataFrame) -> DataFrame:
+    """Streaming exact-dedup: first event per (user, type, hour bucket).
+
+    The streaming face of the dedup tier: dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes, so dedup state
+    is bounded at 100 TB (the batch analog, ``dedup_exact``, holds the
+    whole key set in a shuffle).  Duplicates separated by more than the
+    watermark delay are the operator's documented best-effort boundary;
+    the bounded AvailableNow replay processes everything in one batch,
+    so this run is an exact distinct and the oracle can assert it.
+    Only key columns are emitted -- the non-key payload of "the first
+    row seen" depends on processing order and would not be
+    deterministic under parallelism."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    bucket_us = 3_600_000_000
+    return (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", WATERMARK)
+        .withColumn("window_start_us",
+                    (F.col("ts_us") - F.col("ts_us") % bucket_us))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "window_start_us"])
+        .select("window_start_us", "user_id", "event_type")
+    )
+
+
+def run_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream through the dedup; return the sink."""
+    sink = "events_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_first_seen(events_stream(spark, sf_dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start_us", "user_id", "event_type")
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream to completion; return the sink as a DataFrame."""
     sink = "events_windowed_" + uuid.uuid4().hex[:8]

@@ -19,6 +19,25 @@ from operating_system_map_reduce_spark.streaming import quota_stream, windows
 SF = "/root/testdata/sf0.001"
 
 
+class TestStreamDedup:
+    def test_matches_batch_distinct_and_drops_dupes(self, spark):
+        """dropDuplicatesWithinWatermark over the bounded replay is an
+        exact distinct on (hour bucket, user, type) -- and the events
+        table genuinely contains duplicates, so the op does work."""
+        got = [(r["window_start_us"], r["user_id"], r["event_type"])
+               for r in windows.run_dedup_first_seen(spark, SF).collect()]
+        width = 3_600_000_000
+        ev = load_events(spark, SF)
+        want = sorted(
+            (r["w"], r["user_id"], r["event_type"])
+            for r in ev.select(
+                (F.col("ts_us") - F.col("ts_us") % width).alias("w"),
+                "user_id", "event_type").distinct().collect()
+        )
+        assert got == want
+        assert len(got) < ev.count(), "no duplicates in fixture; test is vacuous"
+
+
 class TestWindowedCounts:
     def test_matches_batch_windowing(self, spark):
         got = {
