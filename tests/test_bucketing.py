@@ -1,0 +1,76 @@
+"""Bucketed-table co-location: the join-shuffle elimination that makes
+fact-fact joins viable at 100 TB.  Asserts the *plan*, not just the
+rows: co-bucketed join has no shuffle exchange; the identical join on
+unbucketed data does.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from operating_system_map_reduce_spark.sources.bucketing import (
+    bucketed_join, has_shuffle, write_bucketed)
+from operating_system_map_reduce_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "orders_bkt", "custkey", n_buckets=8)
+    write_bucketed(cust.withColumnRenamed("c_custkey", "custkey"),
+                   "customer_bkt", "custkey", n_buckets=8)
+    yield "orders_bkt", "customer_bkt"
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_no_shuffle(self, spark, bucketed_tables):
+        lt, rt = bucketed_tables
+        # disable broadcast so the planner must choose SMJ: the point is
+        # proving the SHUFFLE is gone, not that a small dim broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, lt, rt, "custkey")
+            assert not has_shuffle(joined), \
+                joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_unbucketed_join_does_shuffle(self, spark, sf_dir):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            orders = load_table(spark, sf_dir, "orders")
+            cust = load_table(spark, sf_dir, "customer")
+            joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+            assert has_shuffle(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_join_rows_match_plain_join(self, spark, sf_dir, bucketed_tables):
+        lt, rt = bucketed_tables
+        got = bucketed_join(spark, lt, rt, "custkey").count()
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        want = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert got == want > 0
+
+    def test_bucket_pruning_on_point_lookup(self, spark, bucketed_tables):
+        """A point filter on the bucket key scans ~1/N of the files
+        (bucket pruning) -- the KVG point-read story at rest."""
+        lt, _ = bucketed_tables
+        key = spark.table(lt).select(F.min("custkey")).first()[0]
+        # autoBucketedScan drops the bucketed layout when no operator
+        # needs its distribution; pruning requires the bucketed scan
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                       "false")
+        try:
+            plan = (spark.table(lt).filter(F.col("custkey") == key)
+                    ._jdf.queryExecution().executedPlan().toString())
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
