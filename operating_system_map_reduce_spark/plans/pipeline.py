@@ -712,6 +712,56 @@ QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = MULTIMODAL_FRAMES_SQL
 
 
+# --- multimodal resize -------------------------------------------------------
+# Aspect-preserving downscale to a 64x64 box (never upscale), thumbnail
+# bytes from the fake codec.  The oracle re-derives the decoded
+# dimensions from the payload md5 and replays the same scale
+# arithmetic: double division + truncation is IEEE-identical in DuckDB
+# and Python, and scale == 1.0 leaves small dims bit-exact.
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    resized = _mm.resize_media(_mm.attach_binary(docs), target_w=64,
+                               target_h=64, fake=True)
+    return (
+        resized.select(
+            "doc_id", "width", "height",
+            F.lower(F.hex(F.col("thumb"))).alias("thumb_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _resize_oracle_sql() -> str:
+    c = [f"substr(md5(text), {i}, 1)" for i in range(1, 9)]
+    byte1 = f"({_hv(c[2])} * 16 + {_hv(c[3])})"
+    byte2 = f"({_hv(c[4])} * 16 + {_hv(c[5])})"
+    return f"""
+WITH meta AS (
+  SELECT doc_id, text,
+         16 + ({byte1} % 240) AS dw,
+         16 + ({byte2} % 240) AS dh
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(FLOOR(dw * LEAST(64.0 / dw, 64.0 / dh, 1.0)) AS INT)) AS width,
+         GREATEST(1, CAST(FLOOR(dh * LEAST(64.0 / dw, 64.0 / dh, 1.0)) AS INT)) AS height
+  FROM meta
+)
+SELECT doc_id, width, height,
+       md5(text || '|' || CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)) AS thumb_md5
+FROM scaled
+ORDER BY doc_id
+"""
+
+
+MULTIMODAL_RESIZE_SQL = _resize_oracle_sql()
+
+QUERIES["multimodal_resize"] = multimodal_resize
+ORACLES["multimodal_resize"] = MULTIMODAL_RESIZE_SQL
+
+
 # --- multimodal feature extraction ------------------------------------------
 # Media -> fixed-dim float vector via mapInPandas; the query reduces
 # each vector to an exact dyadic checksum (bytes/256 are exactly
