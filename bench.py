@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_features",
     "text_tfidf_top_terms",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -919,3 +919,74 @@ SIMILARITY_IVF_SQL = _ivf_knn_oracle_sql()
 
 QUERIES["similarity_ivf_knn"] = similarity_ivf_knn
 ORACLES["similarity_ivf_knn"] = SIMILARITY_IVF_SQL
+
+
+# === composed corpus curation ===============================================
+# The end-to-end training-data pipeline shape, as ONE declarative plan:
+# exact-dedup (canonical doc per fingerprint) -> quality gate
+# (alpha ratio + token-count band) -> per-language corpus stats.
+# Composition costs nothing extra in Spark: Catalyst collapses the
+# whole flow into a narrow scan + two shuffles (fingerprint window,
+# language agg) with every scalar in codegen.  Ratio-of-sums (exact
+# BIGINT sums, one final division) keeps the aggregate bit-stable
+# across partitionings -- a per-doc AVG would associate differently in
+# Spark and DuckDB.
+
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != ""))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.select(
+            "doc_id", "lang", F.md5("text").alias("fp"),
+            n_chars.alias("n_chars"), n_alpha.alias("n_alpha"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter((F.col("n_alpha") / F.col("n_chars") >= 0.80)
+                & F.col("n_tokens").between(20, 95))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_alpha") / F.sum("n_chars"), 6).alias("alpha_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_CURATION_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT * FROM dedup
+  WHERE n_alpha * 1.0 / n_chars >= 0.80 AND n_tokens BETWEEN 20 AND 95
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_alpha) AS BIGINT) * 1.0 / CAST(SUM(n_chars) AS BIGINT), 6) AS alpha_pct
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["pipeline_corpus_curation"] = pipeline_corpus_curation
+ORACLES["pipeline_corpus_curation"] = CORPUS_CURATION_SQL
