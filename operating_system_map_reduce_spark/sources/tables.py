@@ -10,19 +10,41 @@ the same integers -- no cross-engine timestamp-precision drift.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-session source-frame cache.  A loader call costs ~60 ms (parquet
+# footer read + schema inference) and every query plan re-loads its
+# tables, so repeated construction -- the driver gate runs ~50 queries,
+# the bench ~33 -- pays seconds of pure footer re-reads.  DataFrames
+# are immutable lazy plans, safe to share; keying on a weakref keeps a
+# stopped session collectable.
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events_uncached(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts replaced by ts_us: BIGINT microseconds since epoch."""
+    return load_table(spark, sf_dir, "events")
+
+
+def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # ts column arrives as BIGINT nanos under the legacy conf.  Integral
