@@ -10,6 +10,7 @@ is plans.kvqueries.kv_top_mru (orderBy recency desc + limit).
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 
 
@@ -17,24 +18,32 @@ class MRUManager:
     def __init__(self, top_size: int):
         self.top_size = top_size
         self._dq: deque[str] = deque()  # most recent at index 0
+        # concurrent clients mutate the MRU (the reference's my_mru.cc
+        # takes a std::mutex per op); remove-then-appendleft must be
+        # atomic or a key lands in the deque twice
+        self._lock = threading.Lock()
 
     def insert(self, key: str) -> None:
-        try:
-            self._dq.remove(key)
-        except ValueError:
-            pass
-        while len(self._dq) >= self.top_size:
-            self._dq.pop()
-        self._dq.appendleft(key)
+        with self._lock:
+            try:
+                self._dq.remove(key)
+            except ValueError:
+                pass
+            while len(self._dq) >= self.top_size:
+                self._dq.pop()
+            self._dq.appendleft(key)
 
     def remove(self, key: str) -> None:
-        try:
-            self._dq.remove(key)
-        except ValueError:
-            pass
+        with self._lock:
+            try:
+                self._dq.remove(key)
+            except ValueError:
+                pass
 
     def clear(self) -> None:
-        self._dq.clear()
+        with self._lock:
+            self._dq.clear()
 
     def get(self) -> list[str]:
-        return list(self._dq)
+        with self._lock:
+            return list(self._dq)

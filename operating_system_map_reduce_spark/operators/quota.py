@@ -18,6 +18,7 @@ streaming.quota_stream.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -27,15 +28,21 @@ class QuotaTracker:
     amount: int          # max units per window
     duration: float      # window seconds
     events: deque = field(default_factory=deque)  # (when, amount), oldest first
+    # the engine serves concurrent clients (the reference guards quota
+    # state with the owning table-entry lock); check-then-record must be
+    # atomic or two admits can both read the same "live" sum
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False, compare=False)
 
     def check_add(self, add: int, when: float) -> bool:
-        while self.events and self.events[0][0] <= when - self.duration:
-            self.events.popleft()
-        live = sum(a for _, a in self.events)
-        if live + add > self.amount:
-            return False
-        self.events.append((when, add))
-        return True
+        with self._lock:
+            while self.events and self.events[0][0] <= when - self.duration:
+                self.events.popleft()
+            live = sum(a for _, a in self.events)
+            if live + add > self.amount:
+                return False
+            self.events.append((when, add))
+            return True
 
 
 @dataclass

@@ -88,42 +88,39 @@ def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 PLANES_MAT = np.array(HYPERPLANES, dtype=np.float64)  # (N_PLANES, DIM)
 
 
-def vector_stats(emb: DataFrame, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """(id, vec, nrm, bkt_0..bkt_{N_TABLES-1}) in ONE Arrow pass.
+def _drop_zero_vectors(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Zero vectors have no cosine direction: their cosine is 0/0 = NaN,
+    which SQL window-ranks FIRST (NaN > everything in DESC) while numpy
+    comparisons drop it -- an engine-divergence trap.  Policy, applied
+    identically in every ANN path and oracle (WHERE nrm > 0): zero-norm
+    vectors are excluded from candidates.  norm == 0 iff every element
+    is 0, so the check stays in codegen (no fold needed)."""
+    return emb.filter(F.exists(F.col(vec_col), lambda x: x != 0.0))
 
-    Replaces N_PLANES interpreted HOF dot products per row (the
-    round-1 bench's top cost) with a numpy stage; norms ride along so
-    downstream re-ranks need no second pass.  Map-side only -- no
-    shuffle; at 100 TB this runs inside the scan stage."""
+
+def vector_norms(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, nrm) in one map-side Arrow pass -- norms only, for
+    consumers that need no bucketing (cosine_knn).  The bucketed paths
+    use lsh_members / ivf_members, which fuse their own fanout; Catalyst
+    cannot prune columns out of a Python stage, so computing buckets
+    here would charge every caller 16 hyperplane folds per row."""
     import pandas as pd
 
-    ncores = emb.sparkSession.sparkContext.defaultParallelism
-    src = emb.select(F.col(id_col), F.col(vec_col))
+    src = _drop_zero_vectors(emb, vec_col).select(F.col(id_col), F.col(vec_col))
     id_field = src.schema[id_col]
     vec_field = src.schema[vec_col]
 
-    def stats_batches(batches):
+    def norm_batches(batches):
         for pdf in batches:
             E = _stack(pdf[vec_col])
-            nrm = np.sqrt(_seq_dot(E, E))
-            out = {id_col: pdf[id_col], vec_col: pdf[vec_col], "nrm": nrm}
-            for t in range(N_TABLES):
-                bucket = np.zeros(len(pdf), dtype=np.int64)
-                for r in range(TABLE_BITS):
-                    plane = PLANES_MAT[t * TABLE_BITS + r]
-                    # x * (+/-1.0) is exact, so the products match the
-                    # SQL CAST(x AS DOUBLE) * (+/-1) term-for-term.
-                    d = _seq_dot(E, np.broadcast_to(plane, E.shape))
-                    bucket += np.where(d >= 0, 2 ** r, 0)
-                out[f"bkt_{t}"] = bucket
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], vec_col: pdf[vec_col],
+                "nrm": np.sqrt(_seq_dot(E, E)),
+            })
 
-    schema = StructType(
-        [id_field, vec_field, StructField("nrm", DoubleType())]
-        + [StructField(f"bkt_{t}", LongType()) for t in range(N_TABLES)]
-    )
-    return src.repartition(ncores, F.col(id_col)).mapInPandas(stats_batches, schema)
+    schema = StructType([id_field, vec_field, StructField("nrm", DoubleType())])
+    return src.mapInPandas(norm_batches, schema)
 
 
 def score_pairs(pairs: DataFrame, left: str = "qid", right: str = "nid",
@@ -150,14 +147,18 @@ def score_pairs(pairs: DataFrame, left: str = "qid", right: str = "nid",
 
 def _chunked_cosines(Q: np.ndarray, E: np.ndarray, qn: np.ndarray,
                      en: np.ndarray, chunk: int = 128):
-    """Yield (start, cosine block) for Q x E without materializing the
-    full (q, m, DIM) product tensor -- blocks bound memory on hot
-    (skewed) buckets.  Folds stay sequential via cumsum on the vector
-    axis, so every cosine is bit-identical to the SQL form."""
+    """Yield (start, cosine block) for Q x E with peak memory bounded
+    by the (chunk, m) running block -- dimension-at-a-time accumulation
+    into one outer-product sum, never a (chunk, m, DIM) tensor (which
+    on a skewed million-member bucket would be ~100 GB).  The
+    accumulation order is dim 0 first, then += dim 1..DIM-1: the
+    identical left-to-right fold as cumsum over the vector axis and the
+    SQL aggregate, so every cosine stays bit-identical to the oracle."""
     for s in range(0, Q.shape[0], chunk):
         q = Q[s:s + chunk]
-        prods = q[:, None, :] * E[None, :, :]
-        dots = np.cumsum(prods, axis=2)[:, :, -1]
+        dots = np.multiply.outer(q[:, 0], E[:, 0])
+        for d in range(1, Q.shape[1]):
+            dots += np.multiply.outer(q[:, d], E[:, d])
         yield s, dots / (qn[s:s + chunk, None] * en[None, :])
 
 
@@ -212,7 +213,7 @@ def lsh_members(emb: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """(tbl, bucket, __id, __vec, __nrm) in ONE map-side Arrow pass.
 
-    Fuses vector_stats + the xN_TABLES fanout into the scan stage: no
+    Fuses norm + bucket computation + the xN_TABLES fanout into the scan stage: no
     repartition shuffle, no separate explode projection -- stage-count
     is what dominates bucketed-ANN wall clock once the folds are numpy
     (round-2 profile: each extra stage ~0.15-0.6 s at sf0.1).  At
@@ -220,7 +221,7 @@ def lsh_members(emb: DataFrame, id_col: str = "vec_id",
     the only shuffle left in the plan is the groupBy on (tbl, bucket)."""
     import pandas as pd
 
-    src = emb.select(F.col(id_col), F.col(vec_col))
+    src = _drop_zero_vectors(emb, vec_col).select(F.col(id_col), F.col(vec_col))
     id_field, vec_field = src.schema[id_col], src.schema[vec_col]
 
     def member_batches(batches):
@@ -293,7 +294,7 @@ def cosine_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     join), numpy cosine on the pairs, window top-k per query id."""
     from pyspark.sql.window import Window
 
-    with_norm = vector_stats(emb, id_col, vec_col).select(id_col, vec_col, "nrm")
+    with_norm = vector_norms(emb, id_col, vec_col)
     a = with_norm.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
     )
@@ -437,19 +438,30 @@ def ivf_members(emb: DataFrame, id_col: str = "vec_id",
     ivf_knn plan is the groupBy on cell."""
     import pandas as pd
 
+    emb = _drop_zero_vectors(emb, vec_col)
     cent_rows = (
         emb.orderBy(F.col(id_col).asc()).limit(IVF_NLIST)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_field, vec_field = src.schema[id_col], src.schema[vec_col]
+    # tiny tables: fewer centroids than probes -- probe what exists
+    # (argsort would otherwise yield < nprobe columns and the output
+    # arrays would disagree on length)
+    nprobe = min(nprobe, len(cent_rows))
+    if nprobe == 0:
+        return src.sparkSession.createDataFrame([], StructType([
+            StructField("cell", LongType()), StructField("indexed", BooleanType()),
+            StructField("__id", id_field.dataType),
+            StructField("__vec", vec_field.dataType),
+            StructField("__nrm", DoubleType()),
+        ]))
     # rows sorted by cell id: stable argsort then breaks sim ties by
     # ascending cell, matching ORDER BY sim DESC, cell ASC in the oracle.
     cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
-
-    src = emb.select(F.col(id_col), F.col(vec_col))
-    id_field, vec_field = src.schema[id_col], src.schema[vec_col]
 
     def member_batches(batches):
         for pdf in batches:

@@ -15,14 +15,12 @@ Oracle-parity design notes:
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from operating_system_map_reduce_spark.sources.tables import load_table as _t
 
 
 # --- exact dedup: hash-groupBy -------------------------------------------
@@ -422,10 +420,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMILARITY_KNN_SQL = f"""
 WITH n AS (
-  SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
-              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-  FROM embeddings
+  -- zero-vector exclusion: see _drop_zero_vectors
+  SELECT * FROM (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+    FROM embeddings
+  ) WHERE nrm > 0
 ), p AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
          list_sum(list_transform(range(1, {_sim.DIM + 1}),
@@ -557,7 +558,10 @@ WITH tagged AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
   FROM tagged a JOIN tagged b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ), n AS (
-  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+  -- zero vectors are excluded from ANN candidates on both engines
+  -- (operators/similarity._drop_zero_vectors): 0/0 cosine is NaN,
+  -- which SQL ranks first but numpy drops
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
 ), scored AS (
   SELECT qid, nid, {dot} / (qn.nrm * nn.nrm) AS cosine
   FROM cands JOIN n qn ON qid = qn.vec_id JOIN n nn ON nid = nn.vec_id
@@ -609,7 +613,10 @@ WITH tagged AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM tagged a JOIN tagged b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), n AS (
-  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+  -- zero vectors are excluded from ANN candidates on both engines
+  -- (operators/similarity._drop_zero_vectors): 0/0 cosine is NaN,
+  -- which SQL ranks first but numpy drops
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
 )
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
 FROM (
@@ -886,7 +893,8 @@ def _ivf_knn_oracle_sql() -> str:
     )
     return f"""
 WITH n AS (
-  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+  -- zero-vector exclusion: see _drop_zero_vectors
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
 ), centroids AS (
   SELECT vec_id AS cell, embedding, nrm AS cn FROM n ORDER BY vec_id LIMIT {_sim.IVF_NLIST}
 ), cells AS (

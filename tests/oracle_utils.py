@@ -95,6 +95,18 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, rel_tol: float = 1e-9) -> list[s
                     f"spark={af[i]!r} oracle={bf[i]!r}"
                 )
         elif ka == "int":
+            # nullable Int64 frames with pd.NA cannot densify to int64;
+            # report the NULL disagreement instead of crashing the gate
+            a_na, b_na = a.isna().to_numpy(), b.isna().to_numpy()
+            if a_na.any() or b_na.any():
+                if (a_na != b_na).any():
+                    i = int((a_na != b_na).nonzero()[0][0])
+                    problems.append(
+                        f"col {c}: NULL placement differs; first at row {i}: "
+                        f"spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+                    )
+                    continue
+                a, b = a[~a_na], b[~b_na]
             av = a.to_numpy(dtype="int64")
             bv = b.to_numpy(dtype="int64")
             bad = (av != bv).nonzero()[0]

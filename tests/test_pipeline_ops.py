@@ -208,6 +208,45 @@ class TestSimilarity:
             key = (r["id_a"], r["id_b"])
             assert key in exact and exact[key] == r["cosine"]
 
+    def test_zero_vectors_excluded_everywhere(self, spark):
+        """A zero vector has no cosine direction (0/0 = NaN): every ANN
+        path excludes it from queries AND neighbors instead of leaking
+        NaN ranks (SQL would rank NaN first, numpy drops it -- the
+        policy keeps both engines identical)."""
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+
+        dim = similarity.DIM
+        rows = [(1, [1.0] * dim), (2, [0.0] * dim), (3, [1.0] * dim),
+                (4, [0.5] * dim + []), (5, [0.0] * dim)]
+        schema = StructType([StructField("vec_id", LongType()),
+                             StructField("embedding", ArrayType(FloatType()))])
+        emb = spark.createDataFrame(rows, schema)
+        for fn in (similarity.cosine_knn, similarity.lsh_knn, similarity.ivf_knn):
+            got = fn(emb, k=5).collect()
+            ids = {r["vec_id"] for r in got} | {r["neighbor_id"] for r in got}
+            assert ids and 2 not in ids and 5 not in ids, (fn.__name__, got)
+            assert all(r["cosine"] == r["cosine"] for r in got), "NaN leaked"
+        pairs = similarity.cosine_near_dup(emb, threshold=0.4).collect()
+        pids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert pids == {1, 3, 4}
+
+    def test_ivf_handles_fewer_vectors_than_nprobe(self, spark):
+        """Tiny tables: fewer centroids than IVF_NPROBE must probe what
+        exists, not crash on mismatched array lengths."""
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+
+        dim = similarity.DIM
+        schema = StructType([StructField("vec_id", LongType()),
+                             StructField("embedding", ArrayType(FloatType()))])
+        emb = spark.createDataFrame(
+            [(1, [1.0] * dim), (2, [0.9] * dim)], schema)
+        got = similarity.ivf_knn(emb, k=5).collect()
+        assert {(r["vec_id"], r["neighbor_id"]) for r in got} == {(1, 2), (2, 1)}
+        empty = spark.createDataFrame([], schema)
+        assert similarity.ivf_knn(empty, k=5).collect() == []
+
     def test_hyperplanes_deterministic(self):
         assert similarity.HYPERPLANES == [
             [similarity._plane_sign(p, i) for i in range(similarity.DIM)]
