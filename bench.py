@@ -57,6 +57,10 @@ HEADLINE = [
     "multimodal_features",
     "text_tfidf_top_terms",
     "pipeline_corpus_curation",
+    "dedup_clusters",
+    "split_assign",
+    "contamination_check",
+    "sample_stratified",
 ]
 
 

@@ -1,0 +1,248 @@
+"""Corpus-curation queries: cluster-level dedup, deterministic splits,
+benchmark-contamination checks, stratified sampling.
+
+Charter extension (LLM-training-data pipeline) on top of the near-dup
+detectors in plans/pipeline.py: pair detection alone does not produce a
+deduplicated corpus — pairs must be transitively closed into clusters
+and a canonical representative chosen; a corpus must be split into
+train/val/test without coordination; and eval benchmarks must be
+checked for leakage into the training set.
+
+Oracle-parity rules follow plans/pipeline.py: md5-only hashing (never
+engine-native hash()), shared regex tokenization, rounding on any float
+whose accumulation order could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from operating_system_map_reduce_spark.operators import dedup as _dd
+from operating_system_map_reduce_spark.operators import graph as _graph
+from operating_system_map_reduce_spark.plans.pipeline import (
+    DEDUP_MINHASH_SQL, dedup_minhash_lsh,
+)
+from operating_system_map_reduce_spark.sources.tables import load_table as _t
+
+
+# --- dedup clusters: pairs -> connected components -> canonical docs ------
+# Edges = MinHash-LSH verified near-dup pairs UNION exact-dup star edges
+# (each doc -> min doc of its md5(text) group; star edges are enough for
+# connectivity and avoid the |group|^2 blowup of full cliques).  Labels
+# come from operators/graph.connected_components (min-label propagation,
+# two AQE-coalesced shuffles per round, rounds = component diameter).
+# The oracle replays the same closure with a recursive CTE.
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mh_pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    wmin = Window.partitionBy("h")
+    exact_pairs = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .withColumn("m", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") > F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    labels = _graph.connected_components(
+        mh_pairs.unionByName(exact_pairs), src="id_a", dst="id_b"
+    )
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("id").alias("max_doc"))
+        .select(F.col("comp").alias("cluster_id"), "n_members", "max_doc")
+        .orderBy("cluster_id")
+    )
+
+
+# The recursive closure enumerates (node, reachable-min-candidate) pairs,
+# which is O(sum |C|^2) rows — fine at the driver's sf0.01 gate; the
+# Spark side is the scale path (per-round shuffles, no quadratic set).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL}) mh
+), exact_pairs AS (
+  SELECT m AS id_a, doc_id AS id_b FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m FROM documents
+  ) WHERE doc_id > m
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+  UNION SELECT id_a, id_b FROM exact_pairs
+  UNION SELECT id_b, id_a FROM exact_pairs
+), reach AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id
+), labels AS (
+  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+)
+SELECT comp AS cluster_id, COUNT(*) AS n_members, MAX(id) AS max_doc
+FROM labels GROUP BY comp ORDER BY cluster_id
+"""
+
+
+# --- deterministic train/val/test split ----------------------------------
+# Coordination-free assignment: bucket = md5(doc_id) mod 100 -> 80/10/10.
+# Pure map-side at any scale (no shuffle before the stats agg); adding
+# documents never reassigns existing ones, and both engines compute the
+# identical bucket (md5 hex -> shared hex-decode template).
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    bucket = F.expr(f"({_dd.hexval_sql('hx')}) % 100")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, n_chars, (({_dd.hexval_sql('hx')}) % 100) AS b
+    FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+  )
+)
+GROUP BY split ORDER BY split
+"""
+
+
+# --- benchmark contamination check ---------------------------------------
+# Eval-set leakage scan: which corpus documents contain >= 30% of some
+# benchmark document's 3-gram shingles?  The benchmark here is the
+# deterministic subset doc_id % 20 == 0 (stand-in for a real eval set).
+# Scale shape: inverted-index equi-join on the shingle with the SMALL
+# benchmark postings broadcast — the 100 TB corpus side never shuffles;
+# each task probes a hash map of benchmark shingles.  The oracle
+# replays it as an intersect join (quadratic but fine at gate SF).
+
+CONTAMINATION_THRESHOLD = 0.3
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _dd.shingle_postings(docs)
+    bench = (
+        _dd.shingle_postings(docs.filter(F.col("doc_id") % 20 == 0))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.col("n").alias("n_bench"),
+            F.col("s").alias("s_b"),
+        )
+    )
+    shared = (
+        corpus.join(F.broadcast(bench), corpus["s"] == bench["s_b"])
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id", "n_bench")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    contamination = F.round(F.col("n_shared") / F.col("n_bench"), 6)
+    return (
+        shared.withColumn("contamination", contamination)
+        .filter(F.col("contamination") >= CONTAMINATION_THRESHOLD)
+        .select("doc_id", "bench_id", "n_shared", "contamination")
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= {_dd.SHINGLE_N}
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS contamination
+FROM sh a JOIN sh b ON b.doc_id % 20 = 0 AND a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+      >= {CONTAMINATION_THRESHOLD}
+ORDER BY doc_id, bench_id
+"""
+
+
+# --- stratified sampling: deterministic per-language top-k by hash -------
+# Reservoir-equivalent without randomness: rank documents per language
+# by md5(salt|doc_id) and keep the first K — stable under reruns and
+# append-only growth of OTHER strata.  Scale shape: a naive window rank
+# sorts each whole stratum in one task; instead a salted local top-K
+# prunes each stratum to 16*K candidates BEFORE the exact per-stratum
+# rank, so no task ever sorts more than its partition's slice.
+
+SAMPLE_K = 20
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))).alias("hx"),
+    )
+    salt = F.expr(f"({_dd.hexval_sql('hx')}) % 16")
+    w_local = Window.partitionBy("lang", "salt").orderBy("hx", "doc_id")
+    cand = (
+        d.withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w_local))
+        .filter(F.col("rn1") <= SAMPLE_K)
+    )
+    w_exact = Window.partitionBy("lang").orderBy("hx", "doc_id")
+    return (
+        cand.withColumn("smp_rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("smp_rank") <= SAMPLE_K)
+        .select("lang", "smp_rank", "doc_id")
+        .orderBy("lang", "smp_rank")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, CAST(rn AS BIGINT) AS smp_rank, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {SAMPLE_K}
+ORDER BY lang, smp_rank
+"""
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "split_assign": split_assign,
+    "contamination_check": contamination_check,
+    "sample_stratified": sample_stratified,
+}
+
+ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "split_assign": SPLIT_ASSIGN_SQL,
+    "contamination_check": CONTAMINATION_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+}

@@ -1,0 +1,85 @@
+"""Corpus-curation tier: connected components, splits, contamination,
+stratified sampling.  Oracle parity is covered by test_oracle_parity's
+parameterization; these tests pin operator semantics and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from operating_system_map_reduce_spark.operators.graph import (
+    ConvergenceError, connected_components,
+)
+from operating_system_map_reduce_spark.plans import curation
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components(df).collect()
+    out: dict[int, int] = {r["id"]: r["comp"] for r in rows}
+    return out
+
+
+class TestConnectedComponents:
+    def test_two_components_min_label(self, spark):
+        got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_transitive_closure_across_buckets(self, spark):
+        """A~B and B~C never co-occur as a pair, yet A,B,C collapse."""
+        got = _components(spark, [(5, 9), (9, 2), (7, 8)])
+        assert got[5] == got[9] == got[2] == 2
+        assert got[7] == got[8] == 7
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        got = _components(spark, [(3, 1), (1, 3), (3, 1), (2, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_chain_converges(self, spark):
+        """Label propagation walks one hop per round; a short chain must
+        still reach the global min everywhere."""
+        chain = [(i, i + 1) for i in range(1, 7)]
+        got = _components(spark, chain)
+        assert set(got.values()) == {1}
+
+    def test_non_convergence_raises(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+        with pytest.raises(ConvergenceError):
+            connected_components(df, max_iter=1)
+
+
+class TestCurationPlans:
+    def test_cluster_counts_tie_out_with_pair_detectors(self, spark, sf_dir):
+        """Every cluster has >= 2 members (edges only from dup pairs)
+        and cluster ids are genuine min-members."""
+        rows = curation.dedup_clusters(spark, sf_dir).collect()
+        assert rows, "testdata contains near-dup pairs; clusters expected"
+        for r in rows:
+            assert r["n_members"] >= 2
+            assert r["cluster_id"] < r["max_doc"]
+
+    def test_split_is_deterministic_and_total(self, spark, sf_dir):
+        a = curation.split_assign(spark, sf_dir).collect()
+        b = curation.split_assign(spark, sf_dir).collect()
+        assert a == b
+        from operating_system_map_reduce_spark.sources.tables import load_table
+        total = load_table(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in a) == total
+        by = {r["split"]: r["n_docs"] for r in a}
+        # 80/10/10 in expectation; loose bounds at small SF
+        assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+
+    def test_contamination_broadcasts_benchmark_side(self, spark, sf_dir):
+        """The benchmark postings ride a broadcast: the corpus side (the
+        100 TB side) must not shuffle for the join."""
+        df = curation.contamination_check(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_stratified_sample_caps_per_stratum(self, spark, sf_dir):
+        rows = curation.sample_stratified(spark, sf_dir).collect()
+        per_lang: dict[str, list[int]] = {}
+        for r in rows:
+            per_lang.setdefault(r["lang"], []).append(r["smp_rank"])
+        for lang, ranks in per_lang.items():
+            assert len(ranks) <= curation.SAMPLE_K
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
