@@ -61,6 +61,8 @@ HEADLINE = [
     "split_assign",
     "contamination_check",
     "sample_stratified",
+    "sketch_distinct_tokens",
+    "doc_length_quantiles",
 ]
 
 

@@ -233,11 +233,119 @@ ORDER BY lang, smp_rank
 """
 
 
+# --- KMV distinct-token sketch -------------------------------------------
+# K-minimum-values cardinality estimator per language: keep the K
+# smallest md5 hashes of distinct tokens; estimate = (K-1)/frac(Kth).
+# Unlike approx_count_distinct (HLL, engine-internal and therefore not
+# oracle-able), KMV over md5 is DETERMINISTIC and identical in DuckDB.
+# Scale shape: same salted two-stage top-K as sample_stratified — the
+# K-min set is a per-partition partial (k smallest merge associatively),
+# so no stratum is ever sorted in one task; strata with < K distinct
+# tokens report their exact count (the sketch degenerates to exact).
+
+KMV_K = 64
+_HEX48 = float(1 << 48)  # hexval() covers the first 12 hex chars
+
+
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(_dd.tokens_expr()).alias("tok"))
+        .distinct()
+        .withColumn("hx", F.md5(F.col("tok")))
+        .withColumn("hv", F.expr(_dd.hexval_sql("hx")))
+    )
+    salt = F.expr(f"({_dd.hexval_sql('hx')}) % 16")
+    w_local = Window.partitionBy("lang", "salt").orderBy("hv", "tok")
+    cand = (
+        toks.withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w_local))
+        .filter(F.col("rn1") <= KMV_K)
+    )
+    w_exact = Window.partitionBy("lang").orderBy("hv", "tok")
+    kmin = cand.withColumn("rn", F.row_number().over(w_exact)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = kmin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("hv").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_k") < KMV_K, F.col("n_k").cast("double")
+    ).otherwise((KMV_K - 1) / (F.col("kth_hash") / F.lit(_HEX48)))
+    return (
+        agg.select("lang", "n_k", "kth_hash", F.round(est, 6).alias("est_distinct"))
+        .orderBy("lang")
+    )
+
+
+SKETCH_DISTINCT_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, tok FROM (
+    SELECT lang,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+    FROM documents
+  )
+), hv AS (
+  SELECT lang, tok, ({_dd.hexval_sql('hx')}) AS hv
+  FROM (SELECT lang, tok, md5(tok) AS hx FROM toks)
+), kmin AS (
+  SELECT lang, hv FROM (
+    SELECT lang, hv,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, tok) AS rn
+    FROM hv
+  ) WHERE rn <= {KMV_K}
+), agg AS (
+  SELECT lang, COUNT(*) AS n_k, MAX(hv) AS kth_hash FROM kmin GROUP BY lang
+)
+SELECT lang, n_k, kth_hash,
+       ROUND(CASE WHEN n_k < {KMV_K} THEN CAST(n_k AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / (kth_hash / {_HEX48!r}) END, 6) AS est_distinct
+FROM agg ORDER BY lang
+"""
+
+
+# --- per-language length quantiles ---------------------------------------
+# Exact interpolated percentiles of document length per language.  Both
+# engines use linear interpolation on the sorted values and agree to the
+# ulp (probed); ROUND(6) guards residual association noise.  Memory is
+# bounded by the number of DISTINCT lengths per group (Spark's exact
+# percentile aggregates a value->count map), not by row count — safe
+# for integer length columns at any scale; for unbounded-cardinality
+# metrics the approx_percentile / t-digest path replaces this form.
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), q.alias("q")
+    )
+    return (
+        agg.select(
+            "lang", "n_docs",
+            F.round(F.col("q")[0], 6).alias("p50"),
+            F.round(F.col("q")[1], 6).alias("p90"),
+            F.round(F.col("q")[2], 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "split_assign": split_assign,
     "contamination_check": contamination_check,
     "sample_stratified": sample_stratified,
+    "sketch_distinct_tokens": sketch_distinct_tokens,
+    "doc_length_quantiles": doc_length_quantiles,
 }
 
 ORACLES = {
@@ -245,4 +353,6 @@ ORACLES = {
     "split_assign": SPLIT_ASSIGN_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sketch_distinct_tokens": SKETCH_DISTINCT_SQL,
+    "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
 }

@@ -75,6 +75,36 @@ class TestCurationPlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan
 
+    def test_kmv_sketch_estimates_true_cardinality(self, spark, sf_dir):
+        """KMV with K=64 has relative stderr ~ 1/sqrt(K-2) = 12.7%; the
+        estimate must land within 4 sigma of the exact distinct count
+        (strata under K tokens must be EXACT by construction)."""
+        from pyspark.sql import functions as F
+        from operating_system_map_reduce_spark.operators.dedup import tokens_expr
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        got = {r["lang"]: r for r in
+               curation.sketch_distinct_tokens(spark, sf_dir).collect()}
+        exact = {
+            r["lang"]: r["n"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("lang", F.explode(tokens_expr()).alias("tok"))
+            .groupBy("lang").agg(F.countDistinct("tok").alias("n")).collect()
+        }
+        assert set(got) == set(exact)
+        for lang, r in got.items():
+            if r["n_k"] < curation.KMV_K:
+                assert r["est_distinct"] == exact[lang], lang
+            else:
+                rel = abs(r["est_distinct"] - exact[lang]) / exact[lang]
+                assert rel < 0.51, (lang, r["est_distinct"], exact[lang])
+
+    def test_quantiles_ordered_and_bounded(self, spark, sf_dir):
+        rows = curation.doc_length_quantiles(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["p50"] <= r["p90"] <= r["p99"], r
+
     def test_stratified_sample_caps_per_stratum(self, spark, sf_dir):
         rows = curation.sample_stratified(spark, sf_dir).collect()
         per_lang: dict[str, list[int]] = {}
