@@ -63,6 +63,7 @@ HEADLINE = [
     "sample_stratified",
     "sketch_distinct_tokens",
     "doc_length_quantiles",
+    "text_repetition",
 ]
 
 

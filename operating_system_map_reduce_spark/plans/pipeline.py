@@ -197,12 +197,64 @@ ORDER BY first_doc
 """
 
 
+# --- repetition metrics: type-token ratio + top-token dominance -----------
+# Degenerate-repetition detector (a standard LLM data-quality signal):
+# a low distinct/total token ratio or a single token dominating the doc
+# flags boilerplate and generation loops.  Scale shape: explode ->
+# groupBy (doc_id, tok) partial-aggregates map-side (each task combines
+# its own token repeats before the shuffle), then one per-doc agg; no
+# per-doc O(len^2) array scans.
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(_dd.tokens_expr()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ratio
+FROM tc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "text_quality": text_quality,
     "token_count": token_count,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
@@ -211,6 +263,7 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "text_lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
 }
 
 

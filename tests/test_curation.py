@@ -41,6 +41,43 @@ class TestConnectedComponents:
         got = _components(spark, chain)
         assert set(got.values()) == {1}
 
+    def test_differential_vs_union_find(self, spark):
+        """Random graphs vs a pure-Python union-find: every node must
+        land in the same partition with the same min-id label."""
+        import random
+
+        def uf_components(edges):
+            parent: dict[int, int] = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comps: dict[int, list[int]] = {}
+            for n in parent:
+                comps.setdefault(find(n), []).append(n)
+            return {n: min(members) for members in comps.values() for n in members}
+
+        for seed in range(4):
+            rng = random.Random(seed)
+            n = rng.randint(5, 40)
+            edges = [
+                (rng.randint(0, n), rng.randint(0, n))
+                for _ in range(rng.randint(3, 50))
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            if not edges:
+                continue
+            assert _components(spark, edges) == uf_components(edges), (seed, edges)
+
     def test_non_convergence_raises(self, spark):
         df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
         with pytest.raises(ConvergenceError):
