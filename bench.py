@@ -53,6 +53,7 @@ HEADLINE = [
     "fn_registry_doc_stats",
     "stream_windowed_counts",
     "stream_dedup_first_seen",
+    "stream_session_counts",
     "multimodal_frame_sample",
     "multimodal_features",
     "text_tfidf_top_terms",

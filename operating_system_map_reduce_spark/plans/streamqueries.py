@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from operating_system_map_reduce_spark.streaming.quota_stream import run_quota_admission
 from operating_system_map_reduce_spark.streaming.windows import (
-    run_dedup_first_seen, run_windowed_counts)
+    run_dedup_first_seen, run_session_counts, run_windowed_counts)
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +49,39 @@ SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_session_counts(spark, sf_dir)
+
+
+# Gaps-and-islands replay of Spark's merging session window: an event
+# at EXACTLY prev + gap still merges (session_window's merge test is
+# ts <= session end, verified in tests/test_streaming.py), so a new
+# session starts only when the gap is STRICTLY GREATER than the 30 min
+# threshold; session end = last event + gap.
+STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+), marked AS (
+  SELECT *,
+         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > 1800000000
+              OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), islands AS (
+  SELECT *,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       user_id, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM islands GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
 """
 
 
@@ -102,11 +135,13 @@ FROM sim WHERE rn = n_ev ORDER BY user_id
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_first_seen": stream_dedup_first_seen,
+    "stream_session_counts": stream_session_counts,
     "stream_quota_admission": stream_quota_admission,
 }
 
 ORACLES = {
     "stream_windowed_counts": STREAM_WINDOW_SQL,
     "stream_dedup_first_seen": STREAM_DEDUP_SQL,
+    "stream_session_counts": STREAM_SESSION_SQL,
     "stream_quota_admission": STREAM_QUOTA_SQL,
 }

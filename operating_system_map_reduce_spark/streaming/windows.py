@@ -87,6 +87,47 @@ def dedup_first_seen(stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 1_800_000_000
+
+
+def session_counts(stream: DataFrame) -> DataFrame:
+    """Per-user session windows (30 min inactivity gap): dynamic-length
+    windows that MERGE as events arrive -- the stateful operator the
+    fixed tumbling window cannot express.  Spark keeps one (user,
+    open-session) state row, merges on overlap, and emits when the
+    watermark passes the session end; state is bounded by active users
+    x open sessions, not history.  A session spans [first event, last
+    event + gap); an event at EXACTLY prev + gap still MERGES (the
+    merge test is ts <= session end, pinned in tests/test_streaming.py
+    -- a new session needs a strictly larger gap), which the oracle's
+    island rule replays."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+def run_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream through session windows; return the sink."""
+    sink = "events_sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        session_counts(events_stream(spark, sf_dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "session_start_us")
+
+
 def run_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream through the dedup; return the sink."""
     sink = "events_dedup_" + uuid.uuid4().hex[:8]

@@ -60,6 +60,41 @@ class TestWindowedCounts:
             assert abs(got[k][1] - s) < 1e-6
 
 
+class TestSessionWindows:
+    def test_gap_boundary_semantics(self, spark):
+        """An event at exactly prev + gap still MERGES (the merge test
+        is ts <= session end); only a strictly larger gap opens a new
+        session.  Pinned with the batch face of the same session_window
+        operator (identical semantics to the streaming run, which
+        test_oracle_parity covers end-to-end)."""
+        gap_us = windows.SESSION_GAP_US
+        rows = [
+            ("u1", 0), ("u1", gap_us - 1),         # merge: one session
+            ("u1", 2 * gap_us - 1),                # chains the session
+            ("u2", 0), ("u2", gap_us),             # exact gap: still merges
+            ("u2", 2 * gap_us + 1),                # gap exceeded: new session
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts_us"]).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+        got = sorted(
+            (r["user_id"], r["start"], r["end"])
+            for r in df.groupBy(
+                F.session_window("ts", windows.SESSION_GAP).alias("w"), "user_id"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("start"),
+                F.unix_micros("w.end").alias("end"),
+            ).collect()
+        )
+        assert got == [
+            ("u1", 0, 3 * gap_us - 1),
+            ("u2", 0, 2 * gap_us),
+            ("u2", 2 * gap_us + 1, 3 * gap_us + 1),
+        ]
+
+
 class TestChangelogCDC:
     def test_incremental_state_matches_batch_replay(self, spark, tmp_path):
         from operating_system_map_reduce_spark.engine import KV_SCHEMA
