@@ -1,10 +1,13 @@
 """Testdata table loaders.
 
-``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-rejects; we read nanos as long (legacy conf) and expose ``ts_us``
-(BIGINT microseconds since epoch).  Oracle SQL uses DuckDB's
-``epoch_us(ts)`` which floors identically, so both engines compute on
-the same integers -- no cross-engine timestamp-precision drift.
+``events.parquet`` has shipped with two different ``ts`` encodings across
+testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+accepts as BIGINT nanos under the legacy conf) and TIMESTAMP(US) (which
+Spark reads as TIMESTAMP_NTZ).  We branch on the loaded dtype and expose a
+single canonical ``ts_us`` column (BIGINT microseconds since epoch) either
+way.  Oracle SQL uses DuckDB's ``epoch_us(ts)`` which floors identically,
+so both engines compute on the same integers -- no cross-engine
+timestamp-precision drift.
 """
 
 from __future__ import annotations
@@ -14,6 +17,42 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Expected logical schemas (name -> {column: type-prefix}).  The driver
+# regenerates /root/testdata between rounds; when a column drifts we want
+# one clear diagnostic naming the file and column, not a cascade of
+# identical DATATYPE_MISMATCH stack traces from every downstream plan.
+# Type prefixes (not exact types) so bigint/int and timestamp/timestamp_ntz
+# variations that the loaders normalise don't false-alarm.
+_EXPECTED: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": ("bigint", "int")},
+    "nation": {"n_nationkey": ("bigint", "int"), "n_regionkey": ("bigint", "int")},
+    "customer": {"c_custkey": ("bigint", "int"), "c_acctbal": ("double", "decimal")},
+    "supplier": {"s_suppkey": ("bigint", "int")},
+    "part": {"p_partkey": ("bigint", "int")},
+    "orders": {
+        "o_orderkey": ("bigint", "int"),
+        "o_custkey": ("bigint", "int"),
+        "o_totalprice": ("double", "decimal"),
+        "o_orderdate": ("date", "timestamp", "string"),
+    },
+    "lineitem": {
+        "l_orderkey": ("bigint", "int"),
+        "l_quantity": ("double", "decimal", "bigint", "int"),
+        "l_extendedprice": ("double", "decimal"),
+        "l_discount": ("double", "decimal"),
+        "l_shipdate": ("date", "timestamp", "string"),
+    },
+    "events": {
+        "event_id": ("bigint", "int"),
+        "user_id": ("bigint", "int"),
+        "event_type": ("string",),
+        "ts": ("bigint", "timestamp"),  # nanos-as-long OR timestamp[(n)tz]
+    },
+    "documents": {"doc_id": ("bigint", "int"), "text": ("string",)},
+    "embeddings": {"vec_id": ("bigint", "int"), "embedding": ("array",)},
+}
 
 # Per-session source-frame cache.  A loader call costs ~60 ms (parquet
 # footer read + schema inference) and every query plan re-loads its
@@ -26,6 +65,29 @@ _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame
 )
 
 
+class TableSchemaError(RuntimeError):
+    """A testdata parquet file no longer matches the schema the engine expects."""
+
+
+def _check_schema(name: str, path: str, df: DataFrame) -> None:
+    expected = _EXPECTED.get(name)
+    if not expected:
+        return
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, prefixes in expected.items():
+        got = actual.get(col)
+        if got is None:
+            problems.append(f"missing column {col!r} (want type {'/'.join(prefixes)})")
+        elif not got.startswith(prefixes):
+            problems.append(f"column {col!r} has type {got!r}, want prefix {'/'.join(prefixes)}")
+    if problems:
+        raise TableSchemaError(
+            f"testdata drift in {path}: " + "; ".join(problems)
+            + f". Loaded schema: {actual}"
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
@@ -34,7 +96,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events":
             df = _load_events_uncached(spark, sf_dir)
         else:
-            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            df = spark.read.parquet(path)
+            _check_schema(name, path, df)
         per_session[key] = df
     return df
 
@@ -44,10 +108,35 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def ts_us_expr(ts_type: T.DataType, source: str = "events.ts"):
+    """Column expression converting a loaded ``ts`` to BIGINT microseconds.
+
+    Branches on the dtype Spark actually loaded, because testdata
+    generations have shipped both encodings.
+    """
+    if isinstance(ts_type, T.LongType):
+        # BIGINT nanos under the legacy conf.  Integral `div`, not `/`:
+        # ns values (~1.7e18) exceed double's 53-bit mantissa, so float
+        # division would be off by +/-1 us.
+        return F.expr("ts div 1000")
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # TIMESTAMP(US) parquet -> TIMESTAMP_NTZ (or LTZ).  The session
+        # timezone is pinned to UTC in session.py, so NTZ -> LTZ is the
+        # identity mapping and unix_micros() recovers the exact stored
+        # microsecond count -- matching DuckDB's epoch_us(ts).
+        return F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    raise TableSchemaError(
+        f"testdata drift: {source} has unsupported type "
+        f"{ts_type.simpleString()!r}; expected bigint (nanos) or timestamp"
+    )
+
+
 def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    # Keep the legacy conf set so a NANOS-encoded file loads at all; it is
+    # a no-op for US/MS-encoded files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # ts column arrives as BIGINT nanos under the legacy conf.  Integral
-    # `div`, not `/`: ns values (~1.7e18) exceed double's 53-bit mantissa,
-    # so float division would be off by ±1 us.
-    return df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    df = spark.read.parquet(path)
+    _check_schema("events", path, df)
+    ts_us = ts_us_expr(df.schema["ts"].dataType, source=path + ":ts")
+    return df.withColumn("ts_us", ts_us).drop("ts")
