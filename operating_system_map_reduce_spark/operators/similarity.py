@@ -285,15 +285,41 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+# cosine_knn materialises an O(n^2) candidate space; above this many
+# input vectors the pair count (1e5^2 = 1e10) stops being a "quality
+# baseline" and becomes a cluster-killer, so the caller must opt in.
+EXACT_KNN_MAX_ROWS = 100_000
+
+
+class ExactKnnTooLarge(RuntimeError):
+    """cosine_knn refused a large input; pass exact=True or use lsh_knn/ivf_knn."""
+
+
 def cosine_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", exact: bool = False) -> DataFrame:
     """Exact top-k cosine neighbors for every vector.
 
     Plan shape: precompute norms once (map-side numpy stage), self-join
     (BHJ when one side broadcasts; at scale, replace with LSH-bucketed
-    join), numpy cosine on the pairs, window top-k per query id."""
+    join), numpy cosine on the pairs, window top-k per query id.
+
+    This is the documented QUALITY BASELINE, deliberately quadratic.  To
+    stop the footgun firing silently at scale, inputs larger than
+    ``EXACT_KNN_MAX_ROWS`` raise :class:`ExactKnnTooLarge` unless the
+    caller passes ``exact=True``; the scale paths are ``lsh_knn`` /
+    ``ivf_knn``.  The guard costs one count() over the (pruned) id
+    column -- negligible next to the n^2 join it is guarding.
+    """
     from pyspark.sql.window import Window
 
+    if not exact:
+        n = emb.select(id_col).count()
+        if n > EXACT_KNN_MAX_ROWS:
+            raise ExactKnnTooLarge(
+                f"cosine_knn input has {n} rows (> {EXACT_KNN_MAX_ROWS}): "
+                f"the exact all-pairs baseline would score ~{n * n:.1e} "
+                "pairs. Use lsh_knn/ivf_knn, or pass exact=True to force."
+            )
     with_norm = vector_norms(emb, id_col, vec_col)
     a = with_norm.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")

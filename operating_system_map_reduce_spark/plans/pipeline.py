@@ -468,7 +468,9 @@ ORDER BY id_a, id_b
 
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return _sim.cosine_knn(emb, k=5).orderBy("vec_id", "rank")
+    # exact=True: this registered query IS the documented quality
+    # baseline; the opt-in also skips the guard's count() job.
+    return _sim.cosine_knn(emb, k=5, exact=True).orderBy("vec_id", "rank")
 
 
 SIMILARITY_KNN_SQL = f"""

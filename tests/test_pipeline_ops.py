@@ -208,6 +208,17 @@ class TestSimilarity:
             key = (r["id_a"], r["id_b"])
             assert key in exact and exact[key] == r["cosine"]
 
+    def test_exact_knn_guard_trips_above_threshold(self, spark, monkeypatch):
+        """The O(n^2) baseline refuses large inputs unless exact=True --
+        the scale footgun cannot fire silently (VERDICT r03 item 3)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        monkeypatch.setattr(similarity, "EXACT_KNN_MAX_ROWS", 10)
+        import pytest as _pytest
+        with _pytest.raises(similarity.ExactKnnTooLarge, match="lsh_knn"):
+            similarity.cosine_knn(emb, k=5)
+        # explicit opt-in still works on the same oversized input
+        assert similarity.cosine_knn(emb.limit(20), k=1, exact=True).count() > 0
+
     def test_zero_vectors_excluded_everywhere(self, spark):
         """A zero vector has no cosine direction (0/0 = NaN): every ANN
         path excludes it from queries AND neighbors instead of leaking
