@@ -217,12 +217,63 @@ ORDER BY status, priority
 # --- decile_distribution: ntile + distinct agg ----------------------------
 
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile stats over order value, WITHOUT a global single-task sort.
+
+    ``ntile(10) OVER (ORDER BY ...)`` puts every row through one window
+    task -- a one-reducer bottleneck at 100x sf.  Equivalent distributed
+    plan (bit-identical to the oracle's NTILE):
+
+      1. ``approxQuantile`` picks ~P balanced cut points over
+         o_totalprice; each row's bucket = number of cuts <= its price.
+         The bucket id is a PURE FUNCTION OF ROW VALUES -- deterministic
+         across jobs, unlike spark_partition_id() after an exchange,
+         which AQE may renumber between the count job and the rank job.
+      2. Per-bucket row counts -- ~P scalars to the driver, the same
+         broadcast-analog class as IVF's centroid table -- give each
+         bucket its cumulative rank offset (equal prices always share a
+         bucket, so bucket order equals sort order).
+      3. global_rank = offset + row_number within bucket (window
+         partitioned by bucket: no SinglePartition exchange anywhere).
+      4. SQL NTILE's bucketing rule -- first n%k tiles get n/k+1 rows,
+         the rest n/k -- folded into a CASE chain on the rank: pure
+         map-side, whole-stage codegen, no join/division.
+
+    Cost: three cheap passes over a 3-column pruned columnar scan
+    (quantile sketch, bucket counts, ranked agg) instead of one
+    single-threaded global sort.
+    """
     from pyspark.sql.window import Window
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey", "o_custkey"
+    )
+    n = orders.count()
+    k = 10
+    p = max(spark.sparkContext.defaultParallelism, 8)
+    cuts = sorted(set(orders.stat.approxQuantile(
+        "o_totalprice", [i / p for i in range(1, p)], 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("o_totalprice") >= F.lit(c), 1).otherwise(0)
+    ranked = orders.withColumn("bkt", bucket.cast("int"))
+    cnts = {r["bkt"]: r["cnt"] for r in
+            ranked.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for b in sorted(cnts):
+        offsets.append((b, acc))
+        acc += cnts[b]
+    offset_df = spark.createDataFrame(offsets, "bkt int, rank_offset long")
+    w = Window.partitionBy("bkt").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    big, small = divmod(n, k)  # first `small` tiles get big+1 rows
+    rank = F.col("rank_offset") + F.row_number().over(w)
+    decile, hi = None, 0
+    for d in range(1, k + 1):
+        hi += big + 1 if d <= small else big
+        cond = rank <= F.lit(hi)
+        decile = F.when(cond, d) if decile is None else decile.when(cond, d)
     return (
-        orders.withColumn("decile", F.ntile(10).over(w))
+        ranked.join(F.broadcast(offset_df), "bkt")
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

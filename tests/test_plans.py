@@ -71,6 +71,15 @@ class TestPlanShape:
         plan = _plan(df)
         assert "isFinalPlan=true" in plan and "*(1)" in plan, plan
 
+    def test_deciles_have_no_single_partition_exchange(self, spark, sf_dir):
+        """order_value_deciles must not funnel all orders through one
+        window task: ranking is distributed across value-derived
+        buckets, so no Exchange SinglePartition appears anywhere and
+        the window shuffles on the bucket key (VERDICT r03 item 4)."""
+        plan = _plan(_QUERIES["order_value_deciles"](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Exchange hashpartitioning(bkt" in plan, plan
+
     def test_ann_paths_shuffle_on_buckets_only(self, spark, sf_dir):
         """lsh_knn: every exchange key is a bucket/group key (tbl,
         bucket / qid) -- never a vector equality or a blown-up pair
