@@ -34,6 +34,39 @@ class TestMultimodal:
         assert set(out.columns) == {"doc_id", "n_bytes", "format", "width", "height", "n_frames"}
 
 
+    def test_codec_resolution_order(self):
+        """explicit codec > fake double > PIL > NotImplementedError."""
+        sentinel = multimodal.FakeCodec()
+        assert multimodal.resolve_codec(fake=True, codec=sentinel) is sentinel
+        assert isinstance(multimodal.resolve_codec(fake=True), multimodal.FakeCodec)
+        if not multimodal.pil_available():
+            with pytest.raises(NotImplementedError):
+                multimodal.resolve_codec(fake=False)
+            with pytest.raises(NotImplementedError):
+                multimodal.PilCodec()
+
+    @pytest.mark.skipif(not multimodal.pil_available(), reason="Pillow not installed")
+    def test_pil_codec_real_decode(self, spark):
+        """The PIL branch decodes a real PNG through the same mapInPandas
+        plumbing the fake path uses (exercised only where Pillow exists;
+        the oracle-gated queries stay on the fake)."""
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (120, 80), (200, 10, 10)).save(buf, format="PNG")
+        png = buf.getvalue()
+        docs = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+        meta = multimodal.decode_media(
+            docs, fake=False, codec=multimodal.PilCodec()).collect()[0]
+        assert (meta["format"], meta["width"], meta["height"]) == ("png", 120, 80)
+        thumb = multimodal.resize_media(
+            docs, target_w=64, target_h=64, fake=False,
+            codec=multimodal.PilCodec()).collect()[0]
+        assert (thumb["width"], thumb["height"]) == (64, 42)
+        assert Image.open(io.BytesIO(bytes(thumb["thumb"]))).size[0] <= 64
+
     def test_extract_features_shape_and_range(self, spark):
         docs = spark.createDataFrame([(1, "a doc"), (2, "b doc")], ["doc_id", "text"])
         out = multimodal.extract_features(multimodal.attach_binary(docs), fake=True)
