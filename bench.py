@@ -65,6 +65,7 @@ HEADLINE = [
     "sketch_distinct_tokens",
     "doc_length_quantiles",
     "text_repetition",
+    "kv_mix_ops",
 ]
 
 

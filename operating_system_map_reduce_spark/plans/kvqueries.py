@@ -344,6 +344,91 @@ ORDER BY key
 """
 
 
+# --- deterministic 80/10/10 ops-mix (reference p2/bench/bench.cc:21-25,
+# 96-99: 50% pre-fill, 80% lookup / 10% insert / 10% remove) -------------
+# bench.py's kv_mix_bench times this shape; this registered twin trades
+# spark.range + murmur hash (not replicable in DuckDB) for a seeded op
+# table derived from orders via md5 (the engine-shared hex template), so
+# the ops-mix PATH gets a hard correctness row too.  Op semantics as
+# bulk set algebra: one hash join against the pre-filled base classifies
+# every op's outcome -- lookup hit/miss, insert ok/duplicate, remove
+# ok/miss -- instead of a per-op critical section.  Scale shape: the
+# base side broadcasts while small and degrades to a single key-keyed
+# shuffle join when it outgrows the threshold; the op table never
+# shuffles twice.
+
+def kv_mix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.dedup import hexval_sql
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    ops = orders.select(
+        F.col("o_orderkey").alias("op_id"),
+        F.col("o_custkey"),
+        F.md5(F.concat(F.lit("op|"), F.col("o_orderkey").cast("string"))).alias("hxc"),
+        F.md5(F.concat(F.lit("miss|"), F.col("o_orderkey").cast("string"))).alias("hxm"),
+    ).select(
+        "op_id",
+        (F.expr(hexval_sql("hxc")) % 10).alias("klass"),
+        # every ~4th op targets a key outside the base domain (guaranteed
+        # miss); the rest probe real customer keys (~50% pre-filled)
+        F.when(F.expr(hexval_sql("hxm")) % 4 == 0, -F.col("op_id"))
+         .otherwise(F.col("o_custkey")).alias("key"),
+    )
+    base = (
+        customer
+        .withColumn("hxb", F.md5(F.concat(F.lit("b|"), F.col("c_custkey").cast("string"))))
+        .filter(F.expr(hexval_sql("hxb")) % 2 == 0)
+        .select(F.col("c_custkey").alias("key"), F.lit(1).alias("present"))
+    )
+    hit = F.col("present").isNotNull()
+    outcome = (
+        F.when(F.col("klass") < 8, F.when(hit, "lookup_hit").otherwise("lookup_miss"))
+        .when(F.col("klass") == 8, F.when(hit, "insert_dup").otherwise("insert_ok"))
+        .otherwise(F.when(hit, "remove_ok").otherwise("remove_miss"))
+    )
+    return (
+        ops.join(base, "key", "left")
+        .select(outcome.alias("outcome"), "op_id")
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n_ops"), F.min("op_id").alias("first_op"))
+        .orderBy("outcome")
+    )
+
+
+def _kv_mix_sql() -> str:
+    from operating_system_map_reduce_spark.operators.dedup import hexval_sql
+
+    return f"""
+WITH ops AS (
+  SELECT op_id,
+         ({hexval_sql('hxc')}) % 10 AS klass,
+         CASE WHEN ({hexval_sql('hxm')}) % 4 = 0 THEN -op_id ELSE o_custkey END AS key
+  FROM (
+    SELECT o_orderkey AS op_id, o_custkey,
+           md5('op|' || CAST(o_orderkey AS VARCHAR)) AS hxc,
+           md5('miss|' || CAST(o_orderkey AS VARCHAR)) AS hxm
+    FROM orders
+  )
+), base AS (
+  SELECT c_custkey AS key, 1 AS present
+  FROM (SELECT c_custkey, md5('b|' || CAST(c_custkey AS VARCHAR)) AS hxb FROM customer)
+  WHERE ({hexval_sql('hxb')}) % 2 = 0
+)
+SELECT outcome, COUNT(*) AS n_ops, MIN(op_id) AS first_op
+FROM (
+  SELECT CASE
+           WHEN klass < 8 THEN (CASE WHEN present IS NOT NULL THEN 'lookup_hit' ELSE 'lookup_miss' END)
+           WHEN klass = 8 THEN (CASE WHEN present IS NOT NULL THEN 'insert_dup' ELSE 'insert_ok' END)
+           ELSE (CASE WHEN present IS NOT NULL THEN 'remove_ok' ELSE 'remove_miss' END)
+         END AS outcome,
+         op_id
+  FROM ops LEFT JOIN base USING (key)
+)
+GROUP BY outcome ORDER BY outcome
+"""
+
+
 QUERIES = {
     "kv_get_point": kv_get_point,
     "kv_all_keys": kv_all_keys,
@@ -356,9 +441,11 @@ QUERIES = {
     "all_users_fold": all_users_fold,
     "mr_odd_key_vals": mr_odd_key_vals,
     "kv_aes_at_rest": kv_aes_at_rest,
+    "kv_mix_ops": kv_mix_ops,
 }
 
 ORACLES = {
+    "kv_mix_ops": _kv_mix_sql(),
     "kv_get_point": KV_GET_SQL,
     "kv_all_keys": KV_ALL_KEYS_SQL,
     "kv_insert_guarded": KV_INSERT_SQL,
