@@ -247,17 +247,19 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_totalprice", "o_orderkey", "o_custkey"
     )
-    n = orders.count()
     k = 10
     p = max(spark.sparkContext.defaultParallelism, 8)
+    # relativeError 0.01: cuts only balance bucket sizes (correctness
+    # never depends on them), and the looser sketch costs ~25% less
     cuts = sorted(set(orders.stat.approxQuantile(
-        "o_totalprice", [i / p for i in range(1, p)], 0.001)))
+        "o_totalprice", [i / p for i in range(1, p)], 0.01)))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + F.when(F.col("o_totalprice") >= F.lit(c), 1).otherwise(0)
     ranked = orders.withColumn("bkt", bucket.cast("int"))
     cnts = {r["bkt"]: r["cnt"] for r in
             ranked.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(cnts.values())  # total row count falls out of the bucket counts
     offsets, acc = [], 0
     for b in sorted(cnts):
         offsets.append((b, acc))
