@@ -17,12 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from operating_system_map_reduce_spark.plans import (
-        analytics, curation, kvqueries, pipeline, streamqueries,
+        analytics, curation, kvqueries, pipeline, streamqueries, textprep,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (analytics, kvqueries, pipeline, curation, streamqueries):
+    for mod in (analytics, kvqueries, pipeline, curation, streamqueries, textprep):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
