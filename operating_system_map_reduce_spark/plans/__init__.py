@@ -43,6 +43,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "multimodal_resize",        # same mapInPandas plumbing as _features
         "skew_salted_distinct",     # salting shown; covered by pytest too
         "q4_order_priority",        # exists-agg face of q1/q3, green r01-r03
+        "bucketed_segment_revenue", # new; window reserved for never-checked
     ]
     ordered = {n: queries[n] for n in queries if n not in demoted}
     ordered.update({n: queries[n] for n in demoted})

@@ -665,6 +665,52 @@ ORDER BY c_mktsegment
 """
 
 
+# --- bucketed co-located join: the at-rest partitioning story -------------
+# The reference places every key into its hash bucket ONCE at insert
+# time (p2/server/concurrenthashmap.h) and all later ops are
+# shuffle-free.  Spark's at-rest analog is bucketBy: write orders and
+# customer hash-bucketed on custkey once, and every subsequent join on
+# that key plans with NO exchange on either side -- at 100 TB this
+# deletes the dominant stage of every repeated fact-fact join.  The
+# query writes the bucketed copies once per (session, sf) and then runs
+# a shuffle-free SortMergeJoin; tests/test_plans.py asserts the only
+# exchanges left are the post-join aggregate's.
+
+def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.sources.bucketing import write_bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(_t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+                       t_orders, "o_custkey", n_buckets=16)
+    if not spark.catalog.tableExists(t_cust):
+        write_bucketed(
+            _t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            t_cust, "o_custkey", n_buckets=16)
+    joined = spark.table(t_orders).join(spark.table(t_cust), "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -682,9 +728,11 @@ QUERIES = {
     "brand_supplier_breadth": brand_supplier_breadth,
     "repeat_buyer_setops": repeat_buyer_setops,
     "skew_salted_distinct": skew_salted_distinct,
+    "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
 ORACLES = {
+    "bucketed_segment_revenue": BUCKETED_SEGMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,

@@ -80,6 +80,14 @@ class TestPlanShape:
         assert "Exchange SinglePartition" not in plan, plan
         assert "Exchange hashpartitioning(bkt" in plan, plan
 
+    def test_bucketed_join_has_no_join_shuffle(self, spark, sf_dir):
+        """bucketed_segment_revenue joins two co-bucketed tables: no
+        exchange may feed the join -- the only hashpartitioning exchange
+        in the plan is the post-join aggregate's (on the segment)."""
+        plan = _plan(_QUERIES["bucketed_segment_revenue"](spark, sf_dir))
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+        assert "Exchange hashpartitioning(c_mktsegment" in plan, plan
+
     def test_ann_paths_shuffle_on_buckets_only(self, spark, sf_dir):
         """lsh_knn: every exchange key is a bucket/group key (tbl,
         bucket / qid) -- never a vector equality or a blown-up pair
