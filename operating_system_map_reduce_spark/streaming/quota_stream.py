@@ -92,15 +92,17 @@ def quota_admission(stream: DataFrame) -> DataFrame:
 
 def run_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events through the stateful operator; one row per user."""
-    from operating_system_map_reduce_spark.streaming.windows import events_stream
+    from operating_system_map_reduce_spark.streaming.windows import (
+        _stream_shuffle, events_stream)
 
     sink = "quota_admission_" + uuid.uuid4().hex[:8]
-    q = (
-        quota_admission(events_stream(spark, sf_dir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            quota_admission(events_stream(spark, sf_dir))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     # several triggers may emit the same user; later rows supersede --
     # but tallies are per-trigger deltas, so aggregate them.
     out = spark.table(sink)

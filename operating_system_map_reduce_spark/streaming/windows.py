@@ -13,6 +13,7 @@ would run update mode with the identical plan.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -21,6 +22,27 @@ from pyspark.sql import functions as F
 
 WINDOW = "1 hour"
 WATERMARK = "30 minutes"
+
+# State-store partition count for the bounded replays.  Each stateful
+# operator materializes one state store per shuffle partition, and at
+# replay scale (one micro-batch) the per-store setup dominates: 32
+# stores cost ~2x the wall time of 8 on an empty-ish state.  A live
+# 100 TB deployment sizes this up (state must spread across executors)
+# via the env knob; the checkpoint pins it per query after first run.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Scope shuffle.partitions down for a bounded replay, restoring
+    the session value after (driver runs queries sequentially)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    target = min(int(prev), STREAM_STATE_PARTITIONS)
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -122,34 +144,37 @@ def session_counts(stream: DataFrame) -> DataFrame:
 def run_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream through session windows; return the sink."""
     sink = "events_sessions_" + uuid.uuid4().hex[:8]
-    q = (
-        session_counts(events_stream(spark, sf_dir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            session_counts(events_stream(spark, sf_dir))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "session_start_us")
 
 
 def run_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream through the dedup; return the sink."""
     sink = "events_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup_first_seen(events_stream(spark, sf_dir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            dedup_first_seen(events_stream(spark, sf_dir))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start_us", "user_id", "event_type")
 
 
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream to completion; return the sink as a DataFrame."""
     sink = "events_windowed_" + uuid.uuid4().hex[:8]
-    q = (
-        windowed_counts(events_stream(spark, sf_dir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            windowed_counts(events_stream(spark, sf_dir))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start_us", "event_type")
