@@ -1,0 +1,103 @@
+"""Byte-exact parity with the reference's persistence format.
+
+The expectations below replicate the arithmetic the reference test
+suite computes for verify_filesize (p3/scripts/p3.py:48-49,68-69) and
+the tag probes of verify_peek (p3/scripts/cse303.py:304-310) -- a user
+porting those tests must get identical numbers from our files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from operating_system_map_reduce_spark.sources import binlog as B
+
+
+def next8(n: int) -> int:
+    """cse303.py's next8: round up to an 8-byte boundary."""
+    return n if n % 8 == 0 else n + 8 - n % 8
+
+
+class TestSizeParity:
+    def test_reg_entry_matches_p3_test1_expectation(self):
+        """p3.py:48: expect_size1 = next8(8 + 8+len(name) + 8+16 + 8+32 + 8)
+        for a REG with 16-byte salt, 32-byte hash, empty profile."""
+        name = b"alice"
+        expected = next8(8 + 8 + len(name) + 8 + 16 + 8 + 32 + 8)
+        entry = B.entry_bytes(B.AUTHENTRY, name, b"s" * 16, b"h" * 32, b"")
+        assert len(entry) == expected
+        assert B.entry_size(B.AUTHENTRY, len(name), 16, 32, 0) == expected
+
+    def test_authdiff_matches_p3_test2_expectation(self, tmp_path):
+        """p3.py:68-69: a SET appends next8(8 + 8+5 + 8 + filelen)."""
+        path = str(tmp_path / "company.dir")
+        profile = b"x" * 125  # deliberately not 8-aligned
+        reg = (B.AUTHENTRY, b"alice", b"s" * 16, b"h" * 32, b"")
+        size1 = B.write_entries(path, [reg])
+        diff = (B.AUTHDIFF, b"alice", profile)
+        B.write_entries(path, [diff])
+        expected = next8(size1 + 8 + 8 + 5 + 8 + len(profile))
+        assert os.stat(path).st_size == expected
+
+    def test_peek_finds_tags_at_computed_offsets(self, tmp_path):
+        """verify_peek analog: the second entry's tag sits exactly at
+        the first entry's padded size."""
+        path = str(tmp_path / "peek.dir")
+        e1 = (B.KVENTRY, b"k1", b"v" * 13)
+        e2 = (B.KVDELETE, b"k1")
+        B.write_entries(path, [e1, e2])
+        off = B.entry_size(B.KVENTRY, 2, 13)
+        with open(path, "rb") as fh:
+            assert fh.read(8) == B.KVENTRY
+            fh.seek(off)
+            assert fh.read(8) == B.KVDELETE
+
+    def test_empty_profile_bytes_omitted(self):
+        """format.h: empty profile writes its length field but no bytes."""
+        with_p = B.entry_bytes(B.AUTHENTRY, b"u", b"s", b"h", b"pp")
+        without = B.entry_bytes(B.AUTHENTRY, b"u", b"s", b"h", b"")
+        assert len(with_p) - len(without) == next8(3 + 2) - next8(3)  # field diff mod padding
+
+
+class TestRoundTrip:
+    ENTRIES = [
+        (B.AUTHENTRY, b"alice", b"s" * 16, b"h" * 32, b"profile!"),
+        (B.KVENTRY, b"key1", b"value one"),
+        (B.KVUPDATE, b"key1", b"value two"),
+        (B.AUTHDIFF, b"alice", b""),
+        (B.KVDELETE, b"key1"),
+    ]
+
+    def test_write_read_identity(self, tmp_path):
+        path = str(tmp_path / "rt.dir")
+        B.write_entries(path, self.ENTRIES)
+        assert list(B.read_entries(path)) == self.ENTRIES
+
+    def test_interspersed_entries_any_order(self, tmp_path):
+        """format.h: auth and kv entries may be interspersed arbitrarily."""
+        path = str(tmp_path / "mix.dir")
+        mixed = [self.ENTRIES[i] for i in (1, 0, 4, 2, 3)]
+        B.write_entries(path, mixed)
+        assert list(B.read_entries(path)) == mixed
+
+    def test_corrupt_tag_raises(self, tmp_path):
+        path = str(tmp_path / "bad.dir")
+        with open(path, "wb") as fh:
+            fh.write(b"NOTATAG!" + b"\x00" * 24)
+        with pytest.raises(ValueError, match="bad tag"):
+            list(B.read_entries(path))
+
+
+class TestSparkExport:
+    def test_export_kv_state_round_trips(self, spark, tmp_path):
+        path = str(tmp_path / "kv.dir")
+        df = spark.createDataFrame(
+            [(f"key{i}", f"value-{i}") for i in range(20)], ["key", "value"])
+        n = B.export_kv_state(df, path)
+        assert os.stat(path).st_size == n
+        got = {e[1]: e[2] for e in B.read_entries(path)}
+        assert got == {f"key{i}".encode(): f"value-{i}".encode() for i in range(20)}
+        assert n == sum(B.entry_size(B.KVENTRY, len(f"key{i}"), len(f"value-{i}"))
+                        for i in range(20))
