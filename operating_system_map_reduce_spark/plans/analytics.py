@@ -676,19 +676,35 @@ ORDER BY c_mktsegment
 # a shuffle-free SortMergeJoin; tests/test_plans.py asserts the only
 # exchanges left are the post-join aggregate's.
 
-def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
+    """Write-once guard that survives session restarts: the in-memory
+    catalog forgets managed tables between sessions while their
+    warehouse directories persist, so an orphaned location is cleared
+    before the (re)write."""
+    import shutil
+    from urllib.parse import urlparse
+
     from operating_system_map_reduce_spark.sources.bucketing import write_bucketed
 
+    if spark.catalog.tableExists(table):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = os.path.join(wh, table.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+    write_bucketed(df, table, key, n_buckets=16)
+
+
+def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
-    if not spark.catalog.tableExists(t_orders):
-        write_bucketed(_t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-                       t_orders, "o_custkey", n_buckets=16)
-    if not spark.catalog.tableExists(t_cust):
-        write_bucketed(
-            _t(spark, sf_dir, "customer")
-            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
-            t_cust, "o_custkey", n_buckets=16)
+    _ensure_bucketed(spark, t_orders,
+                     _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+                     "o_custkey")
+    _ensure_bucketed(spark, t_cust,
+                     _t(spark, sf_dir, "customer")
+                     .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+                     "o_custkey")
     joined = spark.table(t_orders).join(spark.table(t_cust), "o_custkey")
     return (
         joined.groupBy("c_mktsegment")
