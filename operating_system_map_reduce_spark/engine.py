@@ -351,6 +351,34 @@ class KVEngine:
         self.kv_log.compact()
         return True, codes.RES_OK, None
 
+    def export_reference_file(self, user: str, password: str, path: str):
+        """SAV-to-reference-format export: serialize the live state as
+        AUTHAUTH + KVKVKVKV entries (p3/server/format.h grammar, byte-
+        compatible with the reference's load path and its tests'
+        verify_filesize arithmetic).  The parquet changelog stays the
+        native durability; this is the migration artifact.  Streams
+        through the driver (toLocalIterator) like the protocol's
+        payload folds -- the format is one sequential file by design."""
+        from operating_system_map_reduce_spark.sources import binlog as B
+
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        with open(path, "wb"):
+            pass  # truncate: export is a full snapshot, not an append
+
+        def entries():
+            for r in (self.auth_df()
+                      .select("username", "salt", "pass_hash", "content")
+                      .toLocalIterator()):
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                yield (B.AUTHENTRY, r["username"].encode(),
+                       bytes(r["salt"]), bytes(r["pass_hash"]), content)
+            for r in self.kv_df().select("key", "value").toLocalIterator():
+                yield (B.KVENTRY, r["key"].encode(), bytes(r["value"]))
+
+        n = B.write_entries(path, entries())
+        return True, codes.RES_OK, n
+
     def shutdown(self) -> None:
         """BYE-side teardown (the engine object, not the SparkSession --
         sessions are shared in tests)."""

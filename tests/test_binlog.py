@@ -90,6 +90,39 @@ class TestRoundTrip:
             list(B.read_entries(path))
 
 
+class TestEngineExport:
+    def test_sav_export_matches_reference_grammar(self, spark, tmp_path):
+        """Engine state -> reference file: every user becomes AUTHAUTH
+        (16-byte salt, 32-byte sha256, profile bytes), every live pair
+        KVKVKVKV; the file parses back to exactly the live state and
+        its size equals the sum of entry_size arithmetic."""
+        from operating_system_map_reduce_spark import codes
+        from operating_system_map_reduce_spark.engine import KVEngine
+
+        eng = KVEngine(spark, str(tmp_path / "data"))
+        assert eng.add_user("alice", "pw")[1] == codes.RES_OK
+        assert eng.set_user_data("alice", "pw", b"profile bytes")[1] == codes.RES_OK
+        assert eng.kv_insert("alice", "pw", "k1", b"v1")[1] == codes.RES_OK
+        assert eng.kv_insert("alice", "pw", "key-two", b"value two!")[1] == codes.RES_OK
+
+        path = str(tmp_path / "company.dir")
+        assert eng.export_reference_file("alice", "bad", path)[1] == codes.RES_ERR_LOGIN
+        ok, code, n = eng.export_reference_file("alice", "pw", path)
+        assert (ok, code) == (True, codes.RES_OK)
+        assert os.stat(path).st_size == n
+
+        got = list(B.read_entries(path))
+        auth = [e for e in got if e[0] == B.AUTHENTRY]
+        kv = {e[1]: e[2] for e in got if e[0] == B.KVENTRY}
+        assert len(auth) == 1 and auth[0][1] == b"alice"
+        assert len(auth[0][2]) == 16 and len(auth[0][3]) == 32  # salt, sha256
+        assert auth[0][4] == b"profile bytes"
+        assert kv == {b"k1": b"v1", b"key-two": b"value two!"}
+        assert n == (B.entry_size(B.AUTHENTRY, 5, 16, 32, 13)
+                     + B.entry_size(B.KVENTRY, 2, 2)
+                     + B.entry_size(B.KVENTRY, 7, 10))
+
+
 class TestSparkExport:
     def test_export_kv_state_round_trips(self, spark, tmp_path):
         path = str(tmp_path / "kv.dir")
