@@ -345,15 +345,61 @@ FROM lang_agg ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: the storage lever for 100 TB ANN (4x
+# smaller than float32).  Pure map-side expression -- no shuffle, no
+# UDF; report columns are engineered to be cross-engine-exact (MAX over
+# identical per-element doubles + integer code sums, never float-SUM
+# folds whose accumulation order differs between engines).
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.quantize import (
+        quantization_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_report(emb).orderBy("vec_id")
+
+
+def _embedding_quantize_sql() -> str:
+    from operating_system_map_reduce_spark.operators.quantize import QMAX
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / {QMAX} AS scale,
+         list_max(list_transform(v, x -> abs(x))) AS max_abs_in
+  FROM base
+), qd AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(greatest(-{QMAX}, least({QMAX}, round(x / scale))) AS BIGINT)) AS q
+  FROM s WHERE max_abs_in > 0
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(q, c -> abs(c) = {QMAX})) AS BIGINT) AS n_saturated,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - q[i] * scale))), 6) AS max_abs_err
+FROM qd
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "dedup_span_exact": dedup_span_exact,
     "quality_filter_composite": quality_filter_composite,
     "domain_mix_sample": domain_mix_sample,
     "lm_unigram_score": lm_unigram_score,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLES = {
+    "embedding_quantize": _embedding_quantize_sql(),
     "text_pii_scrub": TEXT_PII_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
     "quality_filter_composite": QUALITY_FILTER_SQL,

@@ -103,6 +103,54 @@ class TestMultimodal:
             assert sorted(per_doc[doc_id]) == list(range(0, n, 4))
 
 
+class TestQuantize:
+    def test_error_bound_and_code_range(self, spark):
+        """Symmetric int8: every code in [-127, 127], at least one dim
+        saturated (the max dim lands exactly on 127), and per-dim
+        reconstruction error <= scale/2 (round-half guarantee)."""
+        from operating_system_map_reduce_spark.operators import quantize as Q
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rep = {r["vec_id"]: r for r in Q.quantization_report(emb).collect()}
+        assert rep
+        for r in rep.values():
+            assert r["n_saturated"] >= 1
+            # 5e-7: the report rounds to 6 decimals, which can round the
+            # true error (<= scale/2) up past the bound by half a quantum
+            assert r["max_abs_err"] <= r["scale"] / 2 + 5e-7
+        codes = Q.quantize(emb).collect()
+        for row in codes[:50]:
+            assert all(-127 <= c <= 127 for c in row["q"])
+
+    def test_quantized_cosine_preserves_top1(self, spark):
+        """Dequantized vectors keep exact top-1 neighbors for most
+        queries -- int8 is usable as the ANN storage tier."""
+        import numpy as np
+
+        from operating_system_map_reduce_spark.operators import quantize as Q
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        deq = {r["vec_id"]: np.array(r["q"], dtype=np.float64) * r["scale"]
+               for r in Q.quantize(emb).collect()}
+
+        def top1(vecs, qid):
+            qv = vecs[qid]
+            best, bestcos = None, -2
+            for nid, nv in vecs.items():
+                if nid == qid or not nv.any():
+                    continue
+                c = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+                if c > bestcos:
+                    best, bestcos = nid, c
+            return best
+
+        ids = [i for i in sorted(orig) if orig[i].any()][:40]
+        hits = sum(1 for qid in ids if top1(orig, qid) == top1(deq, qid))
+        assert hits / len(ids) > 0.8
+
+
 class TestDedupOperators:
     def test_minhash_lsh_catches_planted_near_dup(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
