@@ -389,6 +389,73 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents (in doc_id order) to fixed
+# token-budget bins -- the pretraining packing shape (contiguous
+# greedy: bin = floor(exclusive-cumsum(tokens) / budget)).  A naive
+# cumsum is a global single-task window; this uses the same
+# distributed-rank pattern as order_value_deciles: doc_id ranges form
+# value-derived buckets, per-bucket token sums (driver scalars, a
+# broadcast analog) give each bucket its running offset, and the
+# within-bucket window cumsum adds it -- no SinglePartition exchange.
+
+PACK_BUDGET = 2048
+PACK_BUCKET_ROWS = 1024
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET_ROWS).cast("bigint").alias("bkt"),
+    )
+    cnts = {r["bkt"]: r["s"] for r in
+            d.groupBy("bkt").agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = [], 0
+    for b in sorted(cnts):
+        offsets.append((b, acc))
+        acc += cnts[b]
+    offset_df = spark.createDataFrame(offsets, "bkt long, tok_offset long")
+    w = (Window.partitionBy("bkt").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("tok_offset")
+    return (
+        d.join(F.broadcast(offset_df), "bkt")
+        .withColumn("bin", F.floor(cum_excl / PACK_BUDGET))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM d
+)
+SELECT CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "dedup_span_exact": dedup_span_exact,
@@ -396,10 +463,12 @@ QUERIES = {
     "domain_mix_sample": domain_mix_sample,
     "lm_unigram_score": lm_unigram_score,
     "embedding_quantize": embedding_quantize,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
     "embedding_quantize": _embedding_quantize_sql(),
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
     "quality_filter_composite": QUALITY_FILTER_SQL,
