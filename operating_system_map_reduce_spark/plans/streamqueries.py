@@ -132,11 +132,31 @@ FROM sim WHERE rn = n_ev ORDER BY user_id
 """
 
 
+def stream_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.streaming.windows import (
+        run_enriched_windowed_revenue,
+    )
+
+    return run_enriched_windowed_revenue(spark, sf_dir)
+
+
+# Stream-static join + tumbling window over the bounded replay = a
+# plain batch join + epoch-bucket group.
+STREAM_ENRICH_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       c_mktsegment, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_session_counts": stream_session_counts,
     "stream_quota_admission": stream_quota_admission,
+    "stream_enrich_revenue": stream_enrich_revenue,
 }
 
 ORACLES = {
@@ -144,4 +164,5 @@ ORACLES = {
     "stream_dedup_first_seen": STREAM_DEDUP_SQL,
     "stream_session_counts": STREAM_SESSION_SQL,
     "stream_quota_admission": STREAM_QUOTA_SQL,
+    "stream_enrich_revenue": STREAM_ENRICH_SQL,
 }

@@ -167,6 +167,46 @@ def run_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("window_start_us", "user_id", "event_type")
 
 
+def enriched_windowed_revenue(spark: SparkSession, stream: DataFrame,
+                              sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins the static
+    customer dimension (broadcast per trigger -- Spark re-reads a
+    static side cheaply and the join itself keeps NO state), then a
+    watermarked tumbling window aggregates value per market segment.
+    The production shape for attaching slowly-changing dims to an
+    event stream at 100 TB: only the post-join aggregate is stateful,
+    and its cardinality is (windows x segments), not events."""
+    from ..sources.tables import load_table
+
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        stream.join(F.broadcast(dim), "user_id")
+        .withColumn("ts", ts)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "c_mktsegment", "n_events", "sum_value",
+        )
+    )
+
+
+def run_enriched_windowed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the stream through the enrichment join; return the sink."""
+    sink = "events_enriched_" + uuid.uuid4().hex[:8]
+    with _stream_shuffle(spark):
+        q = (
+            enriched_windowed_revenue(spark, events_stream(spark, sf_dir), sf_dir)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("window_start_us", "c_mktsegment")
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream to completion; return the sink as a DataFrame."""
     sink = "events_windowed_" + uuid.uuid4().hex[:8]
