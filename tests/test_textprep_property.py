@@ -124,6 +124,67 @@ class TestDomainMixDifferential:
         assert got == expected
 
 
+class TestPackSequencesDifferential:
+    def test_bins_match_pure_python_on_sparse_ids(self, spark, tmp_path):
+        """Sparse, gappy doc_ids (never produced by the driver testdata)
+        stress the id-range bucketing: offsets must still reconstruct
+        the exact global cumsum."""
+        rng = random.Random(77)
+        ids = sorted(rng.sample(range(0, 50_000), 300))
+        rows = []
+        for i in ids:
+            text = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 120)))
+            rows.append((i, text, "en", "s0", len(text)))
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        d = tmp_path / "sparse"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+
+        expected: dict[int, list] = {}
+        cum = 0
+        for i, text, *_ in rows:  # already in doc_id order
+            n_tok = len(text.split(" "))
+            b = cum // TP.PACK_BUDGET
+            st = expected.setdefault(b, [0, 0, i, i])
+            st[0] += 1
+            st[1] += n_tok
+            st[3] = i
+            cum += n_tok
+        got = {r["bin"]: [r["n_docs"], r["total_tokens"], r["first_doc"], r["last_doc"]]
+               for r in TP.pack_sequences(spark, str(d)).collect()}
+        assert got == expected
+
+
+class TestLmUnigramDifferential:
+    def test_lang_scores_match_pure_python(self, spark, corpus):
+        import math
+
+        sf_dir, rows = corpus
+        cnt: dict[str, int] = {}
+        for r in rows:
+            for t in r["text"].split(" "):
+                cnt[t] = cnt.get(t, 0) + 1
+        total = sum(cnt.values())
+        per_lang: dict[str, list[float]] = {}
+        for r in rows:
+            toks = r["text"].split(" ")
+            mean = sum(math.log(cnt[t]) for t in toks) / len(toks) - math.log(total)
+            per_lang.setdefault(r["lang"], []).append(mean)
+        got = {r["lang"]: r for r in TP.lm_unigram_score(spark, sf_dir).collect()}
+        assert set(got) == set(per_lang)
+        for lang, means in per_lang.items():
+            assert got[lang]["n_docs"] == len(means)
+            assert abs(got[lang]["avg_logp"] - sum(means) / len(means)) < 1e-5
+            assert abs(got[lang]["worst_logp"] - min(means)) < 1e-5
+            assert abs(got[lang]["best_logp"] - max(means)) < 1e-5
+
+
 class TestPiiScrubDifferential:
     def test_counts_match_pure_python(self, spark, corpus):
         import re
