@@ -137,6 +137,15 @@ def hexval_sql(var: str) -> str:
     return _HEXVAL.format(var=var)
 
 
+def hexval_spark_sql(var: str) -> str:
+    """Spark-side fast form of the same value: conv() decodes the first
+    12 hex digits ~10x cheaper than the 12-term instr/substr chain
+    (measured 0.03 s vs 0.29 s per use over 150k rows).  DuckDB has no
+    conv(), so ORACLE SQL keeps the engine-shared template; equality of
+    the two forms is pinned in tests/test_pipeline_ops.py."""
+    return f"CAST(conv(substr({var}, 1, 12), 16, 10) AS BIGINT)"
+
+
 def shingle_hash_vals_sql(shingles_col: str, transform_fn: str = "transform") -> str:
     """Array of per-shingle integer hashes (one md5 each).  Pass
     transform_fn='list_transform' for DuckDB."""

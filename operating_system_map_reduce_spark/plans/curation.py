@@ -94,7 +94,7 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hx")
     )
-    bucket = F.expr(f"({_dd.hexval_sql('hx')}) % 100")
+    bucket = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 100")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -202,7 +202,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))).alias("hx"),
     )
-    salt = F.expr(f"({_dd.hexval_sql('hx')}) % 16")
+    salt = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 16")
     w_local = Window.partitionBy("lang", "salt").orderBy("hx", "doc_id")
     cand = (
         d.withColumn("salt", salt)
@@ -253,9 +253,9 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(_dd.tokens_expr()).alias("tok"))
         .distinct()
         .withColumn("hx", F.md5(F.col("tok")))
-        .withColumn("hv", F.expr(_dd.hexval_sql("hx")))
+        .withColumn("hv", F.expr(_dd.hexval_spark_sql("hx")))
     )
-    salt = F.expr(f"({_dd.hexval_sql('hx')}) % 16")
+    salt = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 16")
     w_local = Window.partitionBy("lang", "salt").orderBy("hv", "tok")
     cand = (
         toks.withColumn("salt", salt)

@@ -358,7 +358,9 @@ ORDER BY key
 # shuffles twice.
 
 def kv_mix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from operating_system_map_reduce_spark.operators.dedup import hexval_sql
+    from operating_system_map_reduce_spark.operators.dedup import (
+        hexval_spark_sql,
+    )
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -369,16 +371,16 @@ def kv_mix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("miss|"), F.col("o_orderkey").cast("string"))).alias("hxm"),
     ).select(
         "op_id",
-        (F.expr(hexval_sql("hxc")) % 10).alias("klass"),
+        (F.expr(hexval_spark_sql("hxc")) % 10).alias("klass"),
         # every ~4th op targets a key outside the base domain (guaranteed
         # miss); the rest probe real customer keys (~50% pre-filled)
-        F.when(F.expr(hexval_sql("hxm")) % 4 == 0, -F.col("op_id"))
+        F.when(F.expr(hexval_spark_sql("hxm")) % 4 == 0, -F.col("op_id"))
          .otherwise(F.col("o_custkey")).alias("key"),
     )
     base = (
         customer
         .withColumn("hxb", F.md5(F.concat(F.lit("b|"), F.col("c_custkey").cast("string"))))
-        .filter(F.expr(hexval_sql("hxb")) % 2 == 0)
+        .filter(F.expr(hexval_spark_sql("hxb")) % 2 == 0)
         .select(F.col("c_custkey").alias("key"), F.lit(1).alias("present"))
     )
     hit = F.col("present").isNotNull()

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from operating_system_map_reduce_spark.operators.dedup import hexval_sql
+from operating_system_map_reduce_spark.operators.dedup import (hexval_spark_sql,
+                                                                hexval_sql)
 from operating_system_map_reduce_spark.sources.tables import load_table as _t
 
 # ---------------------------------------------------------------------------
@@ -47,7 +48,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     d = docs.withColumn(
         "hx", F.md5(F.concat(F.lit("pii|"), F.col("doc_id").cast("string")))
-    ).withColumn("bucket", F.expr(hexval_sql("hx")) % 3)
+    ).withColumn("bucket", F.expr(hexval_spark_sql("hx")) % 3)
     injected = d.withColumn(
         "text2",
         F.when(F.col("bucket") == 0,
@@ -72,7 +73,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("n_email_p1") - F.count(F.lit(1))).alias("n_emails"),
             (F.sum("n_phone_p1") - F.count(F.lit(1))).alias("n_phones"),
-            F.sum(F.expr(hexval_sql("md5(clean)"))).alias("clean_sig"),
+            F.sum(F.expr(hexval_spark_sql("md5(clean)"))).alias("clean_sig"),
         )
         .orderBy("source")
     )
@@ -241,8 +242,8 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     d = docs.select(
         "doc_id", "source",
-        (F.expr(hexval_sql("md5(concat('rate|', source))")) % 50 + 50).alias("rate_pct"),
-        (F.expr(hexval_sql("md5(concat('mix|', cast(doc_id as string)))")) % 100)
+        (F.expr(hexval_spark_sql("md5(concat('rate|', source))")) % 50 + 50).alias("rate_pct"),
+        (F.expr(hexval_spark_sql("md5(concat('mix|', cast(doc_id as string)))")) % 100)
             .alias("coin"),
     )
     return (

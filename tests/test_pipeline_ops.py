@@ -103,6 +103,22 @@ class TestMultimodal:
             assert sorted(per_doc[doc_id]) == list(range(0, n, 4))
 
 
+class TestHexval:
+    def test_spark_fast_form_equals_shared_template(self, spark):
+        """hexval_spark_sql (conv-based, ~10x cheaper) must equal the
+        engine-shared instr/substr template for every md5 output --
+        the Spark plans use the fast form while oracles keep the
+        template, so divergence here would silently break parity."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(50_000).select(
+            F.md5(F.col("id").cast("string")).alias("h"))
+        bad = df.filter(
+            F.expr(dedup.hexval_sql("h")) != F.expr(dedup.hexval_spark_sql("h"))
+        ).count()
+        assert bad == 0
+
+
 class TestQuantize:
     def test_error_bound_and_code_range(self, spark):
         """Symmetric int8: every code in [-127, 127], at least one dim
