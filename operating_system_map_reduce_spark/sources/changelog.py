@@ -116,14 +116,11 @@ class ChangeLog:
         the log.  Readers between swap and truncate see duplicates of
         *identical latest records*, which replay dedups -- same safety
         the reference gets from write-tmp-then-rename."""
-        snapshot = self.replay().collect()
         tmp = os.path.join(self.root, f"base.tmp-{uuid.uuid4().hex[:8]}")
-        os.makedirs(tmp, exist_ok=True)
-        rows = [r.asDict() for r in snapshot]
-        if rows:
-            cols = {f.name: [r.get(f.name) for r in rows] for f in self.schema.fields}
-            pq.write_table(pa.table(cols, schema=self._arrow_schema),
-                           os.path.join(tmp, "snapshot.parquet"))
+        # Distributed snapshot write: executors stream the replay view
+        # straight to parquet part-files -- the driver never materializes
+        # the snapshot (at 100 TB a .collect() here would OOM the driver).
+        self.replay().write.parquet(tmp)
         old = self.base_dir
         swap_out = os.path.join(self.root, f"base.old-{uuid.uuid4().hex[:8]}")
         os.rename(old, swap_out)

@@ -144,6 +144,27 @@ class TestDurability:
         ok, _, users = eng2.get_all_users("alice", "alice_is_awesome")
         assert sorted(users.decode().split("\n")) == ["alice", "bob"]
 
+    def test_sav_compaction_never_materializes_on_driver(self, spark, tmp_path, monkeypatch):
+        """100 TB guard: compact() must stream the snapshot from executors
+        to parquet, never .collect()/.toPandas() it onto the driver."""
+        from pyspark.sql import DataFrame
+
+        d = str(tmp_path / "data")
+        eng = KVEngine(spark, d, admin="alice", req_quota=4096, quota_interval=1.0)
+        seed(eng)
+        for i in range(3):
+            eng.kv_upsert("alice", "alice_is_awesome", "k", f"v{i}".encode())
+
+        def _forbidden(self, *a, **k):
+            raise AssertionError("driver-side materialization inside SAV compaction")
+
+        monkeypatch.setattr(DataFrame, "collect", _forbidden)
+        monkeypatch.setattr(DataFrame, "toPandas", _forbidden)
+        eng.auth_log.compact()
+        eng.kv_log.compact()
+        monkeypatch.undo()
+        assert eng.kv_get("alice", "alice_is_awesome", "k")[2] == b"v2"
+
 
 class TestAesAtRest:
     """At-rest crypto parity (p1/common/crypto.h:26-49): the engine-tier
