@@ -12,6 +12,14 @@ zero at scale; cold-vs-warm is ~6 s vs ~0.9 s for the widest plan
 here), then the timed run measures data-proportional engine time.
 Warm-up must be at the TARGET SF: AQE re-plans per data size, so a
 small-SF warm-up compiles different generated classes.
+
+Honesty rule: warm-up may pre-pay FIXED costs only.  Memoized table
+statistics (the decile quantile sketch + bucket counts) are cleared
+between warm-up and the timed run, so reported numbers are cold on
+every data-proportional pass of the plan.
+
+The output line also carries ``kv_mix``: the reference's intset
+microbench (p2/bench/bench.cc:175-183 report shape) as ops/sec.
 """
 
 from __future__ import annotations
@@ -76,6 +84,15 @@ HEADLINE = [
     "embedding_quantize",
     "pack_sequences",
 ]
+
+
+def _clear_stat_caches() -> None:
+    """Invalidate memoized table statistics so timed runs are cold on
+    every data-proportional pass (bench honesty: the memo is a catalog-
+    statistics cache for interactive reuse, not a benchmark assist)."""
+    from operating_system_map_reduce_spark.plans import analytics
+
+    analytics._DECILE_STATS.clear()
 
 
 def kv_mix_bench(spark, n_ops: int = 1 << 20, key_range: int = 1 << 20) -> dict:
@@ -151,12 +168,21 @@ def main() -> None:
         # untimed warm-up at the target SF compiles this query's
         # AQE-shaped codegen and boots its Python workers
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # the warm-up must NOT pre-pay data-proportional work: drop
+        # memoized table statistics so the timed run includes every
+        # pass of the plan (the decile quantile sketch + bucket counts
+        # are data-proportional jobs, unlike codegen/worker startup)
+        _clear_stat_caches()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
+
+    # reference-parity throughput line (p2/bench/bench.cc:175-183 report):
+    # produced in the default artifact so every round records it
+    mix = kv_mix_bench(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -165,6 +191,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kv_mix": mix,
     }))
     spark.stop()
 
