@@ -6,24 +6,30 @@ needs per-document CLUSTER labels — transitively closed, so that
 A~B, B~C collapses {A,B,C} onto one canonical document even when A and
 C never co-occur in a bucket.
 
-Spark-first design (no GraphFrames dependency):
- - min-label propagation expressed as join + groupBy per round; every
-   round is two shuffles on the node id, both AQE-coalesced.
- - convergence is detected with a cheap global aggregate (the sum of
-   labels decreases monotonically and strictly until fixpoint), not a
-   per-row diff join.
+Spark-first design (no GraphFrames dependency): alternating
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).  Unlike plain min-label
+propagation — whose round count is bounded by the component DIAMETER,
+so a chain-shaped near-dup cluster of length d costs d shuffle rounds —
+star contraction halves the effective tree height every iteration and
+converges in O(log n) rounds on ANY graph shape:
+
+ - large-star: every node u links each strictly-larger neighbor to the
+   minimum of its neighborhood (including u itself);
+ - small-star: every node u links its smaller neighbors (and itself) to
+   that minimum.
+
+Each operation is one groupBy + one join on the node id, both
+AQE-coalesced; at fixpoint the edge set is a star per component,
+centered at the component's minimum node id.
+
+Engineering notes:
  - lineage is truncated every round with localCheckpoint — iterative
    self-join plans otherwise grow exponentially and overwhelm the
    optimizer by round ~8.  (At 100 TB this becomes a reliable
    checkpoint to object storage; same plan shape.)
-
-Round count is bounded by the component DIAMETER, not n: near-dup
-clusters are shallow (a handful of hops), so 3-5 rounds in practice.
-For adversarial long-chain graphs the known O(log n)-round fix is
-alternating large-star/small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14); the propagation form is
-kept here because dedup graphs are diameter-bounded and the per-round
-plan is half the shuffles.
+ - convergence is detected with a constant-size aggregate (edge count +
+   xxhash64 content checksum), never a per-row diff join.
 
 Reference parity note: the reference engine (C++ kv/map-reduce server)
 has no graph tier; this module is part of the charter's
@@ -37,7 +43,50 @@ from pyspark.sql import functions as F
 
 
 class ConvergenceError(RuntimeError):
-    """Propagation did not reach a fixpoint within max_iter rounds."""
+    """Star contraction did not reach a fixpoint within max_iter rounds."""
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(Γ(u) ∪ {u}).
+
+    Output edges are strictly oriented large→small (m ≤ u < v)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("mn"))
+    )
+    # no distinct here: duplicates do not change _small_star's min
+    # aggregate, and its output distinct dedups — saves a shuffle/round
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v < u plus (u, m), m = min(N(u) ∪ {u}).
+
+    Expects and preserves the large→small orientation (u > v)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(mins.select(F.col("u"), F.col("mn").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    """Constant-size fixpoint probe: (edge count, order-independent
+    content hash).  Sum-of-xxhash64 in decimal(38,0) cannot overflow
+    and collides with negligible probability."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -50,39 +99,33 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     carry no edge and need no label; callers union them back if they
     want identity rows).
     """
-    spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"),
-                           F.col("src").alias("dst"))).distinct()
-    # Materialize the (static) edge list once; every round joins it.
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("src").alias("id"))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every node that appears at all keeps a label, even if its only
+    # edge is a self-loop the contraction drops
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u")))
         .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumnRenamed("u", "id")
     )
-    prev_sum = labels.agg(F.sum("comp").cast("long")).collect()[0][0]
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    prev = _checksum(e)
 
+    converged = False
     for _ in range(max_iter):
-        # neighbor labels flow along edges; keep own label in the pool
-        msgs = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "comp")
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(raise max_iter; star contraction needs O(log n) rounds)"
         )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("comp").cast("long")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise ConvergenceError(
-        f"connected_components: no fixpoint after {max_iter} rounds "
-        "(component diameter exceeds the bound; raise max_iter or switch "
-        "to large-star/small-star)"
+
+    # fixpoint edge set is a star per component, centered at the min id
+    stars = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
     )

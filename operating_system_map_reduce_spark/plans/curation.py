@@ -31,8 +31,8 @@ from operating_system_map_reduce_spark.sources.tables import load_table as _t
 # Edges = MinHash-LSH verified near-dup pairs UNION exact-dup star edges
 # (each doc -> min doc of its md5(text) group; star edges are enough for
 # connectivity and avoid the |group|^2 blowup of full cliques).  Labels
-# come from operators/graph.connected_components (min-label propagation,
-# two AQE-coalesced shuffles per round, rounds = component diameter).
+# come from operators/graph.connected_components (large-star/small-star
+# contraction, O(log n) shuffle rounds regardless of component shape).
 # The oracle replays the same closure with a recursive CTE.
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,19 @@ class TestConnectedComponents:
         with pytest.raises(ConvergenceError):
             connected_components(df, max_iter=1)
 
+    def test_long_path_converges_in_log_rounds(self, spark):
+        """Diameter-200 chain: min-label propagation needs ~200 rounds
+        and failed here by ConvergenceError; star contraction must close
+        it within the default 25-round (O(log n)) budget."""
+        chain = [(i, i + 1) for i in range(200)]
+        got = _components(spark, chain)
+        assert set(got.values()) == {0}
+        assert len(got) == 201
+
+    def test_self_loop_only_node_keeps_identity_label(self, spark):
+        got = _components(spark, [(1, 2), (7, 7)])
+        assert got == {1: 1, 2: 1, 7: 7}
+
 
 class TestCurationPlans:
     def test_cluster_counts_tie_out_with_pair_detectors(self, spark, sf_dir):
