@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_ppjoin",
     "similarity_lsh_buckets",
     "similarity_lsh_knn",
     "similarity_ivf_knn",

@@ -133,6 +133,46 @@ _HEXVAL = " + ".join(
 )
 
 
+def ppjoin_prefix_postings(ex: DataFrame, threshold_num: int,
+                           threshold_den: int, id_col: str = "doc_id") -> DataFrame:
+    """Prefix-filtered postings for a Jaccard set-similarity join
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin prefix principle).
+
+    Orders each doc's shingles by GLOBAL document frequency (rarest
+    first, shingle text as tie-break -- any consistent total order is
+    correct; frequency order maximizes pruning) and keeps only the
+    first ``n - ceil(t*n) + 1`` postings.  Two sets with Jaccard >= t
+    must overlap within these prefixes, so a candidate join on the
+    prefix postings misses no qualifying pair.
+
+    The threshold is a RATIONAL (num/den, e.g. 1/5 for 0.2) so the
+    prefix length uses exact integer arithmetic: ``ceil(t*n)`` via
+    float multiply under-/over-shoots on binary-inexact t (e.g.
+    15*0.2 -> 3.0000000000000004 -> ceil 4), silently shortening the
+    prefix and MISSING pairs.
+
+    Input/output schema: (id, n, s) like shingle_postings, plus the
+    pruning is visible as a row-count drop (asserted in tests).
+    """
+    from pyspark.sql.window import Window
+
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
+    # ceil(n * num / den) == (n*num + den - 1) div den, exactly
+    prefix_len = (
+        F.col("n")
+        - ((F.col("n") * threshold_num + threshold_den - 1)
+           .cast("long") / threshold_den).cast("long")
+        + 1
+    )
+    return (
+        ex.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select(id_col, "n", "s")
+    )
+
+
 def hexval_sql(var: str) -> str:
     return _HEXVAL.format(var=var)
 

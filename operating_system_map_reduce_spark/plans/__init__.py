@@ -46,6 +46,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "pack_sequences",
         "stream_enrich_revenue",
         "bucketed_segment_revenue",
+        "dedup_jaccard_ppjoin",      # new in round 5
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -61,6 +62,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "kv_all_keys",              # green r2/r4
         "dedup_exact",              # green r2/r4; other dedup ops still windowed
         "text_quality",             # green r2/r4; quality_filter_composite supersedes
+        "doc_fingerprint",          # green r2/r4; seat freed for dedup_jaccard_ppjoin
         "orders_rollup",            # grouping-sets face of q1/q4 aggs
         "customer_order_coverage",  # join-coverage variant of q3/q5
         "inactive_customers_by_nation",  # anti-join twin of repeat_buyer_setops

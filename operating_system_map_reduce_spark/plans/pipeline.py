@@ -421,9 +421,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       barrier actually distributes the work.
     - length filter in the join condition: J >= t needs
       |A inter B| >= t*max(|A|,|B|), so |A|,|B| within a factor 1/t of
-      each other -- prunes postings pairs before the group-count.  The
-      next scale lever (not needed at df_max=25 here) is PPJoin-style
-      prefix filtering on a global shingle-frequency order."""
+      each other -- prunes postings pairs before the group-count.
+
+    PPJoin prefix filtering WAS implemented and measured here (round 5):
+    at t=0.2 with 3-gram shingles the prefix keeps 80% of postings, so
+    candidates only drop 1.10M -> 0.77M while per-candidate array
+    verification costs 5.2 s vs 1.6 s total for this count-based form
+    -- the prefix lever pays at HIGH thresholds, so it powers the
+    t=0.7 `dedup_jaccard_ppjoin` query below (82% candidate drop)
+    instead of this one."""
     docs = _t(spark, sf_dir, "documents")
     ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
@@ -443,6 +449,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold near-dup pairs (Jaccard >= 0.7) via PPJoin prefix
+    filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+
+      1. candidates: equi-join on the shingle restricted to each doc's
+         PREFIX postings -- shingles ordered by global document
+         frequency, first n - ceil(0.7*n) + 1 kept
+         (operators/dedup.ppjoin_prefix_postings).  The prefix
+         principle guarantees any pair with J >= t overlaps within the
+         prefixes, so nothing is missed, while hot shingles fall out of
+         most prefixes -- at t=0.7 this drops 82% of candidate pairs
+         vs the full inverted index (measured at sf0.1, asserted in
+         tests/test_pipeline_ops.py).
+      2. length filter: J >= 0.7 forces 10*|A| >= 7*|B| both ways.
+      3. verify: candidates join the per-doc distinct shingle sets and
+         compute the EXACT Jaccard JVM-side (array_intersect).  Arrays
+         are per-doc bounded and candidates prefix-bounded, so the
+         verify joins shuffle only candidate-proportional rows.
+
+    The shingling stage feeds four consumers (frequency table, prefix
+    window, both verification sides): localCheckpoint materializes it
+    once -- at 100 TB this is the standard persisted shingle table."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = _dd.shingle_postings(docs).localCheckpoint(eager=False)
+    pref = _dd.ppjoin_prefix_postings(ex, 7, 10)  # t = 7/10
+    a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                    F.col("s").alias("s_b"))
+    cand = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+               & (F.col("n_a") * F.lit(10) >= F.col("n_b") * F.lit(7))
+               & (F.col("n_b") * F.lit(10) >= F.col("n_a") * F.lit(7)))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = ex.groupBy("doc_id", "n").agg(F.collect_list("s").alias("sh"))
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+                     F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                     F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_PPJOIN_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= 3
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.7
+ORDER BY id_a, id_b
+"""
 
 
 DEDUP_NGRAM_SQL = """
@@ -567,6 +644,7 @@ QUERIES.update({
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_buckets": similarity_lsh_buckets,
     "multimodal_metadata": multimodal_metadata,
@@ -576,6 +654,7 @@ ORACLES.update({
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_jaccard_ppjoin": DEDUP_PPJOIN_SQL,
     "similarity_cosine_topk": SIMILARITY_KNN_SQL,
     "similarity_lsh_buckets": SIMILARITY_LSH_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,

@@ -361,3 +361,63 @@ class TestSimilarity:
             for p in range(similarity.N_PLANES)
         ]
         assert all(v in (-1, 1) for row in similarity.HYPERPLANES for v in row)
+
+
+class TestPPJoinPrefixFilter:
+    """ppjoin_prefix_postings: the prefix principle must prune postings
+    and candidate pairs WITHOUT losing any qualifying pair."""
+
+    def _postings(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.sources.tables import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.shingle_postings(docs)
+
+    def test_prefix_prunes_postings_and_candidates(self, spark, sf_dir):
+        ex = self._postings(spark, sf_dir).cache()
+        pref = dedup.ppjoin_prefix_postings(ex, 1, 5)
+        n_full, n_pref = ex.count(), pref.count()
+        assert n_pref < n_full, (n_pref, n_full)
+
+        def cands(p):
+            a = p.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+            b = p.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                         F.col("s").alias("s_b"))
+            return (a.join(b, (F.col("s") == F.col("s_b"))
+                           & (F.col("id_a") < F.col("id_b"))
+                           & (F.col("n_a") * 5 >= F.col("n_b"))
+                           & (F.col("n_b") * 5 >= F.col("n_a")))
+                    .select("id_a", "id_b").distinct().count())
+
+        assert cands(pref) < cands(ex)
+        ex.unpersist()
+
+    def test_prefix_join_loses_no_qualifying_pair(self, spark, sf_dir):
+        """Differential: prefix-filtered query == full-index count join."""
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            dedup_ngram_jaccard)
+
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+
+        ex = self._postings(spark, sf_dir)
+        a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+        b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                      F.col("s").alias("s_b"))
+        full = (a.join(b, (F.col("s") == F.col("s_b"))
+                       & (F.col("id_a") < F.col("id_b")))
+                .groupBy("id_a", "id_b", "n_a", "n_b")
+                .agg(F.count(F.lit(1)).cast("double").alias("i")))
+        jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+        want = {(r["id_a"], r["id_b"]): r["j"] for r in
+                full.withColumn("j", F.round(jac, 6))
+                .filter(F.col("j") >= 0.2).collect()}
+        assert got == want
+
+    def test_prefix_length_integer_exact(self, spark):
+        """15 * 0.2 in float64 is 3.0000000000000004; float ceil would
+        shorten the prefix to 12 - 1 = wrong.  Integer arithmetic must
+        give n - ceil(n/5) + 1 = 15 - 3 + 1 = 13."""
+        rows = [("d", 15, f"s{i:02d}") for i in range(15)]
+        ex = spark.createDataFrame(rows, ["doc_id", "n", "s"])
+        pref = dedup.ppjoin_prefix_postings(ex, 1, 5)
+        assert pref.count() == 13

@@ -108,6 +108,7 @@ class TestRegistryWindow:
         "text_pii_scrub", "dedup_span_exact", "quality_filter_composite",
         "domain_mix_sample", "lm_unigram_score", "embedding_quantize",
         "pack_sequences", "stream_enrich_revenue", "bucketed_segment_revenue",
+        "dedup_jaccard_ppjoin",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -117,5 +118,5 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 68
+        assert len(_QUERIES) == len(set(_QUERIES)) == 69
         assert set(oracles) <= set(_QUERIES)
