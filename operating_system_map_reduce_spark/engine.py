@@ -103,10 +103,10 @@ class KVEngine:
             return self._seq
 
     def auth_df(self) -> DataFrame:
-        return self.auth_log.replay()
+        return self.auth_log.replay_cached()
 
     def kv_df(self) -> DataFrame:
-        return self.kv_log.replay()
+        return self.kv_log.replay_cached()
 
     def _auth(self, user: str, password: str):
         """Salted-hash check (p3/server/my_storage.cc:232-250)."""

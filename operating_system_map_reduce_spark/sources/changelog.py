@@ -45,6 +45,11 @@ class ChangeLog:
         )
         os.makedirs(self.base_dir, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
+        # incremental replay-state cache (see replay_cached)
+        import threading
+        self._cache_lock = threading.Lock()
+        self._state_cache: tuple | None = None
+        self._cache_depth = 0
 
     @property
     def base_dir(self) -> str:
@@ -88,21 +93,78 @@ class ChangeLog:
             df = df.unionByName(p)
         return df
 
+    def _dedup(self, df: DataFrame) -> DataFrame:
+        """latest seq per key wins; delete-ops drop the key."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(self.key_col).orderBy(F.desc(self.seq_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(self.op_col) != "delete")
+            .drop("__rn")
+        )
+
     def replay(self) -> DataFrame:
         """Current state: latest seq per key wins; delete-ops drop the key.
         Equivalent to the reference's sequential load_file replay
         (p3/server/my_storage.cc:573-702) but order-independent and
         distributed: one shuffle on the key column."""
-        from pyspark.sql.window import Window
+        return self._dedup(self.raw())
 
-        w = Window.partitionBy(self.key_col).orderBy(F.desc(self.seq_col))
-        return (
-            self.raw()
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .filter(F.col(self.op_col) != "delete")
-            .drop("__rn")
-        )
+    def _read_files(self, files: list[str]) -> DataFrame:
+        return self.spark.read.schema(self.schema).parquet(*files)
+
+    def _layout_key(self) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        """Cheap (listdir-only, no Spark job) fingerprint of the
+        on-disk layout: (base files, log files)."""
+        base = tuple(sorted(os.listdir(self.base_dir)))
+        log = tuple(sorted(f for f in os.listdir(self.log_dir)
+                           if f.endswith(".parquet")))
+        return base, log
+
+    def replay_cached(self) -> DataFrame:
+        """replay() with an incremental state cache.
+
+        Point ops (GET/ALL/auth checks) previously re-ran the full
+        windowed replay over base + every log file per call.  Here the
+        replayed state is cached (localCheckpoint) keyed by the on-disk
+        layout; pure appends extend it incrementally — the new state is
+        dedup(cached state ∪ tail files only), so a point op after N
+        writes scans the in-memory state plus the few new batch files
+        instead of the whole log.  Every 8 increments (or on any
+        non-append layout change, e.g. compaction) the state is rebuilt
+        from files, bounding both lineage depth and cached-copy count.
+
+        Reference analog: the in-memory Map the reference serves reads
+        from, with the changelog only replayed at load (p3/server/
+        my_storage.cc:573-702).  Semantically identical to replay():
+        a tail tombstone outranks any cached row; cached rows carry
+        their seq so latest-wins merges stay correct."""
+        with self._cache_lock:
+            key = self._layout_key()
+            if self._state_cache is not None and self._state_cache[0] == key:
+                return self._state_cache[1]
+            incremental = (
+                self._state_cache is not None
+                and self._state_cache[0][0] == key[0]
+                and set(self._state_cache[0][1]) <= set(key[1])
+                and self._cache_depth < 8
+            )
+            if incremental:
+                old = set(self._state_cache[0][1])
+                tail = [os.path.join(self.log_dir, f)
+                        for f in key[1] if f not in old]
+                state = self._dedup(
+                    self._state_cache[1].unionByName(self._read_files(tail))
+                )
+                self._cache_depth += 1
+            else:
+                state = self.replay()
+                self._cache_depth = 0
+            state = state.localCheckpoint(eager=False)
+            self._state_cache = (key, state)
+            return state
 
     def max_seq(self) -> int:
         row = self.raw().agg(F.max(self.seq_col).alias("m")).collect()[0]

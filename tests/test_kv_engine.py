@@ -190,3 +190,62 @@ class TestAesAtRest:
                   .select((F.col("plain") == wrong).alias("leak"))
                   .filter(F.col("leak")).count())
         assert leaked == 0
+
+
+class TestReplayCache:
+    """replay_cached: point ops must not re-scan the whole log per call."""
+
+    def _eng(self, spark, tmp_path):
+        d = str(tmp_path / "data")
+        return KVEngine(spark, d, admin="alice", req_quota=4096, quota_interval=1.0)
+
+    def test_unchanged_layout_returns_same_plan_no_rescan(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        seed(eng)
+        eng.kv_insert("alice", "alice_is_awesome", "k", b"v")
+        first = eng.kv_log.replay_cached()
+        assert eng.kv_log.replay_cached() is first, "cache hit must be free"
+
+    def test_append_extends_state_incrementally(self, spark, tmp_path, monkeypatch):
+        """After the cache is warm, a write must only re-read the new
+        batch files, never the full log."""
+        eng = self._eng(spark, tmp_path)
+        seed(eng)
+        eng.kv_insert("alice", "alice_is_awesome", "k1", b"v1")
+        eng.kv_get("alice", "alice_is_awesome", "k1")  # warm the cache
+
+        read_calls: list[list[str]] = []
+        orig = type(eng.kv_log)._read_files
+
+        def spy(self, files):
+            read_calls.append(list(files))
+            return orig(self, files)
+
+        monkeypatch.setattr(type(eng.kv_log), "_read_files", spy)
+        eng.kv_insert("alice", "alice_is_awesome", "k2", b"v2")
+        assert eng.kv_get("alice", "alice_is_awesome", "k2")[2] == b"v2"
+        kv_reads = [fs for fs in read_calls if any("/kv/" in f for f in fs)]
+        assert kv_reads, "expected an incremental tail read"
+        for fs in kv_reads:
+            assert len(fs) <= 2, f"full-log rescan detected: {fs}"
+
+    def test_tombstone_outranks_cached_row(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        seed(eng)
+        eng.kv_insert("alice", "alice_is_awesome", "k", b"v")
+        assert eng.kv_get("alice", "alice_is_awesome", "k")[2] == b"v"  # cache k
+        eng.kv_delete("alice", "alice_is_awesome", "k")
+        assert eng.kv_get("alice", "alice_is_awesome", "k")[1] == codes.RES_ERR_KEY
+        eng.kv_insert("alice", "alice_is_awesome", "k", b"v2")
+        assert eng.kv_get("alice", "alice_is_awesome", "k")[2] == b"v2"
+
+    def test_compaction_invalidates_and_rebuilds(self, spark, tmp_path):
+        eng = self._eng(spark, tmp_path)
+        seed(eng)
+        for i in range(3):
+            eng.kv_upsert("alice", "alice_is_awesome", "k", f"v{i}".encode())
+        eng.kv_get("alice", "alice_is_awesome", "k")  # warm
+        assert eng.save_file("alice", "alice_is_awesome")[1] == codes.RES_OK
+        assert eng.kv_get("alice", "alice_is_awesome", "k")[2] == b"v2"
+        eng.kv_insert("alice", "alice_is_awesome", "k9", b"x")
+        assert eng.kv_get("alice", "alice_is_awesome", "k9")[2] == b"x"
