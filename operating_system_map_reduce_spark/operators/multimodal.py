@@ -16,7 +16,8 @@ The codec is an injectable seam with two implementations:
 
 Operators take ``codec=``; with ``codec=None`` resolution is:
 explicit codec > ``fake=True`` -> FakeCodec > PIL importable ->
-PilCodec > NotImplementedError.  The codec object is pickled into the
+PilCodec > PngCodec (pure-stdlib real branch, PNG-only).  The codec
+object is pickled into the
 mapInPandas closure, so implementations must be import-light and
 stateless (PIL is imported lazily inside methods, on the executor).
 
@@ -121,18 +122,151 @@ class PilCodec:
         return buf.getvalue()
 
 
+class PngCodec:
+    """Real PNG codec in pure stdlib (zlib + struct): the no-dependency
+    real branch, so the non-fake decode path is exercised in every
+    environment (the sandbox has no Pillow).  Supports 8-bit RGB/RGBA
+    (color types 2 and 6), all five PNG scanline filters on decode,
+    nearest-neighbor thumbnail resize, filter-0 RGB encode.  Non-PNG or
+    unsupported payloads raise ValueError — real-codec semantics, unlike
+    FakeCodec which fabricates metadata for any bytes."""
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+
+    # -- chunk plumbing ---------------------------------------------------
+
+    @classmethod
+    def _chunks(cls, payload: bytes):
+        import struct
+
+        if payload[:8] != cls._SIG:
+            raise ValueError("not a PNG payload")
+        pos = 8
+        while pos + 8 <= len(payload):
+            (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if len(data) < ln:
+                raise ValueError(f"truncated PNG chunk at offset {pos}")
+            yield tag, data
+            pos += 12 + ln  # len + tag + data + crc
+
+    @classmethod
+    def _ihdr(cls, payload: bytes) -> tuple[int, int, int, int]:
+        import struct
+
+        for tag, data in cls._chunks(payload):
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+                return w, h, depth, ctype
+        raise ValueError("PNG without IHDR")
+
+    # -- decode -----------------------------------------------------------
+
+    def decode(self, payload: bytes) -> dict:
+        w, h, _, _ = self._ihdr(payload)
+        return {"format": "png", "width": w, "height": h, "n_frames": 1}
+
+    @classmethod
+    def _pixels(cls, payload: bytes) -> tuple[int, int, int, bytearray]:
+        """(width, height, bpp, raw pixel bytes) after unfiltering."""
+        import zlib
+
+        w, h, depth, ctype = cls._ihdr(payload)
+        if depth != 8 or ctype not in (2, 6):
+            raise ValueError(f"unsupported PNG (depth={depth}, color type={ctype})")
+        bpp = 3 if ctype == 2 else 4
+        raw = zlib.decompress(
+            b"".join(d for t, d in cls._chunks(payload) if t == b"IDAT")
+        )
+        stride = w * bpp
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            if ftype == 1:    # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            out[y * stride:(y + 1) * stride] = line
+            prev = line
+        return w, h, bpp, out
+
+    # -- encode -----------------------------------------------------------
+
+    @staticmethod
+    def encode_rgb(w: int, h: int, pixels: bytes) -> bytes:
+        """Minimal RGB8 PNG writer (filter 0 rows)."""
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        stride = w * 3
+        raw = b"".join(
+            b"\x00" + bytes(pixels[y * stride:(y + 1) * stride]) for y in range(h)
+        )
+        return (PngCodec._SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        """Thumbnail semantics: fit within (w, h) preserving aspect,
+        never upscale; nearest-neighbor resample; RGB8 PNG out."""
+        sw, sh, bpp, px = self._pixels(payload)
+        scale = min(w / sw, h / sh, 1.0)
+        tw, th = max(1, int(sw * scale)), max(1, int(sh * scale))
+        out = bytearray(tw * th * 3)
+        for y in range(th):
+            sy = min(sh - 1, int(y * sh / th))
+            for x in range(tw):
+                sx = min(sw - 1, int(x * sw / tw))
+                src = (sy * sw + sx) * bpp
+                dst = (y * tw + x) * 3
+                out[dst:dst + 3] = px[src:src + 3]
+        return self.encode_rgb(tw, th, bytes(out))
+
+    def frame(self, payload: bytes, idx: int) -> bytes:
+        """PNGs are single-frame: re-encode the image as RGB."""
+        sw, sh, bpp, px = self._pixels(payload)
+        if bpp == 3:
+            return self.encode_rgb(sw, sh, bytes(px))
+        rgb = bytearray(sw * sh * 3)
+        for i in range(sw * sh):
+            rgb[i * 3:i * 3 + 3] = px[i * 4:i * 4 + 3]
+        return self.encode_rgb(sw, sh, bytes(rgb))
+
+
 def resolve_codec(fake: bool, codec=None):
-    """explicit codec > fake double > PIL if importable > error."""
+    """explicit codec > fake double > PIL if importable > pure-stdlib
+    PNG codec (real branch, PNG-only)."""
     if codec is not None:
         return codec
     if fake:
         return FakeCodec()
     if pil_available():
         return PilCodec()
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "pass fake=True for the deterministic test double or inject codec="
-    )
+    return PngCodec()
 
 
 def decode_stub(payload: bytes, fake: bool = False) -> dict:

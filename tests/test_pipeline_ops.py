@@ -11,8 +11,11 @@ from operating_system_map_reduce_spark.operators import dedup, multimodal, simil
 
 
 class TestMultimodal:
-    def test_decode_stub_requires_fake(self):
-        with pytest.raises(NotImplementedError):
+    def test_decode_stub_real_branch_rejects_junk(self):
+        """fake=False resolves a REAL codec (PIL or the stdlib PNG
+        codec), which must reject a non-media payload instead of
+        fabricating metadata like the fake does."""
+        with pytest.raises((ValueError, OSError)):
             multimodal.decode_stub(b"payload")
 
     def test_decode_stub_deterministic(self):
@@ -35,37 +38,92 @@ class TestMultimodal:
 
 
     def test_codec_resolution_order(self):
-        """explicit codec > fake double > PIL > NotImplementedError."""
+        """explicit codec > fake double > PIL > pure-stdlib PNG codec."""
         sentinel = multimodal.FakeCodec()
         assert multimodal.resolve_codec(fake=True, codec=sentinel) is sentinel
         assert isinstance(multimodal.resolve_codec(fake=True), multimodal.FakeCodec)
         if not multimodal.pil_available():
-            with pytest.raises(NotImplementedError):
-                multimodal.resolve_codec(fake=False)
+            assert isinstance(multimodal.resolve_codec(fake=False),
+                              multimodal.PngCodec)
             with pytest.raises(NotImplementedError):
                 multimodal.PilCodec()
 
-    @pytest.mark.skipif(not multimodal.pil_available(), reason="Pillow not installed")
-    def test_pil_codec_real_decode(self, spark):
-        """The PIL branch decodes a real PNG through the same mapInPandas
-        plumbing the fake path uses (exercised only where Pillow exists;
-        the oracle-gated queries stay on the fake)."""
-        import io
+    def _real_codec(self):
+        """The real (non-fake) branch: Pillow where installed, else the
+        pure-stdlib PNG codec -- so this path runs in EVERY environment."""
+        if multimodal.pil_available():
+            return multimodal.PilCodec()
+        return multimodal.PngCodec()
 
-        from PIL import Image
-
-        buf = io.BytesIO()
-        Image.new("RGB", (120, 80), (200, 10, 10)).save(buf, format="PNG")
-        png = buf.getvalue()
+    def test_real_codec_decode_through_spark(self, spark):
+        """The real branch decodes a genuine PNG through the same
+        mapInPandas plumbing the fake path uses."""
+        pixels = bytes([200, 10, 10]) * (120 * 80)
+        png = multimodal.PngCodec.encode_rgb(120, 80, pixels)
+        codec = self._real_codec()
         docs = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
-        meta = multimodal.decode_media(
-            docs, fake=False, codec=multimodal.PilCodec()).collect()[0]
+        meta = multimodal.decode_media(docs, fake=False, codec=codec).collect()[0]
         assert (meta["format"], meta["width"], meta["height"]) == ("png", 120, 80)
         thumb = multimodal.resize_media(
-            docs, target_w=64, target_h=64, fake=False,
-            codec=multimodal.PilCodec()).collect()[0]
+            docs, target_w=64, target_h=64, fake=False, codec=codec).collect()[0]
         assert (thumb["width"], thumb["height"]) == (64, 42)
-        assert Image.open(io.BytesIO(bytes(thumb["thumb"]))).size[0] <= 64
+        again = multimodal.PngCodec().decode(bytes(thumb["thumb"]))
+        assert again["width"] <= 64 and again["height"] <= 64
+
+    def test_png_codec_all_filters_roundtrip(self):
+        """Unfiltering parity: hand-filter scanlines with each PNG filter
+        type (0-4) and check the decoder recovers the exact pixels."""
+        import struct
+        import zlib
+
+        w, h = 5, 5
+        stride = w * 3
+        pixels = bytes((y * 40 + x * 7 + c * 3) % 256
+                       for y in range(h) for x in range(w) for c in range(3))
+
+        def filt(ftype, line, prev):
+            out = bytearray([ftype])
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+            return bytes(out)
+
+        raw = b""
+        prev = bytes(stride)
+        for y in range(h):
+            line = pixels[y * stride:(y + 1) * stride]
+            raw += filt(y % 5, line, prev)
+            prev = line
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+        got_w, got_h, bpp, got = multimodal.PngCodec._pixels(png)
+        assert (got_w, got_h, bpp) == (w, h, 3)
+        assert bytes(got) == pixels
+
+    def test_png_codec_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            multimodal.PngCodec().decode(b"\xff\xd8\xff not a png")
 
     def test_extract_features_shape_and_range(self, spark):
         docs = spark.createDataFrame([(1, "a doc"), (2, "b doc")], ["doc_id", "text"])
