@@ -711,8 +711,14 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
 
 
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # source mtimes in the table tag (mirroring _DECILE_STATS' cache
+    # key): in-place testdata regeneration must invalidate the bucketed
+    # copies, or a live session serves stale buckets while the DuckDB
+    # oracle reads the fresh parquet -- silent parity divergence.
+    mt = int(max(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")),
+                 os.path.getmtime(os.path.join(sf_dir, "customer.parquet"))))
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    t_orders, t_cust = f"b_orders_{tag}_{mt}", f"b_customer_{tag}_{mt}"
     _ensure_bucketed(spark, t_orders,
                      _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
                      "o_custkey")

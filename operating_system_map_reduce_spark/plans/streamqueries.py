@@ -144,7 +144,8 @@ def stream_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain batch join + epoch-bucket group.
 STREAM_ENRICH_SQL = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-       c_mktsegment, COUNT(*) AS n_events, SUM(value) AS sum_value
+       c_mktsegment, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 ORDER BY 1, 2

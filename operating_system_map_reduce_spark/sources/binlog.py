@@ -93,6 +93,12 @@ def read_entries(path: str) -> Iterator[tuple[bytes, ...]]:
         if arity is None:
             raise ValueError(f"corrupt file {path!r}: bad tag {tag!r} at {pos}")
         pos += 8
+        # bounds-check the length block and every field: a truncated or
+        # corrupt file must raise (naming the offset, like the bad-tag
+        # diagnostic), never round-trip silently-short fields as data
+        if pos + 8 * arity > len(data):
+            raise ValueError(
+                f"corrupt file {path!r}: truncated length block at {pos}")
         lens = []
         for _ in range(arity):
             (ln,) = struct.unpack_from("<Q", data, pos)
@@ -100,6 +106,10 @@ def read_entries(path: str) -> Iterator[tuple[bytes, ...]]:
             pos += 8
         fields = []
         for ln in lens:
+            if pos + ln > len(data):
+                raise ValueError(
+                    f"corrupt file {path!r}: field of {ln} bytes "
+                    f"overruns EOF at {pos}")
             fields.append(data[pos:pos + ln])
             pos += ln
         consumed = 8 + 8 * arity + sum(lens)

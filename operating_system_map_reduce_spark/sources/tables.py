@@ -49,6 +49,8 @@ _EXPECTED: dict[str, dict[str, tuple[str, ...]]] = {
         "user_id": ("bigint", "int"),
         "event_type": ("string",),
         "ts": ("bigint", "timestamp"),  # nanos-as-long OR timestamp[(n)tz]
+        "value": ("double", "decimal"),  # SUM'd by stream_enrich_revenue
+        "props": ("string",),            # events_json_extract JSON blob
     },
     "documents": {"doc_id": ("bigint", "int"), "text": ("string",)},
     "embeddings": {"vec_id": ("bigint", "int"), "embedding": ("array",)},

@@ -186,7 +186,11 @@ def enriched_windowed_revenue(spark: SparkSession, stream: DataFrame,
         .withColumn("ts", ts)
         .withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", WINDOW).alias("w"), F.col("c_mktsegment"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             # ROUND(...,6) on visible float outputs, both engines: raw
+             # SUM(double) is summation-order sensitive and would trip
+             # the driver's typed value-hash at larger SFs
+             F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "c_mktsegment", "n_events", "sum_value",

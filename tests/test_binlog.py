@@ -134,3 +134,19 @@ class TestSparkExport:
         assert got == {f"key{i}".encode(): f"value-{i}".encode() for i in range(20)}
         assert n == sum(B.entry_size(B.KVENTRY, len(f"key{i}"), len(f"value-{i}"))
                         for i in range(20))
+
+
+def test_truncated_file_raises_with_offset(tmp_path):
+    from operating_system_map_reduce_spark.sources import binlog as B
+
+    path = str(tmp_path / "log.bin")
+    B.write_entries(path, [(B.KVENTRY, b"key1", b"value-bytes")])
+    data = open(path, "rb").read()
+    # cut inside the last field
+    open(path, "wb").write(data[:-6])
+    with pytest.raises(ValueError, match="overruns EOF"):
+        list(B.read_entries(path))
+    # cut inside the length block
+    open(path, "wb").write(data[:12])
+    with pytest.raises(ValueError, match="truncated length block"):
+        list(B.read_entries(path))
