@@ -326,9 +326,17 @@ class KVEngine:
         code = self.funcs.register_source(mrname, source, associative)
         return (code == codes.RES_OK), code, None
 
-    def invoke_mr(self, user: str, password: str, mrname: str):
+    def invoke_mr(self, user: str, password: str, mrname: str,
+                  confined: bool = True):
         """KMR (protocol.h:447-469): run the named map over every kv pair
-        of a consistent snapshot, then the global reduce."""
+        of a consistent snapshot, then the global reduce.
+
+        Confined by default, matching the reference: it forks + applies
+        SECCOMP_MODE_STRICT before running user code
+        (p5/server/my_storage.cc:282-285); our analog is the rlimit
+        sandbox in operators/confine.py (no new fds, no spawn, no
+        regular-file growth, CPU budget).  ``confined=False`` opts out
+        for trusted functions on the hot path."""
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
         if not self._charge_request(user):
@@ -337,7 +345,8 @@ class KVEngine:
         if entry is None:
             return False, codes.RES_ERR_FUNC, None
         map_fn, reduce_fn, associative = entry
-        ok, code, payload = run_map_reduce(self.kv_df(), map_fn, reduce_fn, associative)
+        ok, code, payload = run_map_reduce(self.kv_df(), map_fn, reduce_fn,
+                                           associative, confined=confined)
         return ok, code, payload if ok else None
 
     # --------------------------------------------------------- persistence

@@ -16,6 +16,12 @@ Execution is Spark-native:
    builds from fork()+SECCOMP_MODE_STRICT (p5/server/my_storage.cc:282-285);
  - a UDF that raises kills the task, never the engine; we surface
    ERR_SERVER like the reference's killed child (my_storage.cc:361-364);
+ - ``confined=True`` additionally *prevents* side effects the way the
+   reference's SECCOMP_MODE_STRICT does: every batch of user-code calls
+   runs in a fork()ed child whose rlimits forbid new fds (open/socket),
+   process spawning, regular-file growth, and runaway CPU -- see
+   operators/confine.py.  A violation surfaces as ERR_SERVER, the code
+   the reference returns for a seccomp-killed child;
  - the reduce is global and non-associative, so exact parity collects
    map outputs to the driver in deterministic key order before one
    reduce() call.  For associative reducers, ``associative=True`` opts
@@ -97,23 +103,34 @@ class FuncTable:
 def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
                    associative: bool = False,
                    max_reduce_input_bytes: int = MAX_REDUCE_INPUT_BYTES,
+                   confined: bool = False,
                    ) -> tuple[bool, str, bytes]:
     """Run map over every (key, value) pair of the snapshot, then the
-    global reduce.  Returns (ok, code, payload)."""
+    global reduce.  Returns (ok, code, payload).
+
+    ``confined=True`` executes both user functions under the rlimit
+    sandbox (operators/confine.py) -- the SECCOMP_MODE_STRICT analog."""
+    from operating_system_map_reduce_spark.operators import confine
+
     try:
         mapped = kv_df.select("key", "value").mapInPandas(
-            _make_map_batches(map_fn), schema=_MAP_OUT_SCHEMA
+            _make_map_batches(map_fn, confined=confined), schema=_MAP_OUT_SCHEMA
         )
+        if confined:
+            def reduce_call(vals: list[bytes]) -> bytes:
+                return confine.confined_batch(reduce_fn, [(vals,)])[0]
+        else:
+            reduce_call = reduce_fn
         if associative:
             # Distributed fold: reduce each partition's outputs, then
             # reduce the per-partition digests.  Valid only when
             # reduce(reduce(A) ++ reduce(B)) == reduce(A ++ B).
             partials = (
                 mapped.rdd.map(lambda r: bytes(r.mapped) if r.mapped is not None else b"")
-                .mapPartitions(lambda it: _partition_digest(it, reduce_fn))
+                .mapPartitions(lambda it: _partition_digest(it, reduce_call))
                 .collect()
             )
-            result = reduce_fn([p for p in partials if p is not None])
+            result = reduce_call([p for p in partials if p is not None])
         else:
             # Exact-parity path: one global reduce over all map outputs
             # in deterministic key order (the reference feeds scan order;
@@ -129,12 +146,14 @@ def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
                 if total > max_reduce_input_bytes:
                     return False, codes.RES_ERR_XMIT, b""
                 vals.append(b)
-            result = reduce_fn(vals)
+            result = reduce_call(vals)
         result = bytes(result) if result is not None else b""
         if len(result) > codes.LEN_VAL:
             # The reply rides the same value envelope as any payload.
             return False, codes.RES_ERR_XMIT, b""
         return True, codes.RES_OK, result
+    except confine.ConfinedOversize:
+        return False, codes.RES_ERR_XMIT, b""
     except Exception as exc:
         if _XMIT_MARKER in str(exc):
             # A single map output burst LEN_VAL (guard raised in the
@@ -145,17 +164,31 @@ def run_map_reduce(kv_df: DataFrame, map_fn: MapFn, reduce_fn: ReduceFn,
         return False, codes.RES_ERR_SERVER, b""
 
 
-def _make_map_batches(map_fn: MapFn):
+def _make_map_batches(map_fn: MapFn, confined: bool = False):
     def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from operating_system_map_reduce_spark.operators import confine
+
         for pdf in batches:
-            out_keys, out_vals = [], []
-            for key, value in zip(pdf["key"], pdf["value"]):
-                out = map_fn(key, bytes(value) if value is not None else b"")
-                if out is not None and len(out) > codes.LEN_VAL:
-                    raise ValueError(_XMIT_MARKER)
-                out_keys.append(key)
-                out_vals.append(out)
-            yield pd.DataFrame({"key": out_keys, "mapped": out_vals})
+            keys = list(pdf["key"])
+            args = [(key, bytes(value) if value is not None else b"")
+                    for key, value in zip(keys, pdf["value"])]
+            if confined:
+                # One sandboxed child per Arrow batch; oversize is
+                # signalled via the marker string because the original
+                # exception type does not survive the JVM boundary.
+                try:
+                    out_vals = confine.confined_batch(
+                        map_fn, args, max_item_bytes=codes.LEN_VAL)
+                except confine.ConfinedOversize:
+                    raise ValueError(_XMIT_MARKER) from None
+            else:
+                out_vals = []
+                for key, value in args:
+                    out = map_fn(key, value)
+                    if out is not None and len(out) > codes.LEN_VAL:
+                        raise ValueError(_XMIT_MARKER)
+                    out_vals.append(out)
+            yield pd.DataFrame({"key": keys, "mapped": out_vals})
     return map_batches
 
 

@@ -47,6 +47,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "stream_enrich_revenue",
         "bucketed_segment_revenue",
         "dedup_jaccard_ppjoin",      # new in round 5
+        "dedup_purge_canonical",     # new in round 5
+        "corpus_novelty_filter",     # new in round 5
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -72,6 +74,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "multimodal_resize",        # same mapInPandas plumbing as _features
         "skew_salted_distinct",     # salting shown; covered by pytest too
         "q4_order_priority",        # exists-agg face of q1/q3, green r01-r03
+        "token_count",              # green r2/r4; lm_unigram_score shares the tokenizer
+        "text_lang_id",             # green r2/r4; quality/textprep tier still windowed
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -35,7 +35,9 @@ from operating_system_map_reduce_spark.sources.tables import load_table as _t
 # contraction, O(log n) shuffle rounds regardless of component shape).
 # The oracle replays the same closure with a recursive CTE.
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, comp) labels over the near-dup graph: MinHash-LSH verified
+    pairs UNION exact-dup star edges, transitively closed."""
     docs = _t(spark, sf_dir, "documents")
     mh_pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     wmin = Window.partitionBy("h")
@@ -45,9 +47,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("m"))
         .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    labels = _graph.connected_components(
+    return _graph.connected_components(
         mh_pairs.unionByName(exact_pairs), src="id_a", dst="id_b"
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _cluster_labels(spark, sf_dir)
     return (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("n_members"), F.max("id").alias("max_doc"))
@@ -59,7 +65,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The recursive closure enumerates (node, reachable-min-candidate) pairs,
 # which is O(sum |C|^2) rows — fine at the driver's sf0.01 gate; the
 # Spark side is the scale path (per-round shuffles, no quadratic set).
-DEDUP_CLUSTERS_SQL = f"""
+# Shared by the cluster-summary and canonical-purge oracles.
+_CLUSTER_LABELS_CTE = f"""
 WITH RECURSIVE mh_pairs AS (
   SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL}) mh
 ), exact_pairs AS (
@@ -77,9 +84,57 @@ WITH RECURSIVE mh_pairs AS (
   SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id
 ), labels AS (
   SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
-)
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""{_CLUSTER_LABELS_CTE}
 SELECT comp AS cluster_id, COUNT(*) AS n_members, MAX(id) AS max_doc
 FROM labels GROUP BY comp ORDER BY cluster_id
+"""
+
+
+# --- canonical purge: pick one survivor per cluster, quantify the cut -----
+# The step that turns cluster labels into a deduplicated corpus: per
+# cluster keep ONE canonical document -- the longest (max n_chars, ties
+# to the smallest doc_id: deterministic, engine-shared) -- and purge
+# the rest.  Emits the per-cluster purge manifest; docs in no cluster
+# are untouched survivors and are intentionally absent (the manifest
+# stays |clusters|-sized, not corpus-sized, at 100 TB).
+# Scale shape: labels (one row per clustered doc) join documents on the
+# primary key, one window over comp (cluster sizes are small by
+# construction -- LSH buckets), one aggregate.
+
+def dedup_purge_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = _cluster_labels(spark, sf_dir).join(
+        docs, F.col("id") == F.col("doc_id")
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("id"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("id"))).alias("keep_doc"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_purged"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+             .cast("long").alias("purged_chars"),
+        )
+        .select(F.col("comp").alias("cluster_id"), "keep_doc", "n_purged",
+                "purged_chars")
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_PURGE_SQL = f"""{_CLUSTER_LABELS_CTE}, members AS (
+  SELECT l.comp, l.id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.comp
+                            ORDER BY d.n_chars DESC, l.id ASC) AS rk
+  FROM labels l JOIN documents d ON d.doc_id = l.id
+)
+SELECT comp AS cluster_id,
+       MAX(CASE WHEN rk = 1 THEN id END) AS keep_doc,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_purged,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS purged_chars
+FROM members GROUP BY comp ORDER BY cluster_id
 """
 
 
@@ -341,6 +396,7 @@ FROM documents GROUP BY lang ORDER BY lang
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_purge_canonical": dedup_purge_canonical,
     "split_assign": split_assign,
     "contamination_check": contamination_check,
     "sample_stratified": sample_stratified,
@@ -350,6 +406,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_purge_canonical": DEDUP_PURGE_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,

@@ -283,30 +283,36 @@ from operating_system_map_reduce_spark.operators import multimodal as _mm
 _SIG_CACHE: dict = {}  # single slot: (session id, sf_dir) -> persisted sig
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # The signature subtree feeds three consumers (band explode + both
-    # sides of the verify join); without persist Spark recomputes the
-    # 16 md5 minhash passes per consumer.  At 100 TB this would be a
-    # checkpoint to storage instead of executor memory.
-    #
-    # The returned plan references the cache, so it can't be unpersisted
-    # here.  Instead a single-slot cache keyed by (session, sf_dir)
-    # reuses the SAME persisted DataFrame on repeat invocations (bench
-    # steady-state) and evicts the old copy when the key changes (the
-    # driver's per-SF sweep previously leaked one copy per SF).
+def cached_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature of the documents table, persisted once per
+    (session, sf_dir).
+
+    The signature subtree feeds several consumers (band explode + both
+    sides of the verify join, and the novelty filter); without persist
+    Spark recomputes the 16 md5 minhash passes per consumer.  At 100 TB
+    this would be a checkpoint to storage instead of executor memory.
+
+    Returned plans reference the cache, so it can't be unpersisted
+    here.  Instead a single-slot cache keyed by (session, sf_dir)
+    reuses the SAME persisted DataFrame on repeat invocations (bench
+    steady-state) and evicts the old copy when the key changes (the
+    driver's per-SF sweep previously leaked one copy per SF)."""
     key = (id(spark), sf_dir)
     slot = _SIG_CACHE.get("sig")
     if slot is not None and slot[0] == key:
-        sig = slot[1]
-    else:
-        if slot is not None:
-            try:
-                slot[1].unpersist(blocking=False)
-            except Exception:
-                pass  # previous session may be gone
-        sig = _dd.minhash_signature(docs).persist()
-        _SIG_CACHE["sig"] = (key, sig)
+        return slot[1]
+    if slot is not None:
+        try:
+            slot[1].unpersist(blocking=False)
+        except Exception:
+            pass  # previous session may be gone
+    sig = _dd.minhash_signature(_t(spark, sf_dir, "documents")).persist()
+    _SIG_CACHE["sig"] = (key, sig)
+    return sig
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = cached_signature(spark, sf_dir)
     pairs = _dd.candidate_pairs(_dd.lsh_bands(sig))
     sh = sig.select(F.col("doc_id"), F.col("shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -342,7 +348,10 @@ def _bands_union_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
-DEDUP_MINHASH_SQL = f"""
+# Shared CTE prefix: documents -> shingles -> minhash signature ->
+# banded LSH index.  Reused verbatim by the pair-detection oracle and
+# the novelty-filter oracle so both replay the IDENTICAL index.
+_SIG_BANDS_CTE = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
@@ -359,7 +368,10 @@ WITH toks AS (
   SELECT doc_id, shingles, {_minhash_list_sql()} AS mh FROM hv
 ), bands AS (
   {_bands_union_sql()}
-), pairs AS (
+)"""
+
+
+DEDUP_MINHASH_SQL = f"""{_SIG_BANDS_CTE}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
@@ -373,6 +385,78 @@ WITH toks AS (
 SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= 0.2
 ORDER BY id_a, id_b
+"""
+
+
+# --- incremental novelty filter -------------------------------------------
+# The continuous-crawl production shape: an arriving BATCH of documents
+# is deduped against the standing CORPUS's LSH band index without ever
+# re-pairing the corpus with itself.  Batch = doc_id % 10 == 7 (stand-in
+# for today's crawl); corpus = the rest.  A batch doc is flagged when
+# any of its band hashes already exists in the corpus index
+# (near-dup candidate) or its exact md5(text) does (exact dup).
+#
+# Scale shape: the corpus index is (band_idx, band_hash) DISTINCT --
+# in production a maintained table, bucketed by band_hash.  The join
+# shuffles on the band hash; the small arriving batch never multiplies,
+# and the corpus is touched once to probe, never squared.  New docs
+# that survive would then have their bands APPENDED to the index --
+# the incremental-maintenance half is exercised in tests
+# (test_pipeline_ops) via a two-step replay.
+
+def corpus_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    bands = _dd.lsh_bands(cached_signature(spark, sf_dir))
+    corpus_index = (
+        bands.filter(~(F.col("doc_id") % 10 == 7))
+        .select("band_idx", "band_hash").distinct()
+    )
+    band_hits = (
+        bands.filter(F.col("doc_id") % 10 == 7)
+        .join(corpus_index, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))
+    )
+    corpus_hashes = (
+        docs.filter(~is_batch).select(F.md5("text").alias("h")).distinct()
+    )
+    exact_hits = (
+        docs.filter(is_batch)
+        .select("doc_id", F.md5("text").alias("h"))
+        .join(corpus_hashes, "h")
+        .select("doc_id", F.lit(1).cast("long").alias("exact_dup"))
+    )
+    return (
+        band_hits.join(exact_hits, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_band_hits", F.lit(0)).cast("long").alias("n_band_hits"),
+            F.coalesce("exact_dup", F.lit(0)).cast("long").alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_NOVELTY_SQL = f"""{_SIG_BANDS_CTE}, corpus_index AS (
+  SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 <> 7
+), band_hits AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits
+  FROM bands b JOIN corpus_index c
+    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+  WHERE b.doc_id % 10 = 7
+  GROUP BY b.doc_id
+), exact_hits AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS exact_dup
+  FROM documents
+  WHERE doc_id % 10 = 7
+    AND md5(text) IN (SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 10 <> 7)
+)
+SELECT COALESCE(h.doc_id, e.doc_id) AS doc_id,
+       CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+       CAST(COALESCE(e.exact_dup, 0) AS BIGINT) AS exact_dup
+FROM band_hits h FULL OUTER JOIN exact_hits e ON h.doc_id = e.doc_id
+ORDER BY doc_id
 """
 
 
@@ -642,6 +726,7 @@ MULTIMODAL_SQL = _mm_oracle_sql()
 
 QUERIES.update({
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "corpus_novelty_filter": corpus_novelty_filter,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
@@ -652,6 +737,7 @@ QUERIES.update({
 
 ORACLES.update({
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "corpus_novelty_filter": CORPUS_NOVELTY_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_jaccard_ppjoin": DEDUP_PPJOIN_SQL,

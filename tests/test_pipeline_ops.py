@@ -479,3 +479,89 @@ class TestPPJoinPrefixFilter:
         ex = spark.createDataFrame(rows, ["doc_id", "n", "s"])
         pref = dedup.ppjoin_prefix_postings(ex, 1, 5)
         assert pref.count() == 13
+
+
+class TestCanonicalPurge:
+    def test_purge_consistent_with_clusters(self, spark, oracle_sf_dir):
+        """Purge manifest rows line up 1:1 with dedup_clusters: same
+        cluster ids, n_purged = n_members - 1, keeper is a member."""
+        from operating_system_map_reduce_spark.plans.curation import (
+            dedup_clusters, dedup_purge_canonical)
+
+        clusters = {r["cluster_id"]: r for r in
+                    dedup_clusters(spark, oracle_sf_dir).collect()}
+        purge = {r["cluster_id"]: r for r in
+                 dedup_purge_canonical(spark, oracle_sf_dir).collect()}
+        assert clusters.keys() == purge.keys()
+        for cid, p in purge.items():
+            assert p["n_purged"] == clusters[cid]["n_members"] - 1
+            assert p["keep_doc"] is not None
+
+    def test_keeper_is_longest_member(self, spark, oracle_sf_dir):
+        from operating_system_map_reduce_spark.plans.curation import (
+            _cluster_labels, dedup_purge_canonical)
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        docs = {r["doc_id"]: r["n_chars"] for r in
+                load_table(spark, oracle_sf_dir, "documents")
+                .select("doc_id", "n_chars").collect()}
+        members: dict = {}
+        for r in _cluster_labels(spark, oracle_sf_dir).collect():
+            members.setdefault(r["comp"], []).append(r["id"])
+        for r in dedup_purge_canonical(spark, oracle_sf_dir).collect():
+            best = sorted(members[r["cluster_id"]],
+                          key=lambda i: (-docs[i], i))[0]
+            assert r["keep_doc"] == best
+
+
+class TestNoveltyFilter:
+    def _run(self, spark, rows):
+        """Drive the novelty shape on a crafted corpus: batch ids are
+        % 10 == 7, same split rule as the query."""
+        from operating_system_map_reduce_spark.operators.dedup import (
+            lsh_bands, minhash_signature)
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        bands = lsh_bands(minhash_signature(docs))
+        corpus_index = (bands.filter(~(F.col("doc_id") % 10 == 7))
+                        .select("band_idx", "band_hash").distinct())
+        return {r["doc_id"]: r["n"] for r in
+                bands.filter(F.col("doc_id") % 10 == 7)
+                .join(corpus_index, ["band_idx", "band_hash"])
+                .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+
+    def test_duplicate_batch_doc_hits_unique_does_not(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        rows = [(1, base), (2, "completely different corpus text about "
+                               "databases and distributed systems design"),
+                (7, base),  # batch dup of corpus doc 1
+                (17, "unrelated novel content regarding oceanic plankton "
+                     "bloom cycles and satellite imagery analysis")]
+        hits = self._run(spark, rows)
+        assert hits.get(7, 0) >= 1      # identical text -> all bands hit
+        assert 17 not in hits           # novel doc -> no band hit
+
+    def test_incremental_index_append(self, spark):
+        """The maintenance half: once a surviving batch doc's bands are
+        APPENDED to the index, a later identical arrival is caught."""
+        from operating_system_map_reduce_spark.operators.dedup import (
+            lsh_bands, minhash_signature)
+
+        novel = ("unique fresh wording that matches nothing else in the "
+                 "standing corpus of indexed documents at all today")
+        corpus = [(1, "some standing corpus document text with plenty of "
+                      "tokens to shingle and hash for the band index")]
+        batch1 = [(7, novel)]
+        idx0 = (lsh_bands(minhash_signature(
+                    spark.createDataFrame(corpus, ["doc_id", "text"])))
+                .select("band_idx", "band_hash").distinct())
+        b1 = lsh_bands(minhash_signature(
+            spark.createDataFrame(batch1, ["doc_id", "text"])))
+        assert b1.join(idx0, ["band_idx", "band_hash"]).count() == 0
+        # append survivor's bands, then replay an identical doc
+        idx1 = idx0.union(b1.select("band_idx", "band_hash")).distinct()
+        b2 = lsh_bands(minhash_signature(
+            spark.createDataFrame([(27, novel)], ["doc_id", "text"])))
+        assert b2.join(idx1, ["band_idx", "band_hash"]).count() >= 1

@@ -109,6 +109,7 @@ class TestRegistryWindow:
         "domain_mix_sample", "lm_unigram_score", "embedding_quantize",
         "pack_sequences", "stream_enrich_revenue", "bucketed_segment_revenue",
         "dedup_jaccard_ppjoin",  # new in round 5
+        "dedup_purge_canonical", "corpus_novelty_filter",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -118,5 +119,5 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 69
+        assert len(_QUERIES) == len(set(_QUERIES)) == 71
         assert set(oracles) <= set(_QUERIES)
