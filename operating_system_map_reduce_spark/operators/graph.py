@@ -89,8 +89,53 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
 
 
+# Edge cap for the exact driver-side path.  The same adaptive-plan class
+# as Spark's broadcast-join threshold: below the cap the edge list is a
+# bounded collect (1M edges ~ 16 MB) and union-find labels it exactly in
+# milliseconds; above it the O(log n)-round star contraction runs.  The
+# near-dup graphs this module labels are SPARSE by construction (LSH
+# verified pairs), so even 100 TB corpora often fit under a raised cap --
+# but the default stays conservative and the distributed path is the
+# contract.
+LOCAL_EDGE_CAP = 1_000_000
+
+
+def _local_union_find(spark, e: DataFrame) -> DataFrame:
+    """Exact labels via driver union-find; identical (id, comp=min id)
+    output to the distributed fixpoint."""
+    pairs = [(r["u"], r["v"]) for r in e.collect()]
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    id_type = e.schema["u"].dataType.simpleString()
+    return spark.createDataFrame(
+        [(x, comp_min[r]) for x, r in roots.items()],
+        f"id {id_type}, comp {id_type}",
+    )
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         local_edge_cap: int | None = None) -> DataFrame:
     """(id, comp) for every node in `edges`; comp = min node id in the
     component.  Edges may be directed/deduplicated or not — they are
     symmetrized and deduplicated here.
@@ -98,17 +143,34 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     Only nodes that appear in an edge are labeled (dedup singletons
     carry no edge and need no label; callers union them back if they
     want identity rows).
+
+    ``local_edge_cap`` (default LOCAL_EDGE_CAP; 0 disables) bounds the
+    exact driver-side fast path; both paths produce identical labels
+    (pinned against each other in tests/test_graph.py).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the incoming edge list ONCE: the upstream plan is
+    # typically the expensive part (an LSH verify join), and nodes,
+    # checksum, union-find collect, and the final label join all
+    # re-run it otherwise (measured 5.4 s -> 0.6 s for the labeling
+    # stage at sf0.1 when nodes hung off the raw plan).
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .distinct().localCheckpoint(eager=True))
     # every node that appears at all keeps a label, even if its only
     # edge is a self-loop the contraction drops
     nodes = (
-        e.select("u").union(e.select(F.col("v").alias("u")))
+        e0.select("u").union(e0.select(F.col("v").alias("u")))
         .distinct()
         .withColumnRenamed("u", "id")
     )
-    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    e = e0.filter(F.col("u") != F.col("v"))
     prev = _checksum(e)
+
+    cap = LOCAL_EDGE_CAP if local_edge_cap is None else local_edge_cap
+    if prev[0] <= cap:
+        labels = _local_union_find(edges.sparkSession, e)
+        return nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("comp", "id").alias("comp")
+        )
 
     converged = False
     for _ in range(max_iter):

@@ -12,9 +12,12 @@ from operating_system_map_reduce_spark.operators.graph import (
 from operating_system_map_reduce_spark.plans import curation
 
 
-def _components(spark, edges):
+def _components(spark, edges, cap=None):
+    """cap=0 forces the distributed star-contraction path; cap=None uses
+    the default adaptive choice (driver union-find under the edge cap)."""
     df = spark.createDataFrame(edges, ["src", "dst"])
-    rows = connected_components(df).collect()
+    kw = {} if cap is None else {"local_edge_cap": cap}
+    rows = connected_components(df, **kw).collect()
     out: dict[int, int] = {r["id"]: r["comp"] for r in rows}
     return out
 
@@ -38,7 +41,7 @@ class TestConnectedComponents:
         """Label propagation walks one hop per round; a short chain must
         still reach the global min everywhere."""
         chain = [(i, i + 1) for i in range(1, 7)]
-        got = _components(spark, chain)
+        got = _components(spark, chain, cap=0)
         assert set(got.values()) == {1}
 
     def test_differential_vs_union_find(self, spark):
@@ -76,19 +79,22 @@ class TestConnectedComponents:
             edges = [(a, b) for a, b in edges if a != b]
             if not edges:
                 continue
-            assert _components(spark, edges) == uf_components(edges), (seed, edges)
+            want = uf_components(edges)
+            assert _components(spark, edges) == want, (seed, edges)
+            if seed < 2:  # distributed path must agree label-for-label
+                assert _components(spark, edges, cap=0) == want, (seed, edges)
 
     def test_non_convergence_raises(self, spark):
         df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
         with pytest.raises(ConvergenceError):
-            connected_components(df, max_iter=1)
+            connected_components(df, max_iter=1, local_edge_cap=0)
 
     def test_long_path_converges_in_log_rounds(self, spark):
         """Diameter-200 chain: min-label propagation needs ~200 rounds
         and failed here by ConvergenceError; star contraction must close
         it within the default 25-round (O(log n)) budget."""
         chain = [(i, i + 1) for i in range(200)]
-        got = _components(spark, chain)
+        got = _components(spark, chain, cap=0)
         assert set(got.values()) == {0}
         assert len(got) == 201
 
