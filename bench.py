@@ -86,6 +86,8 @@ HEADLINE = [
     "pack_sequences",
     "dedup_purge_canonical",
     "corpus_novelty_filter",
+    "zorder_cluster_stats",
+    "stream_mru_types",
 ]
 
 

@@ -73,14 +73,17 @@ def py_shingles(toks, n: int = SHINGLE_N) -> list[str]:
     ))
 
 
-def shingle_postings(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(id, n, s): one row per (doc, distinct shingle) -- the inverted
-    index feed for the set-similarity join.  Tokenization stays in
-    Spark SQL (engine-shared semantics); shingling runs in an
-    Arrow-batched stage after a repartition, so the CPU-bound work
-    spreads across cores (mapInPandas is a pushdown barrier, unlike a
-    bare projection)."""
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(id, n, shingles): the distinct shingle SET of each doc as one
+    array row.  Tokenization stays in Spark SQL (engine-shared
+    semantics); shingling runs in an Arrow-batched stage after a
+    repartition, so the CPU-bound work spreads across cores
+    (mapInPandas is a pushdown barrier, unlike a bare projection).
+
+    The array form is the cheap common source: postings explode from it
+    NARROWLY (no shuffle), and verification joins consume the arrays
+    directly instead of re-grouping postings back into sets."""
     import pandas as pd
 
     ncores = df.sparkSession.sparkContext.defaultParallelism
@@ -89,24 +92,36 @@ def shingle_postings(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), tokens_expr(text_col).alias("toks"))
     )
 
-    def posting_batches(batches):
+    def array_batches(batches):
         for pdf in batches:
-            ids, ns, ss = [], [], []
+            ids, ns, arrs = [], [], []
             for i, toks in zip(pdf[id_col], pdf["toks"]):
                 shingles = py_shingles(toks, n)
                 if not shingles:
                     continue
-                ids.extend([i] * len(shingles))
-                ns.extend([len(shingles)] * len(shingles))
-                ss.extend(shingles)
-            yield pd.DataFrame({id_col: ids, "n": ns, "s": ss})
+                ids.append(i)
+                ns.append(len(shingles))
+                arrs.append(shingles)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                                "n": pd.Series(ns, dtype="int32"),
+                                "shingles": pd.Series(arrs, dtype=object)})
 
     schema = StructType([
         df.schema[id_col],
         StructField("n", IntegerType()),
-        StructField("s", StringType()),
+        StructField("shingles", ArrayType(StringType())),
     ])
-    return toks_df.mapInPandas(posting_batches, schema)
+    return toks_df.mapInPandas(array_batches, schema)
+
+
+def shingle_postings(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(id, n, s): one row per (doc, distinct shingle) -- the inverted
+    index feed for the set-similarity join.  A narrow explode over
+    shingle_arrays."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.col("n"), F.explode("shingles").alias("s")
+    )
 
 
 # Universal-hash MinHash family: ONE md5 per shingle -> 48-bit int ->

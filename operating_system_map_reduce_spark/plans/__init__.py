@@ -49,6 +49,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "dedup_jaccard_ppjoin",      # new in round 5
         "dedup_purge_canonical",     # new in round 5
         "corpus_novelty_filter",     # new in round 5
+        "zorder_cluster_stats",      # new in round 5
+        "stream_mru_types",          # new in round 5
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -76,6 +78,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q4_order_priority",        # exists-agg face of q1/q3, green r01-r03
         "token_count",              # green r2/r4; lm_unigram_score shares the tokenizer
         "text_lang_id",             # green r2/r4; quality/textprep tier still windowed
+        "events_sessionize",        # green r1/r2/r4; stream_session_counts covers sessionization
+        "similarity_cosine_topk",   # green r2/r4; LSH/IVF kNN variants still windowed
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

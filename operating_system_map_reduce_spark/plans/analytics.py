@@ -732,7 +732,84 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- z-order clustering: multi-dimensional data-skipping layout ----------
+# Storage-layout operator (operators/zorder.py): bucketize (o_custkey,
+# o_totalprice) onto 2^16 grids, interleave to a Morton code, and -- for
+# the writer path, exercised in tests/test_zorder.py -- repartitionByRange
+# + sortWithinPartitions on it, giving every output file a tight min/max
+# envelope in BOTH dimensions.  THIS query grades the layout itself:
+# per z-block (top 7 Morton bits = 128 blocks) it reports the row count
+# and both dimensions' envelopes; the oracle replays the identical
+# integer interleave, so the driver hash-checks bit-for-bit.  Grid
+# bounds are exact table min/max (the catalog statistic a lakehouse
+# keeps; one cheap codegen aggregate here), computed identically by the
+# oracle's stats subquery.
+
+_Z_BITS = 16
+_Z_BLOCK_SHIFT = 2 * _Z_BITS - 7  # keep the top 7 bits -> 128 blocks
+
+
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators import zorder as _z
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    st = orders.agg(
+        F.min("o_custkey").alias("lo_c"), F.max("o_custkey").alias("hi_c"),
+        F.min("o_totalprice").alias("lo_p"), F.max("o_totalprice").alias("hi_p"),
+    ).collect()[0]
+    ga = _z.grid_expr(F.col("o_custkey").cast("double"),
+                      float(st["lo_c"]), float(st["hi_c"]), _Z_BITS)
+    gb = _z.grid_expr(F.col("o_totalprice"), st["lo_p"], st["hi_p"], _Z_BITS)
+    z = _z.interleave_expr(ga, gb, _Z_BITS)
+    return (
+        orders.withColumn("zblock", F.shiftrightunsigned(z, _Z_BLOCK_SHIFT))
+        .groupBy("zblock")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("zblock")
+    )
+
+
+def _zorder_sql() -> str:
+    from operating_system_map_reduce_spark.operators import zorder as _z
+
+    cells = 1 << _Z_BITS
+    grid = (
+        "GREATEST(0, LEAST({cells_m1}, CAST(FLOOR((CAST({col} AS DOUBLE) - {lo})"
+        " / (CASE WHEN {hi} = {lo} THEN 1.0"
+        " ELSE ({hi} - {lo}) / {cells}.0 END)) AS BIGINT)))"
+    )
+    ga = grid.format(col="o_custkey", lo="st.lo_c", hi="st.hi_c",
+                     cells=cells, cells_m1=cells - 1)
+    gb = grid.format(col="o_totalprice", lo="st.lo_p", hi="st.hi_p",
+                     cells=cells, cells_m1=cells - 1)
+    return f"""
+WITH st AS (
+  SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo_c, CAST(MAX(o_custkey) AS DOUBLE) AS hi_c,
+         MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+  FROM orders
+), g AS (
+  SELECT o_custkey, o_totalprice, {ga} AS ga, {gb} AS gb
+  FROM orders CROSS JOIN st
+)
+SELECT {_z.interleave_sql('ga', 'gb', _Z_BITS)} // {1 << _Z_BLOCK_SHIFT} AS zblock,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+ZORDER_STATS_SQL = _zorder_sql()
+
+
 QUERIES = {
+    "zorder_cluster_stats": zorder_cluster_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -753,6 +830,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zorder_cluster_stats": ZORDER_STATS_SQL,
     "bucketed_segment_revenue": BUCKETED_SEGMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

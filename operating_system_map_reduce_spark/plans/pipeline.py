@@ -555,10 +555,13 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
          verify joins shuffle only candidate-proportional rows.
 
     The shingling stage feeds four consumers (frequency table, prefix
-    window, both verification sides): localCheckpoint materializes it
-    once -- at 100 TB this is the standard persisted shingle table."""
+    window, both verification sides): the ARRAY form is checkpointed
+    once and postings explode from it narrowly, so verification joins
+    the arrays directly -- no collect_list shuffle rebuilding sets --
+    at 100 TB this is the standard persisted shingle table."""
     docs = _t(spark, sf_dir, "documents")
-    ex = _dd.shingle_postings(docs).localCheckpoint(eager=False)
+    arr = _dd.shingle_arrays(docs).localCheckpoint(eager=False)
+    ex = arr.select("doc_id", "n", F.explode("shingles").alias("s"))
     pref = _dd.ppjoin_prefix_postings(ex, 7, 10)  # t = 7/10
     a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
     b = pref.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
@@ -570,11 +573,10 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = ex.groupBy("doc_id", "n").agg(F.collect_list("s").alias("sh"))
-    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
-                     F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-                     F.col("sh").alias("sh_b"))
+    sa = arr.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"),
+                    F.col("shingles").alias("sh_a"))
+    sb = arr.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                    F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (

@@ -152,7 +152,39 @@ ORDER BY 1, 2
 """
 
 
+def stream_mru_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.streaming.mru_stream import (
+        run_mru_types,
+    )
+
+    return run_mru_types(spark, sf_dir)
+
+
+# Declarative closure of the MRU fold (see streaming/mru_stream.py for
+# the eviction-losslessness argument): per user the K most recent
+# DISTINCT event types by last occurrence, ties on last ts broken by
+# event_id (the fold's processing order).
+STREAM_MRU_SQL = """
+WITH last AS (
+  SELECT user_id, event_type, ts_us, event_id FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT user_id, CAST(rnk AS BIGINT) AS mru_rank, event_type FROM (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rnk
+  FROM last
+) WHERE rnk <= 5
+ORDER BY user_id, mru_rank
+"""
+
+
 QUERIES = {
+    "stream_mru_types": stream_mru_types,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_session_counts": stream_session_counts,
@@ -161,6 +193,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_mru_types": STREAM_MRU_SQL,
     "stream_windowed_counts": STREAM_WINDOW_SQL,
     "stream_dedup_first_seen": STREAM_DEDUP_SQL,
     "stream_session_counts": STREAM_SESSION_SQL,

@@ -110,6 +110,7 @@ class TestRegistryWindow:
         "pack_sequences", "stream_enrich_revenue", "bucketed_segment_revenue",
         "dedup_jaccard_ppjoin",  # new in round 5
         "dedup_purge_canonical", "corpus_novelty_filter",  # new in round 5
+        "zorder_cluster_stats", "stream_mru_types",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -119,5 +120,29 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 71
+        assert len(_QUERIES) == len(set(_QUERIES)) == 73
         assert set(oracles) <= set(_QUERIES)
+
+
+class TestRound5PlanShapes:
+    def test_zorder_stats_is_single_scan_hash_agg(self, spark, sf_dir):
+        """Morton arithmetic must stay in codegen: no Python eval, no
+        SinglePartition exchange; the aggregate hashes on zblock."""
+        plan = _plan(_QUERIES["zorder_cluster_stats"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning(zblock" in plan, plan
+
+    def test_novelty_filter_probes_index_never_squares_corpus(self, spark, sf_dir):
+        """Candidate generation shuffles on the band key (equi-join into
+        the corpus index), and the exact-dup path equi-joins on the md5
+        -- no cartesian anywhere (also covered by TestAntiPatterns)."""
+        plan = _plan(_QUERIES["corpus_novelty_filter"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "band_hash" in plan, plan
+
+    def test_purge_windows_on_cluster_key(self, spark, sf_dir):
+        """The canonical-pick window partitions by comp (cluster id) --
+        never a global single-partition window over documents."""
+        plan = _plan(_QUERIES["dedup_purge_canonical"](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, plan

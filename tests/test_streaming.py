@@ -168,3 +168,42 @@ class TestQuotaStream:
         assert not t.check_add(1, 3.0)
         # window expiry frees the first charge
         assert t.check_add(8, 101.0)
+
+
+class TestMruStream:
+    def test_fold_matches_declarative_closure(self):
+        """Randomized differential: the reference fold (remove-if-
+        present, append, cap-evict) must equal 'top K distinct types by
+        last occurrence' -- the closure the DuckDB oracle asserts."""
+        import random
+
+        from operating_system_map_reduce_spark.streaming.mru_stream import (
+            MRU_K, mru_fold)
+
+        for seed in range(30):
+            rng = random.Random(seed)
+            events = [(t, f"e{rng.randint(0, 9)}")
+                      for t in range(rng.randint(1, 60))]
+            ts_l, et_l = [], []
+            mru_fold(ts_l, et_l, events)
+            last = {}
+            for t, et in events:
+                last[et] = t
+            want = [et for et, _ in
+                    sorted(last.items(), key=lambda kv: (-kv[1], kv[0]))[:MRU_K]]
+            # fold keeps most-recent LAST; ties impossible here (unique ts)
+            assert list(reversed(et_l)) == want, (seed, events)
+
+    def test_fold_is_incremental(self):
+        """Splitting the same event sequence across two trigger folds
+        gives the same state as one fold -- the multi-trigger replay
+        contract."""
+        from operating_system_map_reduce_spark.streaming.mru_stream import mru_fold
+
+        events = [(t, f"e{(t * 7) % 6}") for t in range(40)]
+        one_ts, one_et = [], []
+        mru_fold(one_ts, one_et, events)
+        two_ts, two_et = [], []
+        mru_fold(two_ts, two_et, events[:23])
+        mru_fold(two_ts, two_et, events[23:])
+        assert (one_ts, one_et) == (two_ts, two_et)
