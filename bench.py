@@ -88,6 +88,8 @@ HEADLINE = [
     "corpus_novelty_filter",
     "zorder_cluster_stats",
     "stream_mru_types",
+    "events_ohlc",
+    "similarity_ivf_search",
 ]
 
 

@@ -596,3 +596,106 @@ def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     members = lsh_members(emb, id_col, vec_col)
     scored = _grouped_topk(members, ["tbl", "bucket"], k)
     return _ranked_topk(scored, k)
+
+
+def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Query-set vs corpus ANN -- the serving shape of IVF: the CORPUS
+    is indexed once (each vector in its home cell; centroids = the
+    NLIST lowest-id corpus vectors, codebook-free and reproducible in
+    any engine), and the QUERY batch probes its NPROBE nearest cells;
+    exact cosine runs only inside probed cells.  Unlike ivf_knn's
+    self-join, query vectors are never candidates -- neighbors come
+    exclusively from the corpus.
+
+    Plan shape: two fused map-side assignment passes (no shuffle), one
+    shuffle on cell for in-group scoring, then _ranked_topk's JVM-side
+    dedup + ranking.  At 100 TB the corpus assignment is a one-time
+    index build (persisted in production); the per-batch cost is the
+    small query side plus the probed cells."""
+    import pandas as pd
+
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    queries = _drop_zero_vectors(queries, vec_col)
+    cent_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(IVF_NLIST)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    src_c = corpus.select(F.col(id_col), F.col(vec_col))
+    src_q = queries.select(F.col(id_col), F.col(vec_col))
+    id_field, vec_field = src_c.schema[id_col], src_c.schema[vec_col]
+    member_schema = StructType([
+        StructField("cell", LongType()), StructField("is_q", BooleanType()),
+        StructField("__id", id_field.dataType),
+        StructField("__vec", vec_field.dataType),
+        StructField("__nrm", DoubleType()),
+    ])
+    out_schema = StructType([
+        StructField("qid", id_field.dataType),
+        StructField("nid", id_field.dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    if not cent_rows:
+        empty = src_c.sparkSession.createDataFrame([], out_schema)
+        return _ranked_topk(empty, k)
+    cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    def assign_fn(nprobe: int, is_q: bool):
+        def batches(bs):
+            for pdf in bs:
+                E = _stack(pdf[vec_col])
+                n = E.shape[0]
+                if n == 0:
+                    continue
+                nrm = np.sqrt(_seq_dot(E, E))
+                sims = np.empty((n, len(cent_ids)), dtype=np.float64)
+                for j in range(len(cent_ids)):
+                    sims[:, j] = _seq_dot(
+                        E, np.broadcast_to(C[j], E.shape)) / (nrm * cn[j])
+                # stable argsort: sim ties keep cell-ascending order,
+                # matching ORDER BY sim DESC, cell ASC in the oracle
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+                yield pd.DataFrame({
+                    "cell": cent_ids[order].ravel(),
+                    "is_q": np.full(n * nprobe, is_q),
+                    "__id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "__vec": pd.Series(
+                        [v for v in pdf[vec_col] for _ in range(nprobe)]),
+                    "__nrm": np.repeat(nrm, nprobe),
+                })
+        return batches
+
+    nprobe_q = min(IVF_NPROBE, len(cent_rows))
+    members = (
+        src_c.mapInPandas(assign_fn(1, False), member_schema)
+        .unionByName(src_q.mapInPandas(assign_fn(nprobe_q, True), member_schema))
+    )
+
+    def cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        qmask = pdf["is_q"].to_numpy()
+        nids = pdf["__id"].to_numpy()[~qmask]
+        qids = pdf["__id"].to_numpy()[qmask]
+        if len(nids) == 0 or len(qids) == 0:
+            return pd.DataFrame({"qid": qids[:0], "nid": qids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        QE, qn = E[qmask], nrm[qmask]
+        NE, nn = E[~qmask], nrm[~qmask]
+        kk = min(k, len(nids))
+        q_out, n_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(QE, NE, qn, nn):
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            q_out.append(np.repeat(qids[s:s + cos.shape[0]], kk))
+            n_out.append(nids[order].ravel())
+            c_out.append(np.take_along_axis(cos, order, axis=1).ravel())
+        return pd.DataFrame({"qid": np.concatenate(q_out),
+                             "nid": np.concatenate(n_out),
+                             "cosine": np.concatenate(c_out)})
+
+    scored = members.groupBy("cell").applyInPandas(cell_fn, out_schema)
+    return _ranked_topk(scored, k)

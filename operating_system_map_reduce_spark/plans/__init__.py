@@ -51,6 +51,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "corpus_novelty_filter",     # new in round 5
         "zorder_cluster_stats",      # new in round 5
         "stream_mru_types",          # new in round 5
+        "events_ohlc",               # new in round 5
+        "similarity_ivf_search",     # new in round 5
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -80,6 +82,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "text_lang_id",             # green r2/r4; quality/textprep tier still windowed
         "events_sessionize",        # green r1/r2/r4; stream_session_counts covers sessionization
         "similarity_cosine_topk",   # green r2/r4; LSH/IVF kNN variants still windowed
+        "text_repetition",          # green r2/r4; quality_filter_composite still windowed
+        "quota_sliding_window",     # green r2/r4; stream_quota_admission (windowed) replays the same fold
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -332,6 +332,64 @@ ORDER BY c_mktsegment, bucket
 """
 
 
+# --- events_ohlc: time-series downsampling ---------------------------------
+# The OLAP candlestick aggregate: per (hour bucket, event_type) the
+# open/close (value at the first/last event) and high/low extremes.
+# open/close are exact row SELECTIONS, not accumulations -- picked via
+# a min/max over a (ts, event_id, value) struct (lexicographic; event_id
+# is unique, so value never decides), which the oracle replays with
+# ROW_NUMBER.  Scale shape: one hash-partial aggregate, shuffle on the
+# (bucket, type) key -- cardinality ~ hours x types, never row count.
+
+_OHLC_BUCKET_US = 3_600_000_000
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wstart = (F.col("ts_us") - F.col("ts_us") % _OHLC_BUCKET_US)
+    first_s = F.struct(F.col("ts_us").alias("t"), F.col("event_id").alias("e"),
+                       F.col("value").alias("v"))
+    return (
+        ev.select(wstart.alias("window_start_us"), "event_type", "ts_us",
+                  "event_id", "value")
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.min(first_s).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(first_s).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+EVENTS_OHLC_SQL = f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {_OHLC_BUCKET_US}) * {_OHLC_BUCKET_US} AS window_start_us,
+         event_type, epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start_us, event_type
+                            ORDER BY ts_us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY window_start_us, event_type
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT window_start_us, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM r GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
+"""
+
+
 # --- events_sessionize: gaps-and-islands via lag window -------------------
 # Sessionization: a new session starts after a >30 min gap.  The lag and
 # the running session-id sum both run inside the per-user sorted window;
@@ -810,6 +868,7 @@ ZORDER_STATS_SQL = _zorder_sql()
 
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
+    "events_ohlc": events_ohlc,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -831,6 +890,7 @@ QUERIES = {
 
 ORACLES = {
     "zorder_cluster_stats": ZORDER_STATS_SQL,
+    "events_ohlc": EVENTS_OHLC_SQL,
     "bucketed_segment_revenue": BUCKETED_SEGMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -1147,6 +1147,78 @@ ORDER BY vec_id, rank
 
 SIMILARITY_IVF_SQL = _ivf_knn_oracle_sql()
 
+
+# --- IVF search: query batch vs indexed corpus ---------------------------
+# The SERVING shape (queries never neighbor each other): corpus =
+# vec_id % 10 <> 7 indexed once, query batch = vec_id % 10 == 7 probes
+# its NPROBE nearest cells.
+
+def similarity_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~(F.col("vec_id") % 10 == 7))
+    queries = emb.filter(F.col("vec_id") % 10 == 7)
+    return _sim.ivf_search(corpus, queries, k=5).orderBy("vec_id", "rank")
+
+
+def _ivf_search_oracle_sql() -> str:
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    cdot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    qdot = (
+        f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+        f"i -> CAST(qn.embedding[i] AS DOUBLE) * CAST(nn.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH n AS (
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
+), corpus AS (
+  SELECT * FROM n WHERE vec_id % 10 <> 7
+), qset AS (
+  SELECT * FROM n WHERE vec_id % 10 = 7
+), centroids AS (
+  SELECT vec_id AS cell, embedding, nrm AS cn FROM corpus ORDER BY vec_id LIMIT {_sim.IVF_NLIST}
+), home AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM corpus v CROSS JOIN centroids c
+  ) WHERE pr = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM qset v CROSS JOIN centroids c
+  ) WHERE pr <= {_sim.IVF_NPROBE}
+), cands AS (
+  SELECT DISTINCT p.vec_id AS qid, h.vec_id AS nid
+  FROM probes p JOIN home h ON p.cell = h.cell
+), scored AS (
+  SELECT qid, nid, {qdot} / (qn.nrm * nn.nrm) AS cosine
+  FROM cands JOIN n qn ON qid = qn.vec_id JOIN n nn ON nid = nn.vec_id
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
+SIMILARITY_IVF_SEARCH_SQL = _ivf_search_oracle_sql()
+
+QUERIES["similarity_ivf_search"] = similarity_ivf_search
+ORACLES["similarity_ivf_search"] = SIMILARITY_IVF_SEARCH_SQL
+
 QUERIES["similarity_ivf_knn"] = similarity_ivf_knn
 ORACLES["similarity_ivf_knn"] = SIMILARITY_IVF_SQL
 
