@@ -26,10 +26,12 @@ WATERMARK = "30 minutes"
 # State-store partition count for the bounded replays.  Each stateful
 # operator materializes one state store per shuffle partition, and at
 # replay scale (one micro-batch) the per-store setup dominates: 32
-# stores cost ~2x the wall time of 8 on an empty-ish state.  A live
+# stores cost ~2x the wall time of 8, and 8 cost ~1.3x of 4 (measured
+# round 5: windowed+dedup+session replay 5.1 s @ 8 -> 4.0 s @ 4; 2
+# loses parallelism on the session window and regresses).  A live
 # 100 TB deployment sizes this up (state must spread across executors)
 # via the env knob; the checkpoint pins it per query after first run.
-STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4"))
 
 
 @contextlib.contextmanager

@@ -565,3 +565,35 @@ class TestNoveltyFilter:
         b2 = lsh_bands(minhash_signature(
             spark.createDataFrame([(27, novel)], ["doc_id", "text"])))
         assert b2.join(idx1, ["band_idx", "band_hash"]).count() >= 1
+
+
+class TestIvfSearch:
+    def test_neighbors_only_from_corpus(self, spark, oracle_sf_dir):
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            similarity_ivf_search)
+
+        rows = similarity_ivf_search(spark, oracle_sf_dir).collect()
+        assert rows, "query batch must find neighbors"
+        for r in rows:
+            assert r["vec_id"] % 10 == 7          # queries are the batch
+            assert r["neighbor_id"] % 10 != 7     # neighbors never queries
+
+    def test_identical_vector_is_top1(self, spark):
+        """A query vector equal to a corpus vector must rank it first
+        with cosine ~ 1."""
+        import random
+
+        from operating_system_map_reduce_spark.operators.similarity import (
+            DIM, ivf_search)
+
+        rng = random.Random(11)
+        corp = [(i, [rng.uniform(-1, 1) for _ in range(DIM)])
+                for i in range(40)]
+        queries = [(1007, list(corp[3][1])),                       # clone of id 3
+                   (1017, [rng.uniform(-1, 1) for _ in range(DIM)])]
+        schema = "vec_id long, embedding array<float>"
+        out = ivf_search(spark.createDataFrame(corp, schema),
+                         spark.createDataFrame(queries, schema), k=3)
+        top = {r["vec_id"]: r for r in out.collect() if r["rank"] == 1}
+        assert top[1007]["neighbor_id"] == 3
+        assert top[1007]["cosine"] > 0.999
