@@ -90,6 +90,8 @@ HEADLINE = [
     "stream_mru_types",
     "events_ohlc",
     "similarity_ivf_search",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

@@ -53,6 +53,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "stream_mru_types",          # new in round 5
         "events_ohlc",               # new in round 5
         "similarity_ivf_search",     # new in round 5
+        "events_funnel",             # new in round 5
+        "events_retention_cohorts",  # new in round 5
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -84,6 +86,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_cosine_topk",   # green r2/r4; LSH/IVF kNN variants still windowed
         "text_repetition",          # green r2/r4; quality_filter_composite still windowed
         "quota_sliding_window",     # green r2/r4; stream_quota_admission (windowed) replays the same fold
+        "kv_aes_at_rest",           # green r2/r4; crypto roundtrip also pytest-pinned
+        "kv_top_mru",               # green r2/r4; stream_mru_types (windowed) shares the MRU fold
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -390,6 +390,126 @@ ORDER BY window_start_us, event_type
 """
 
 
+# --- events_funnel: ordered sequential-pattern matching --------------------
+# The product-analytics funnel: users who viewed, then clicked AT OR
+# AFTER their first view, then purchased at or after that first
+# qualifying click.  Sequential dependence makes this a chain of
+# stage-anchored joins (each stage joins the per-user anchor of the
+# previous one -- anchors are |users|-sized, broadcastable at most
+# scales; the fact table is scanned once per stage with the type filter
+# pushed to parquet).  avg lag is an exact integer sum / count.
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_type")
+    a = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_us").alias("ta")))
+    b = (ev.filter(F.col("event_type") == "click")
+         .join(F.broadcast(a), "user_id")
+         .filter(F.col("ts_us") >= F.col("ta"))
+         .groupBy("user_id")
+         .agg(F.min("ts_us").alias("tb"), F.min("ta").alias("ta")))
+    c = (ev.filter(F.col("event_type") == "purchase")
+         .join(F.broadcast(b), "user_id")
+         .filter(F.col("ts_us") >= F.col("tb"))
+         .groupBy("user_id")
+         .agg(F.min("ts_us").alias("tc"), F.min("tb").alias("tb")))
+
+    def stage(df, ord_, name, lag_col):
+        lag = (F.round(F.avg(lag_col), 6) if lag_col is not None
+               else F.lit(0.0))
+        return df.agg(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(lag, F.lit(0.0)).alias("avg_lag_us"),
+        )
+
+    return (
+        stage(a, 1, "view", None)
+        .unionByName(stage(b, 2, "click", F.col("tb") - F.col("ta")))
+        .unionByName(stage(c, 3, "purchase", F.col("tc") - F.col("tb")))
+        .orderBy("stage_ord")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), a AS (
+  SELECT user_id, MIN(ts_us) AS ta FROM e WHERE event_type = 'view' GROUP BY user_id
+), b AS (
+  SELECT e.user_id, MIN(e.ts_us) AS tb, MIN(a.ta) AS ta
+  FROM e JOIN a ON e.user_id = a.user_id AND e.ts_us >= a.ta
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts_us) AS tc, MIN(b.tb) AS tb
+  FROM e JOIN b ON e.user_id = b.user_id AND e.ts_us >= b.tb
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage,
+         COUNT(*) AS n_users, 0.0 AS avg_lag_us FROM a
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', COUNT(*),
+         COALESCE(ROUND(AVG(tb - ta), 6), 0.0) FROM b
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*),
+         COALESCE(ROUND(AVG(tc - tb), 6), 0.0) FROM c
+)
+ORDER BY stage_ord
+"""
+
+
+# --- events_retention_cohorts: first-seen cohort grid ----------------------
+# Cohort = the hour bucket of each user's FIRST event; retention cell
+# (cohort, offset) = distinct users from that cohort active offset
+# hours later (offsets 0..3).  Two aggregates: the per-user anchor
+# (|users| rows, broadcast back), then the distinct-count grid whose
+# cardinality is hours x 4 -- never row count.
+
+_COHORT_BUCKET_US = 3_600_000_000
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts_us")
+    anchors = (
+        ev.groupBy("user_id")
+        .agg(((F.min("ts_us") - F.min("ts_us") % _COHORT_BUCKET_US))
+             .alias("cohort_us"))
+    )
+    offs = ((F.col("ts_us") - F.col("ts_us") % _COHORT_BUCKET_US)
+            - F.col("cohort_us")) / _COHORT_BUCKET_US
+    return (
+        ev.join(F.broadcast(anchors), "user_id")
+        .withColumn("offset_h", offs.cast("long"))
+        .filter(F.col("offset_h").between(0, 3))
+        .groupBy("cohort_us", "offset_h")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_us", "offset_h")
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), anchors AS (
+  SELECT user_id,
+         (MIN(ts_us) // {_COHORT_BUCKET_US}) * {_COHORT_BUCKET_US} AS cohort_us
+  FROM e GROUP BY user_id
+)
+SELECT cohort_us, offset_h, COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT e.user_id, a.cohort_us,
+         ((e.ts_us // {_COHORT_BUCKET_US}) * {_COHORT_BUCKET_US} - a.cohort_us)
+           // {_COHORT_BUCKET_US} AS offset_h
+  FROM e JOIN anchors a ON e.user_id = a.user_id
+)
+WHERE offset_h BETWEEN 0 AND 3
+GROUP BY cohort_us, offset_h
+ORDER BY cohort_us, offset_h
+"""
+
+
 # --- events_sessionize: gaps-and-islands via lag window -------------------
 # Sessionization: a new session starts after a >30 min gap.  The lag and
 # the running session-id sum both run inside the per-user sorted window;
@@ -869,6 +989,8 @@ ZORDER_STATS_SQL = _zorder_sql()
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "events_ohlc": events_ohlc,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -891,6 +1013,8 @@ QUERIES = {
 ORACLES = {
     "zorder_cluster_stats": ZORDER_STATS_SQL,
     "events_ohlc": EVENTS_OHLC_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "bucketed_segment_revenue": BUCKETED_SEGMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -112,6 +112,7 @@ class TestRegistryWindow:
         "dedup_purge_canonical", "corpus_novelty_filter",  # new in round 5
         "zorder_cluster_stats", "stream_mru_types",  # new in round 5
         "events_ohlc", "similarity_ivf_search",  # new in round 5
+        "events_funnel", "events_retention_cohorts",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -121,7 +122,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 75
+        assert len(_QUERIES) == len(set(_QUERIES)) == 77
         assert set(oracles) <= set(_QUERIES)
 
 

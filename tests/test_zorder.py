@@ -101,3 +101,34 @@ class TestZorderLayout:
         out = Z.zorder_layout(df, zval, 4).drop("_z")
         assert out.count() == 1000
         assert out.exceptAll(df).count() == 0 and df.exceptAll(out).count() == 0
+
+
+class TestMortonProperties:
+    def test_interleave_is_bijective(self):
+        """Pure-Python mirror of the expression: distinct (a, b) cell
+        pairs must map to distinct z-values (hypothesis-driven)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def morton(a: int, b: int) -> int:
+            z = 0
+            for i in range(16):
+                z |= ((a >> i) & 1) << (2 * i + 1)
+                z |= ((b >> i) & 1) << (2 * i)
+            return z
+
+        @given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                        min_size=2, max_size=50, unique=True))
+        @settings(max_examples=200, deadline=None)
+        def check(pairs):
+            zs = [morton(a, b) for a, b in pairs]
+            assert len(set(zs)) == len(pairs)
+            # de-interleave round-trips
+            for (a, b), z in zip(pairs, zs):
+                ra = rb = 0
+                for i in range(16):
+                    rb |= ((z >> (2 * i)) & 1) << i
+                    ra |= ((z >> (2 * i + 1)) & 1) << i
+                assert (ra, rb) == (a, b)
+
+        check()
