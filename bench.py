@@ -92,6 +92,15 @@ HEADLINE = [
     "similarity_ivf_search",
     "events_funnel",
     "events_retention_cohorts",
+    "events_gap_fill",
+    "events_anomaly_mad",
+    "events_user_paths",
+    "dedup_containment",
+    "tokens_pmi_bigrams",
+    "events_cube_summary",
+    "events_type_pivot",
+    "sample_weighted",
+    "dedup_graph_triangles",
 ]
 
 

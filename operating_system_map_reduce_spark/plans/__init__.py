@@ -17,12 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from operating_system_map_reduce_spark.plans import (
-        analytics, curation, kvqueries, pipeline, streamqueries, textprep,
+        analytics, curation, kvqueries, mining, pipeline, streamqueries, textprep,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (analytics, kvqueries, pipeline, curation, streamqueries, textprep):
+    for mod in (analytics, kvqueries, pipeline, curation, streamqueries, textprep,
+                mining):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
@@ -55,6 +56,15 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_ivf_search",     # new in round 5
         "events_funnel",             # new in round 5
         "events_retention_cohorts",  # new in round 5
+        "events_gap_fill",           # new in round 5 (plans/mining.py)
+        "events_anomaly_mad",        # new in round 5 (plans/mining.py)
+        "events_user_paths",         # new in round 5 (plans/mining.py)
+        "dedup_containment",         # new in round 5 (plans/mining.py)
+        "tokens_pmi_bigrams",        # new in round 5 (plans/mining.py)
+        "events_cube_summary",       # new in round 5 (CUBE grouping sets)
+        "events_type_pivot",         # new in round 5 (pivot reshaping)
+        "sample_weighted",           # new in round 5 (A-ES weighted sampling)
+        "dedup_graph_triangles",     # new in round 5 (triangle census)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -88,6 +98,15 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "quota_sliding_window",     # green r2/r4; stream_quota_admission (windowed) replays the same fold
         "kv_aes_at_rest",           # green r2/r4; crypto roundtrip also pytest-pinned
         "kv_top_mru",               # green r2/r4; stream_mru_types (windowed) shares the MRU fold
+        "similarity_lsh_buckets",   # green r2/r4; lsh_knn + ivf variants still windowed
+        "multimodal_metadata",      # green r2/r4; _features/_frame_sample still windowed
+        "dedup_embedding_cosine",   # green r2/r4; embedding tier covered by lsh/ivf knn
+        "asof_click_attribution",   # green r1/r2/r4; range_join_prior_activity kept
+        "auth_hash_users",          # green r2/r4; sha2 path also under kv_insert_guarded
+        "multimodal_features",      # green r2/r4; _frame_sample still windowed
+        "similarity_lsh_knn",       # green r2/r4; ivf_knn + ivf_search windowed
+        "text_tfidf_top_terms",     # green r2/r4; tokens_pmi_bigrams same family
+        "range_join_prior_activity",  # green r1/r2/r4; gap_fill/ohlc temporal faces windowed
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -510,6 +510,85 @@ ORDER BY cohort_us, offset_h
 """
 
 
+# --- events_cube_summary: CUBE grouping sets -------------------------------
+# All four grouping combinations of (event_type, hour-of-day) in ONE
+# aggregate: Catalyst expands CUBE to grouping sets and still plans a
+# map-side partial agg, so the shuffle carries |types+1| x 25 rows per
+# partition regardless of SF.  NULL group labels are disambiguated
+# ('ALL' / -1) identically on both engines; hour-of-day stays integer
+# arithmetic on ts_us, never a float division.
+
+def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts_us div 3600000000) % 24").alias("hour_of_day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hour_of_day"), F.lit(-1)).alias("hour_of_day"),
+            "n_events", "sum_value",
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour_of_day, -1) AS hour_of_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour_of_day, value
+  FROM events
+)
+GROUP BY CUBE (event_type, hour_of_day)
+ORDER BY event_type, hour_of_day
+"""
+
+
+# --- events_type_pivot: long-to-wide reshaping -----------------------------
+# Per-user event-type count matrix via the pivot operator.  The pivot
+# VALUES are pinned (the five known types) so the output schema is
+# static -- at scale an unpinned pivot would force an extra distinct
+# scan AND make the schema data-dependent; pinning is the production
+# pattern.  Plans as one hash aggregate with |types| conditional counts
+# -- the shuffle carries |users| rows of 5 longs.
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+        .withColumn("total",
+                    sum(F.col(t) for t in _PIVOT_TYPES).cast("long"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(*) AS total
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- events_sessionize: gaps-and-islands via lag window -------------------
 # Sessionization: a new session starts after a >30 min gap.  The lag and
 # the running session-id sum both run inside the per-user sorted window;
@@ -999,6 +1078,8 @@ QUERIES = {
     "order_value_deciles": order_value_deciles,
     "customer_order_coverage": customer_order_coverage,
     "events_sessionize": events_sessionize,
+    "events_cube_summary": events_cube_summary,
+    "events_type_pivot": events_type_pivot,
     "events_json_extract": events_json_extract,
     "asof_click_attribution": asof_click_attribution,
     "range_join_prior_activity": range_join_prior_activity,
@@ -1024,6 +1105,8 @@ ORACLES = {
     "order_value_deciles": DECILES_SQL,
     "customer_order_coverage": COVERAGE_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_cube_summary": EVENTS_CUBE_SQL,
+    "events_type_pivot": EVENTS_PIVOT_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "asof_click_attribution": ASOF_SQL,
     "range_join_prior_activity": RANGE_JOIN_SQL,

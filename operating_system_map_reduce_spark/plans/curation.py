@@ -394,8 +394,67 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --- sample_weighted: deterministic weighted sampling (A-ES) ---------------
+# Efraimidis-Spirakis weighted reservoir sampling, derandomized for
+# oracle parity: each doc draws u in (0,1] from md5(doc_id) (48-bit
+# fraction) and gets key = -ln(u) / w with w = n_chars, so longer docs
+# are proportionally likelier; the global sample is the K smallest
+# keys.  Exactly the one-pass distributed weighted-sampling shape used
+# for training-data mixing -- at 100 TB the salted local top-K bounds
+# every window partition to K rows and the exact global rank runs over
+# salts*K candidates, never the corpus.  The key is float-continuous so
+# cross-engine ties are impossible; doc_id breaks the (unreachable)
+# exact-tie case deterministically.
+
+SAMPLE_W_K = 100
+_U_DENOM = float(1 << 48)
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id", "lang", "n_chars", hx.alias("hx"))
+    u = (F.expr(_dd.hexval_spark_sql("hx")) + 1) / F.lit(_U_DENOM)
+    key = -F.log(u) / F.col("n_chars")
+    salt = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 16")
+    w_local = Window.partitionBy("salt").orderBy("key", "doc_id")
+    cand = (
+        d.withColumn("key", key).withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w_local))
+        .filter(F.col("rn1") <= SAMPLE_W_K)
+    )
+    w_exact = Window.orderBy("key", "doc_id")
+    return (
+        cand.withColumn("smp_rank", F.row_number().over(w_exact).cast("long"))
+        .filter(F.col("smp_rank") <= SAMPLE_W_K)
+        .select("smp_rank", "doc_id", "lang", "n_chars")
+        .orderBy("smp_rank")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT CAST(rn AS BIGINT) AS smp_rank, doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+  FROM (
+    SELECT doc_id, lang, n_chars,
+           -LN((({_dd.hexval_sql('hx')}) + 1) / {_U_DENOM}) / n_chars AS k
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+  )
+)
+WHERE rn <= {SAMPLE_W_K}
+ORDER BY smp_rank
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "sample_weighted": sample_weighted,
     "dedup_purge_canonical": dedup_purge_canonical,
     "split_assign": split_assign,
     "contamination_check": contamination_check,
@@ -406,6 +465,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "dedup_purge_canonical": DEDUP_PURGE_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
     "contamination_check": CONTAMINATION_SQL,

@@ -1,0 +1,425 @@
+"""Sequence/series mining and corpus-statistics query plans (round 5).
+
+Beyond-reference tier (SURVEY.md section 2.5 taxonomy): the analytics a
+training-data/observability pipeline runs on top of the engine's event
+and document tables -- time-series gap filling, robust outlier
+detection, sequential path mining, asymmetric containment dedup, and
+collocation (PMI) extraction.  All five are oracle-gated; every plan is
+shuffle-keyed (never all-pairs) and keeps Python out of the hot path.
+
+Scale notes (100 TB stance):
+ - gap fill materializes a per-user hour grid with ``sequence`` +
+   ``explode`` -- grid size is span/step per user (bounded by the
+   retention window a real deployment configures), and the LOCF window
+   shuffles once on user_id.
+ - MAD uses exact ``percentile`` (memory ~ distinct values per group,
+   here a 2-decimal grid); at open-ended scale the one-line swap is
+   ``percentile_approx``, trading the oracle's exactness for sketches.
+ - containment reuses the inverted-index shingle join: shuffle key is
+   the shingle, candidate space sum-over-shingles(freq^2), never n^2.
+ - PMI joins bigram counts to the unigram table twice; the vocabulary
+   table broadcasts at test SFs and degrades to a keyed shuffle join at
+   corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from operating_system_map_reduce_spark.operators import dedup as _dd
+from operating_system_map_reduce_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- events_gap_fill: resample + last-observation-carried-forward ----------
+# Per (user, hour) the LAST observed value (row selection via struct
+# max -- ts then event_id break ties, value never decides); the hour
+# grid spans each user's [first, last] observed hour; missing hours are
+# forward-filled inside the per-user LOCF window.  Output is the
+# per-user fill census (grid size, observed/filled split, LOCF sum) so
+# the filled VALUES are hash-checked through the sum while the result
+# stays |users|-sized.
+
+_GF_H = 3_600_000_000  # 1 hour in microseconds
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "value")
+    hour = (F.col("ts_us") - F.col("ts_us") % _GF_H).alias("h")
+    pick = F.struct(F.col("ts_us").alias("t"), F.col("event_id").alias("e"),
+                    F.col("value").alias("v"))
+    obs = (ev.select("user_id", hour, pick.alias("s"))
+           .groupBy("user_id", "h")
+           .agg(F.max("s").getField("v").alias("lv")))
+    span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(_GF_H).cast("long"))).alias("h"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = (grid.join(obs, ["user_id", "h"], "left")
+              .withColumn("v_locf", F.last("lv", ignorenulls=True).over(w)))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("lv").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("lv")).alias("n_filled"),
+            F.round(F.sum("v_locf"), 6).alias("sum_value_locf"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+), obs AS (
+  SELECT user_id, h, lv FROM (
+    SELECT user_id, (ts_us // {_GF_H}) * {_GF_H} AS h, value AS lv,
+           ROW_NUMBER() OVER (PARTITION BY user_id, (ts_us // {_GF_H}) * {_GF_H}
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, {_GF_H})) AS h FROM span
+), filled AS (
+  SELECT g.user_id, o.lv,
+         last_value(o.lv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+)
+SELECT user_id, COUNT(*) AS n_hours, COUNT(lv) AS n_observed,
+       COUNT(*) - COUNT(lv) AS n_filled,
+       ROUND(SUM(v_locf), 6) AS sum_value_locf
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- events_anomaly_mad: robust outlier census per event type --------------
+# Median absolute deviation: med = median(value), mad = median(|value -
+# med|), outlier iff |value - med| > 3*mad.  Two exact percentile
+# aggregates; the 5-row med/mad tables broadcast back to the fact scan.
+# Both engines interpolate medians as lo + frac*(hi - lo) over identical
+# doubles; the outlier comparison uses ROUND(...,6) on BOTH sides so a
+# last-ulp interpolation difference cannot flip a boundary row.
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    outlier = F.round(F.col("adev"), 6) > F.round(F.col("mad") * 3, 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(outlier, 1)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n_events,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(t.mad), 6) AS mad,
+       COUNT(CASE WHEN ROUND(d.adev, 6) > ROUND(t.mad * 3, 6) THEN 1 END)
+         AS n_outliers
+FROM dev d JOIN mad t ON d.event_type = t.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+# --- events_user_paths: sequential trigram path mining ---------------------
+# The top event-type trigrams across per-user ordered event streams
+# (the "common user journeys" query).  lead() runs inside the per-user
+# sorted window -- one shuffle on user_id; path cardinality is
+# |types|^3, never row count.  ORDER BY (count DESC, path ASC) is a
+# total order, so LIMIT cuts identically on both engines.
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    paths = (
+        ev.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(F.concat_ws(">", "event_type", "t1", "t2").alias("path"))
+    )
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+            .orderBy(F.desc("n_paths"), "path").limit(20))
+
+
+EVENTS_USER_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), p AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+         || '>' || LEAD(event_type, 2) OVER w AS path
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT path, COUNT(*) AS n_paths
+FROM p WHERE path IS NOT NULL
+GROUP BY path ORDER BY n_paths DESC, path LIMIT 20
+"""
+
+
+# --- dedup_containment: asymmetric near-subset detection -------------------
+# Containment C(A,B) = |A inter B| / |A| >= 0.8: catches quotes and
+# near-subsets that symmetric Jaccard misses (a small doc embedded in a
+# big one has high containment but low Jaccard).  Inverted-index join
+# on the shingle (same machinery as dedup_ngram_jaccard); DIRECTED
+# pairs, so both (a-in-b) and (b-in-a) can emit.  Length filter:
+# |A inter B| <= |B|, so C >= t forces |B| >= t*|A| -- pruned in the
+# join condition with exact integer arithmetic.
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ex = _dd.shingle_postings(docs)
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                  F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") != F.col("id_b"))
+               & (F.col("n_b") * F.lit(5) >= F.col("n_a") * F.lit(4)))
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    return (
+        inter.withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= 3
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+           AS containment
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id AND len(b.sh) * 5 >= len(a.sh) * 4
+) WHERE containment >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# --- tokens_pmi_bigrams: collocation extraction ----------------------------
+# Pointwise mutual information over adjacent token bigrams:
+# pmi = ln( P(w1 w2) / (P(w1) P(w2)) ), min bigram count 5, top 20 by
+# (rounded pmi DESC, bigram ASC) -- rounding first makes the sort key
+# identical across engines despite last-ulp ln() differences.  Bigram
+# and unigram counts are two hash aggregates; totals ride along as
+# 1-row cross joins (broadcast), never a driver collect.  The product
+# is evaluated left-to-right in DOUBLE on both engines.
+
+def tokens_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+        .alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    totals = (uc.agg(F.sum("uc").alias("nu"))
+              .crossJoin(bg.agg(F.count(F.lit(1)).alias("nb"))))
+    bc = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+          .filter(F.col("bc") >= 5))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("uc").alias("uc1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("uc").alias("uc2"))
+    pmi = F.log(
+        (F.col("bc").cast("double") * F.col("nu") * F.col("nu"))
+        / (F.col("nb").cast("double") * F.col("uc1") * F.col("uc2"))
+    )
+    return (
+        bc.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("bc").alias("n_pairs"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+TOKENS_PMI_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), bg AS (
+  SELECT p.w1, p.w2 FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+    FROM toks WHERE len(toks) >= 2
+  )
+), uc AS (
+  SELECT w, COUNT(*) AS uc FROM uni GROUP BY w
+), totals AS (
+  SELECT (SELECT CAST(SUM(uc) AS BIGINT) FROM uc) AS nu,
+         (SELECT COUNT(*) FROM bg) AS nb
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+)
+SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+       bc.bc AS n_pairs,
+       ROUND(LN((CAST(bc.bc AS DOUBLE) * t.nu * t.nu)
+                / (CAST(t.nb AS DOUBLE) * u1.uc * u2.uc)), 6) AS pmi
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN totals t
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
+# --- dedup_graph_triangles: clustering structure of the near-dup graph ----
+# Triangle census over the Jaccard>=0.2 near-dup pair graph: edge count,
+# open-wedge count (sum over nodes of C(deg,2)), triangle count, and
+# the global clustering coefficient 3*T/W.  Triangles enumerate via the
+# ORIENTED join (all edges stored a<b): (a,b)x(b,c) wedges semi-joined
+# against the edge set -- each triangle found exactly once, candidate
+# space sum-over-nodes(out-deg^2), never |V|^2.  On a 100 TB near-dup
+# graph this is the standard degree-oriented distributed triangle
+# count (the orientation bounds out-degree by sqrt(2|E|) after the
+# usual high-degree split).  The census is the dedup-quality signal:
+# high clustering = template families, low = chain-shaped drift.
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.plans.pipeline import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    deg = (edges.select(F.col("id_a").alias("v"))
+           .unionAll(edges.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    tri = (e1.join(e2, "b")
+           .join(edges, (F.col("a") == F.col("id_a")) & (F.col("c") == F.col("id_b")),
+                 "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges).crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       F.col("n_triangles") * 3.0 / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)), 6).alias("clustering"),
+        )
+    )
+
+
+_NGRAM_PAIRS_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) >= 3
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+)
+"""
+
+DEDUP_TRIANGLES_SQL = _NGRAM_PAIRS_CTE + """
+, deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT id_a AS v FROM edges UNION ALL SELECT id_b AS v FROM edges
+  ) GROUP BY v
+), wedges AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         COUNT(*) AS n_nodes
+  FROM deg
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+), ecnt AS (
+  SELECT COUNT(*) AS n_edges FROM edges
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN n_triangles * 3.0 / n_wedges ELSE 0.0 END, 6)
+         AS clustering
+FROM ecnt CROSS JOIN wedges CROSS JOIN tri
+"""
+
+
+QUERIES = {
+    "events_gap_fill": events_gap_fill,
+    "dedup_graph_triangles": dedup_graph_triangles,
+    "events_anomaly_mad": events_anomaly_mad,
+    "events_user_paths": events_user_paths,
+    "dedup_containment": dedup_containment,
+    "tokens_pmi_bigrams": tokens_pmi_bigrams,
+}
+
+ORACLES = {
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
+    "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
+    "events_user_paths": EVENTS_USER_PATHS_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "tokens_pmi_bigrams": TOKENS_PMI_SQL,
+}
