@@ -101,6 +101,7 @@ HEADLINE = [
     "events_type_pivot",
     "sample_weighted",
     "dedup_graph_triangles",
+    "stream_topk_trending",
 ]
 
 

@@ -65,6 +65,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "events_type_pivot",         # new in round 5 (pivot reshaping)
         "sample_weighted",           # new in round 5 (A-ES weighted sampling)
         "dedup_graph_triangles",     # new in round 5 (triangle census)
+        "stream_topk_trending",      # new in round 5 (windowed rank, foreachBatch shape)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -107,6 +108,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_lsh_knn",       # green r2/r4; ivf_knn + ivf_search windowed
         "text_tfidf_top_terms",     # green r2/r4; tokens_pmi_bigrams same family
         "range_join_prior_activity",  # green r1/r2/r4; gap_fill/ohlc temporal faces windowed
+        "kv_upsert_classify",       # green r2/r4; kv_insert_guarded write face kept
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

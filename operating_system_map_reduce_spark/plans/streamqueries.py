@@ -152,6 +152,34 @@ ORDER BY 1, 2
 """
 
 
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.streaming.windows import (
+        run_topk_trending,
+    )
+
+    return run_topk_trending(spark, sf_dir)
+
+
+# Streaming windowed counts + per-window rank over the emitted result
+# set (the foreachBatch pattern); over the bounded replay this closes
+# to a batch group + ROW_NUMBER with the same deterministic tie-break.
+STREAM_TOPK_SQL = """
+SELECT window_start_us, CAST(rnk AS BIGINT) AS trend_rank, event_type, n
+FROM (
+  SELECT window_start_us, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start_us
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM (
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+  )
+)
+WHERE rnk <= 3
+ORDER BY window_start_us, trend_rank
+"""
+
+
 def stream_mru_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from operating_system_map_reduce_spark.streaming.mru_stream import (
         run_mru_types,
@@ -185,6 +213,7 @@ ORDER BY user_id, mru_rank
 
 QUERIES = {
     "stream_mru_types": stream_mru_types,
+    "stream_topk_trending": stream_topk_trending,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_session_counts": stream_session_counts,
@@ -194,6 +223,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_mru_types": STREAM_MRU_SQL,
+    "stream_topk_trending": STREAM_TOPK_SQL,
     "stream_windowed_counts": STREAM_WINDOW_SQL,
     "stream_dedup_first_seen": STREAM_DEDUP_SQL,
     "stream_session_counts": STREAM_SESSION_SQL,

@@ -213,6 +213,38 @@ def run_enriched_windowed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(sink).orderBy("window_start_us", "c_mktsegment")
 
 
+def run_topk_trending(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming top-k trending event types per hour window.
+
+    Ranking is not a streaming-supported aggregate (it needs the whole
+    window's counts), so the production shape is: the STATEFUL part --
+    watermarked tumbling-window counts -- runs in the stream, and the
+    rank runs per emitted result set (foreachBatch in a live
+    deployment; here the bounded replay lands the counts in the sink
+    and the rank is the post-sink batch step).  State stays
+    (windows x types)-bounded; the rank input is the aggregate's
+    output, never raw events.  Ties break on event_type, so the top-k
+    cut is deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    sink = "events_trending_" + uuid.uuid4().hex[:8]
+    with _stream_shuffle(spark):
+        q = (
+            windowed_counts(events_stream(spark, sf_dir))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("window_start_us").orderBy(F.desc("n"), "event_type")
+    return (
+        spark.table(sink)
+        .withColumn("trend_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("trend_rank") <= k)
+        .select("window_start_us", "trend_rank", "event_type", "n")
+        .orderBy("window_start_us", "trend_rank")
+    )
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the stream to completion; return the sink as a DataFrame."""
     sink = "events_windowed_" + uuid.uuid4().hex[:8]
