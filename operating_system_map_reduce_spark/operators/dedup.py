@@ -166,8 +166,13 @@ def ppjoin_prefix_postings(ex: DataFrame, threshold_num: int,
     15*0.2 -> 3.0000000000000004 -> ceil 4), silently shortening the
     prefix and MISSING pairs.
 
-    Input/output schema: (id, n, s) like shingle_postings, plus the
-    pruning is visible as a row-count drop (asserted in tests).
+    Input schema: (id, n, s) like shingle_postings; output adds ``pos``
+    -- the posting's 1-based rank in the doc's GLOBAL frequency order
+    (computed before the prefix cut), which feeds PPJoin's POSITIONAL
+    filter: for the first common token of a qualifying pair at
+    positions (i, j), overlap <= 1 + min(n_a - i, n_b - j), because a
+    consistent total order puts every other common token after both.
+    The pruning is visible as a row-count drop (asserted in tests).
     """
     from pyspark.sql.window import Window
 
@@ -184,7 +189,7 @@ def ppjoin_prefix_postings(ex: DataFrame, threshold_num: int,
         ex.join(freq, "s")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select(id_col, "n", "s")
+        .select(id_col, "n", "s", "pos")
     )
 
 
