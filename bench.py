@@ -102,6 +102,9 @@ HEADLINE = [
     "sample_weighted",
     "dedup_graph_triangles",
     "stream_topk_trending",
+    "token_bpe_pretokenize",
+    "profile_orders",
+    "events_type_unpivot",
 ]
 
 

@@ -66,6 +66,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "sample_weighted",           # new in round 5 (A-ES weighted sampling)
         "dedup_graph_triangles",     # new in round 5 (triangle census)
         "stream_topk_trending",      # new in round 5 (windowed rank, foreachBatch shape)
+        "token_bpe_pretokenize",     # new in round 5 (GPT-2-style pre-tokenizer census)
+        "profile_orders",            # new in round 5 (one-pass data profiling)
+        "events_type_unpivot",       # new in round 5 (melt round-trip)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -109,6 +112,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "text_tfidf_top_terms",     # green r2/r4; tokens_pmi_bigrams same family
         "range_join_prior_activity",  # green r1/r2/r4; gap_fill/ohlc temporal faces windowed
         "kv_upsert_classify",       # green r2/r4; kv_insert_guarded write face kept
+        "dedup_simhash",            # green r2/r4; minhash/ppjoin/containment windowed
+        "dedup_ngram_jaccard",      # green r2/r4; ppjoin + containment share the index
+        "changelog_replay",         # green r2/r4; kv_insert_guarded + kv_mix_ops windowed
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

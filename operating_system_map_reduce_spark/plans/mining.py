@@ -406,9 +406,122 @@ FROM ecnt CROSS JOIN wedges CROSS JOIN tri
 """
 
 
+# --- token_bpe_pretokenize: GPT-2-style pre-tokenizer census ---------------
+# The BPE PRE-tokenization pass every modern tokenizer runs before
+# merges: contraction suffixes, space-prefixed letter/digit runs,
+# punctuation runs, whitespace runs.  Both engines evaluate the SAME
+# pattern (Java regex and RE2 agree on this subset -- \\p{L}/\\p{N}
+# classes and alternation; equality verified exhaustively at sf0.01
+# before adoption).  Per doc: piece count and distinct-piece count --
+# the fertility statistics a tokenizer-aware curation pass filters on.
+# Map-side only; no shuffle before the final orderBy.
+
+BPE_PRETOKEN_PAT = (
+    r"""'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+)
+
+
+def token_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PAT), F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(pieces).alias("n_pieces"),
+            F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PRETOKEN_PAT.replace("'", "''")}'))
+         AS n_pieces,
+       len(list_distinct(regexp_extract_all(text, '{BPE_PRETOKEN_PAT.replace("'", "''")}')))
+         AS n_distinct_pieces
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- profile_orders: one-pass data-profiling operator ----------------------
+# The schema-quality census every ingestion pipeline runs: per column
+# the row count, null count, and exact distinct count -- computed in
+# ONE aggregate over ONE scan (Spark plans the multiple COUNT
+# DISTINCTs via a single Expand, not one scan per column), then
+# reshaped long with stack().  The oracle spells the same numbers as
+# per-column UNION ALL arms.  String-typed min/max are deliberately
+# omitted: double-to-string rendering differs across engines
+# (1.0E7 vs 10000000.0) and has no profiling value.
+
+_PROFILE_COLS = ["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_orderpriority", "o_orderstatus", "o_totalprice"]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args})")
+            .alias("col_name", "n_nulls", "n_distinct"),
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    )
+
+
+PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+# --- events_type_unpivot: melt (wide-to-long) round trip -------------------
+# The inverse reshaping face of events_type_pivot: the per-user count
+# matrix unpivots back to (user_id, event_type, n) with unpivot()/melt
+# -- one narrow Expand, no extra shuffle -- and must reproduce the
+# plain long-form GROUP BY (zero cells dropped, matching the absent
+# rows of the long form).  Pivot and melt composing to the identity is
+# the reshaping tier's correctness statement.
+
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.plans.analytics import (
+        _PIVOT_TYPES, events_type_pivot,
+    )
+
+    wide = events_type_pivot(spark, sf_dir).drop("total")
+    return (
+        wide.unpivot("user_id", _PIVOT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
     "dedup_graph_triangles": dedup_graph_triangles,
+    "token_bpe_pretokenize": token_bpe_pretokenize,
+    "profile_orders": profile_orders,
+    "events_type_unpivot": events_type_unpivot,
     "events_anomaly_mad": events_anomaly_mad,
     "events_user_paths": events_user_paths,
     "dedup_containment": dedup_containment,
@@ -418,6 +531,9 @@ QUERIES = {
 ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
     "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
+    "token_bpe_pretokenize": TOKEN_BPE_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
+    "events_type_unpivot": EVENTS_UNPIVOT_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,
     "events_user_paths": EVENTS_USER_PATHS_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
