@@ -105,6 +105,8 @@ HEADLINE = [
     "token_bpe_pretokenize",
     "profile_orders",
     "events_type_unpivot",
+    "embedding_label_centroids",
+    "fuzzy_part_match",
 ]
 
 

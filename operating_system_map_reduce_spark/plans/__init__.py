@@ -69,6 +69,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "token_bpe_pretokenize",     # new in round 5 (GPT-2-style pre-tokenizer census)
         "profile_orders",            # new in round 5 (one-pass data profiling)
         "events_type_unpivot",       # new in round 5 (melt round-trip)
+        "embedding_label_centroids",  # new in round 5 (vector agg + cohesion)
+        "fuzzy_part_match",          # new in round 5 (blocked edit-distance)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -115,6 +117,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "dedup_simhash",            # green r2/r4; minhash/ppjoin/containment windowed
         "dedup_ngram_jaccard",      # green r2/r4; ppjoin + containment share the index
         "changelog_replay",         # green r2/r4; kv_insert_guarded + kv_mix_ops windowed
+        "multimodal_frame_sample",  # green r2/r4; multimodal plumbing also pytest-pinned
+        "dedup_minhash_lsh",        # green r2/r4; clusters + novelty (windowed) reuse the signature path
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

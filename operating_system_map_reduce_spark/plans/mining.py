@@ -516,8 +516,127 @@ ORDER BY user_id, event_type
 """
 
 
+# --- embedding_label_centroids: vector aggregation + cohesion --------------
+# Per-label centroid (the mean vector) and intra-class cosine cohesion
+# -- the class-separability census run before training a classifier on
+# labeled embeddings.  The vector algebra runs LONG-FORM: posexplode to
+# (vec, dim, value), centroid = avg per (label, dim) -- shuffle keyed
+# on (label, dim), cardinality |labels| x dim, never row count -- then
+# one keyed join back computes each vector's dot/norm against its
+# centroid.  Long-form keeps every sum a plain hash aggregate (no
+# per-row array UDFs) and scales to any dim; ROUND(...,6) guards the
+# float accumulation order on both engines.
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    d = emb.select(
+        "label", "vec_id",
+        F.posexplode("embedding").alias("ord", "valf"),
+    ).select("label", "vec_id", "ord", F.col("valf").cast("double").alias("val"))
+    cent = d.groupBy("label", "ord").agg(F.avg("val").alias("c"))
+    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    per_vec = (
+        d.join(cent, ["label", "ord"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"),
+             F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"))
+    )
+    cos = F.col("dot") / (F.col("vn") * F.col("cn"))
+    return (
+        per_vec.join(cnorm, "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cos), 6).alias("avg_cos"),
+            F.round(F.min(cos), 6).alias("min_cos"),
+            F.round(F.max("cn"), 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH d AS (
+  SELECT label, vec_id, CAST(embedding[i] AS DOUBLE) AS val, i AS ord
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+  SELECT label, ord, AVG(val) AS c FROM d GROUP BY label, ord
+), cnorm AS (
+  SELECT label, SQRT(SUM(c*c)) AS cn FROM cent GROUP BY label
+), per_vec AS (
+  SELECT d.label, d.vec_id,
+         SUM(d.val * cent.c) AS dot, SQRT(SUM(d.val * d.val)) AS vn
+  FROM d JOIN cent ON d.label = cent.label AND d.ord = cent.ord
+  GROUP BY d.label, d.vec_id
+)
+SELECT p.label, COUNT(*) AS n_vecs,
+       ROUND(AVG(p.dot / (p.vn * c.cn)), 6) AS avg_cos,
+       ROUND(MIN(p.dot / (p.vn * c.cn)), 6) AS min_cos,
+       ROUND(MAX(c.cn), 6) AS centroid_norm
+FROM per_vec p JOIN cnorm c ON p.label = c.label
+GROUP BY p.label ORDER BY p.label
+"""
+
+
+# --- fuzzy_part_match: blocked edit-distance entity matching ---------------
+# The fuzzy-join face: near-duplicate part names by Levenshtein
+# distance <= 1 (exact dup or one edit), BLOCKED on (brand, trailing
+# noun) so the pairwise distance runs only inside blocks -- the
+# classic entity-resolution shape (blocking key cuts 80.1k brand-only
+# pairs to 10.0k at sf0.01; never an unblocked n^2).  Output is the
+# per-block census (parts, compared pairs, identical, one-edit),
+# blocks with at least one close pair -- block-count-bounded, not
+# pair-bounded.  Both engines implement unit-cost Wagner-Fischer, so
+# the distances agree exactly.
+
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    p = part.withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))
+    a = p.select(F.col("p_brand"), F.col("noun"),
+                 F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_brand"), F.col("noun"),
+                 F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    pairs = (
+        a.join(b, ["p_brand", "noun"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("name_a", "name_b"))
+    )
+    return (
+        pairs.groupBy("p_brand", "noun")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("d") == 0, 1)).alias("n_identical"),
+            F.count(F.when(F.col("d") == 1, 1)).alias("n_one_edit"),
+        )
+        .filter(F.col("n_identical") + F.col("n_one_edit") > 0)
+        .orderBy("p_brand", "noun")
+    )
+
+
+FUZZY_PART_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand,
+         regexp_extract(p_name, '[a-z]+$') AS noun
+  FROM part
+), pairs AS (
+  SELECT a.p_brand, a.noun, levenshtein(a.p_name, b.p_name) AS d
+  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
+        AND a.p_partkey < b.p_partkey
+)
+SELECT p_brand, noun, COUNT(*) AS n_pairs,
+       COUNT(CASE WHEN d = 0 THEN 1 END) AS n_identical,
+       COUNT(CASE WHEN d = 1 THEN 1 END) AS n_one_edit
+FROM pairs
+GROUP BY p_brand, noun
+HAVING COUNT(CASE WHEN d = 0 THEN 1 END) + COUNT(CASE WHEN d = 1 THEN 1 END) > 0
+ORDER BY p_brand, noun
+"""
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
+    "embedding_label_centroids": embedding_label_centroids,
+    "fuzzy_part_match": fuzzy_part_match,
     "dedup_graph_triangles": dedup_graph_triangles,
     "token_bpe_pretokenize": token_bpe_pretokenize,
     "profile_orders": profile_orders,
@@ -530,6 +649,8 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
+    "fuzzy_part_match": FUZZY_PART_SQL,
     "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
     "token_bpe_pretokenize": TOKEN_BPE_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -17,6 +17,12 @@ import __spark_entry__ as entrymod
 # by design; the production paths are similarity_lsh_knn / similarity_ivf_knn
 ALLPAIRS_BY_DESIGN = {"similarity_cosine_topk"}
 
+# 1-row aggregate totals attached via crossJoin(broadcast(...)) plan as
+# BroadcastNestedLoopJoin over a CONSTANT single-row side -- the
+# declarative alternative to a driver collect of the scalar, not an
+# all-pairs blowup.  CartesianProduct stays forbidden for these.
+BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles"}
+
 _QUERIES = entrymod.queries()
 
 
@@ -37,7 +43,8 @@ class TestAntiPatterns:
         plan = _plan(_QUERIES[name](spark, sf_dir))
         if name not in ALLPAIRS_BY_DESIGN:
             assert "CartesianProduct" not in plan, f"{name}: cartesian join"
-            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+            if name not in BNLJ_CONSTANT_SIDE:
+                assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
         assert "BatchEvalPython" not in plan, \
             f"{name}: row-at-a-time Python UDF in the plan"
 
@@ -113,6 +120,14 @@ class TestRegistryWindow:
         "zorder_cluster_stats", "stream_mru_types",  # new in round 5
         "events_ohlc", "similarity_ivf_search",  # new in round 5
         "events_funnel", "events_retention_cohorts",  # new in round 5
+        "events_gap_fill", "events_anomaly_mad",  # new in round 5
+        "events_user_paths", "dedup_containment",  # new in round 5
+        "tokens_pmi_bigrams", "events_cube_summary",  # new in round 5
+        "events_type_pivot", "sample_weighted",  # new in round 5
+        "dedup_graph_triangles", "stream_topk_trending",  # new in round 5
+        "token_bpe_pretokenize", "profile_orders",  # new in round 5
+        "events_type_unpivot",  # new in round 5
+        "embedding_label_centroids", "fuzzy_part_match",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -122,7 +137,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 77
+        assert len(_QUERIES) == len(set(_QUERIES)) == 92
         assert set(oracles) <= set(_QUERIES)
 
 
@@ -148,3 +163,40 @@ class TestRound5PlanShapes:
         never a global single-partition window over documents."""
         plan = _plan(_QUERIES["dedup_purge_canonical"](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, plan
+
+    def test_cube_aggregates_partially_mapside(self, spark, sf_dir):
+        """CUBE expands grouping sets but must still combine map-side:
+        the shuffle carries grouping-set rows per partition, not
+        events."""
+        plan = _plan(_QUERIES["events_cube_summary"](spark, sf_dir))
+        assert "Expand" in plan, plan
+        assert "partial_count" in plan or "partial_sum" in plan, plan
+
+    def test_profile_is_one_scan(self, spark, sf_dir):
+        """The per-column profiling aggregate reads orders ONCE -- the
+        multiple COUNT DISTINCTs plan through a single Expand, never
+        one scan per column."""
+        plan = _plan(_QUERIES["profile_orders"](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "Expand" in plan, plan
+
+    def test_gap_fill_windows_per_user(self, spark, sf_dir):
+        """The LOCF window partitions by user_id; the hour grid never
+        funnels through one task."""
+        plan = _plan(_QUERIES["events_gap_fill"](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_pmi_joins_are_keyed(self, spark, sf_dir):
+        """PMI joins bigrams to the unigram table on the word key via
+        BroadcastHashJoin; the only BNLJ is the constant 1-row totals
+        attach (see BNLJ_CONSTANT_SIDE)."""
+        plan = _plan(_QUERIES["tokens_pmi_bigrams"](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_ppjoin_has_positional_filter(self, spark, sf_dir):
+        """The candidate join condition carries the positional bound
+        (least of remaining suffix lengths) -- the PPJoin pruning
+        lever, not just the prefix cut."""
+        plan = _plan(_QUERIES["dedup_jaccard_ppjoin"](spark, sf_dir))
+        assert "least(" in plan, plan
