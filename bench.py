@@ -107,6 +107,8 @@ HEADLINE = [
     "events_type_unpivot",
     "embedding_label_centroids",
     "fuzzy_part_match",
+    "q6_forecast_revenue",
+    "orders_customer_reconcile",
 ]
 
 

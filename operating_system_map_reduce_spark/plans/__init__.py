@@ -71,6 +71,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "events_type_unpivot",       # new in round 5 (melt round-trip)
         "embedding_label_centroids",  # new in round 5 (vector agg + cohesion)
         "fuzzy_part_match",          # new in round 5 (blocked edit-distance)
+        "q6_forecast_revenue",       # new in round 5 (pure pushdown agg)
+        "orders_customer_reconcile",  # new in round 5 (full outer join census)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -119,6 +121,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "changelog_replay",         # green r2/r4; kv_insert_guarded + kv_mix_ops windowed
         "multimodal_frame_sample",  # green r2/r4; multimodal plumbing also pytest-pinned
         "dedup_minhash_lsh",        # green r2/r4; clusters + novelty (windowed) reuse the signature path
+        "fn_registry_doc_stats",    # green r2/r4; KVF auth matrix also pytest-pinned
+        "pipeline_corpus_curation",  # green r2/r4; every composed stage windowed individually
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -589,6 +589,75 @@ ORDER BY user_id
 """
 
 
+# --- q6_forecast_revenue: the pure pushdown showcase -----------------------
+# TPC-H Q6: one scan, three pushed filters, one global aggregate --
+# zero joins, zero window.  The entire plan under whole-stage codegen;
+# at 100 TB the parquet reader prunes both row groups (min/max on
+# shipdate/discount/quantity) and all but three columns.
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+            .alias("revenue"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+# --- orders_customer_reconcile: FULL OUTER join census ---------------------
+# The reconciliation face: full outer join orders-to-customer and
+# census each segment's matched / customer-only rows plus any orphan
+# orders (null segment -> 'UNKNOWN').  Outer joins cannot broadcast
+# the preserved side, so this plans as a shuffle join on the key both
+# tables would be co-bucketed on at scale (bucketed_segment_revenue
+# shows that at-rest layout deleting this exchange).
+
+def orders_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey, "full_outer")
+    return (
+        j.groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1))
+            .alias("n_customers_without_orders"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+        .orderBy("segment")
+    )
+
+
+RECONCILE_SQL = """
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+         AS n_customers_without_orders,
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- events_sessionize: gaps-and-islands via lag window -------------------
 # Sessionization: a new session starts after a >30 min gap.  The lag and
 # the running session-id sum both run inside the per-user sorted window;
@@ -1080,6 +1149,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_cube_summary": events_cube_summary,
     "events_type_pivot": events_type_pivot,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "orders_customer_reconcile": orders_customer_reconcile,
     "events_json_extract": events_json_extract,
     "asof_click_attribution": asof_click_attribution,
     "range_join_prior_activity": range_join_prior_activity,
@@ -1107,6 +1178,8 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_cube_summary": EVENTS_CUBE_SQL,
     "events_type_pivot": EVENTS_PIVOT_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "orders_customer_reconcile": RECONCILE_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "asof_click_attribution": ASOF_SQL,
     "range_join_prior_activity": RANGE_JOIN_SQL,

@@ -128,6 +128,7 @@ class TestRegistryWindow:
         "token_bpe_pretokenize", "profile_orders",  # new in round 5
         "events_type_unpivot",  # new in round 5
         "embedding_label_centroids", "fuzzy_part_match",  # new in round 5
+        "q6_forecast_revenue", "orders_customer_reconcile",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -137,7 +138,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 92
+        assert len(_QUERIES) == len(set(_QUERIES)) == 94
         assert set(oracles) <= set(_QUERIES)
 
 
@@ -193,6 +194,14 @@ class TestRound5PlanShapes:
         plan = _plan(_QUERIES["tokens_pmi_bigrams"](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastHashJoin" in plan, plan
+
+    def test_q6_filters_reach_parquet_scan(self, spark, sf_dir):
+        """The pure-pushdown showcase: all three predicates appear in
+        PushedFilters and the scan reads only the three used columns."""
+        plan = _plan(_QUERIES["q6_forecast_revenue"](spark, sf_dir))
+        assert "PushedFilters:" in plan and "l_shipdate" in plan.split(
+            "PushedFilters:")[1][:400], plan
+        assert "l_returnflag" not in plan.split("ReadSchema:")[1][:300], plan
 
     def test_ppjoin_has_positional_filter(self, spark, sf_dir):
         """The candidate join condition carries the positional bound
