@@ -699,3 +699,76 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     scored = members.groupBy("cell").applyInPandas(cell_fn, out_schema)
     return _ranked_topk(scored, k)
+
+
+# --- product quantization (the IVF-PQ compression companion) ---------------
+# PQ splits the vector into PQ_M subspaces and snaps each subvector to
+# its nearest codebook entry -- the memory-compression half of the
+# canonical 100 TB ANN stack (IVF narrows the search, PQ shrinks the
+# residency: 64 floats -> PQ_M codes).  The codebook is deterministic
+# (the PQ_K lowest-id vectors' subvectors, the same no-training rule as
+# IVF's centroid table) so a SQL oracle regenerates it exactly.  At
+# scale: the codebook is a constant broadcast, assignment is map-side
+# Arrow, and the only shuffle downstream is whatever aggregate consumes
+# the codes.
+PQ_M = 8                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_K = 16                # codes per subspace
+
+
+def pq_codes(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(id, subspace, code, sq_err): per-subspace nearest-codebook
+    assignment with its squared L2 error.
+
+    Distances fold LEFT-TO-RIGHT over the subspace dims (cumsum), so
+    the doubles match the oracle's list_sum fold bit-for-bit; argmin
+    ties break toward the lowest code id (numpy first-minimum over a
+    codebook ordered by id == ORDER BY dist, cid)."""
+    import pandas as pd
+
+    cb_rows = (
+        emb.orderBy(F.col(id_col).asc()).limit(PQ_K)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    cb_ids = np.array([r["cid"] for r in cb_rows], dtype=np.int64)
+    CB = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cb_rows])
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_type = src.schema[id_col].dataType
+    schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("subspace", IntegerType()),
+        StructField("code", LongType()),
+        StructField("sq_err", DoubleType()),
+    ])
+
+    def code_batches(batches):
+        for pdf in batches:
+            E = _stack(pdf[vec_col])
+            n = E.shape[0]
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            out_id, out_s, out_c, out_e = [], [], [], []
+            for s in range(PQ_M):
+                lo, hi = s * PQ_SUB, (s + 1) * PQ_SUB
+                sub = E[:, lo:hi]
+                d2 = np.empty((n, PQ_K), dtype=np.float64)
+                for k in range(PQ_K):
+                    diff = sub - CB[k, lo:hi]
+                    # sequential fold (see _seq_dot): oracle-identical
+                    d2[:, k] = np.cumsum(diff * diff, axis=1)[:, -1]
+                best = np.argmin(d2, axis=1)  # first min == lowest cid
+                out_id.append(ids)
+                out_s.append(np.full(n, s, dtype=np.int32))
+                out_c.append(cb_ids[best])
+                out_e.append(d2[np.arange(n), best])
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_id),
+                "subspace": np.concatenate(out_s),
+                "code": np.concatenate(out_c),
+                "sq_err": np.concatenate(out_e),
+            })
+
+    return src.mapInPandas(code_batches, schema)

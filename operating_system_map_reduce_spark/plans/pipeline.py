@@ -1306,3 +1306,65 @@ ORDER BY lang
 
 QUERIES["pipeline_corpus_curation"] = pipeline_corpus_curation
 ORACLES["pipeline_corpus_curation"] = CORPUS_CURATION_SQL
+
+
+# --- embedding_pq_codes: product-quantization code census ------------------
+# The compression half of the IVF-PQ ANN stack (similarity_ivf_knn is
+# the search half): every vector's PQ_M subvectors snap to a
+# deterministic 16-entry codebook per subspace (operators/similarity.
+# pq_codes -- the no-training lowest-id rule IVF's centroid table
+# uses), and this query grades the code book: per (subspace, code) the
+# assignment count and accumulated squared error.  Output cardinality
+# PQ_M x PQ_K; the assignment itself is map-side Arrow with the
+# codebook as a closed-over constant, so the census's groupBy is the
+# plan's only shuffle.
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = _sim.pq_codes(emb)
+    return (
+        codes.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.sum("sq_err"), 6).alias("total_sq_err"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _pq_oracle_sql() -> str:
+    m, sub, k = _sim.PQ_M, _sim.PQ_SUB, _sim.PQ_K
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+), dists AS (
+  SELECT e.vec_id, s.s AS subspace, cb.cid,
+         list_sum(list_transform(range(1, {sub} + 1),
+           i -> (CAST(e.embedding[s.s * {sub} + i] AS DOUBLE)
+                 - CAST(cb.cv[s.s * {sub} + i] AS DOUBLE))
+              * (CAST(e.embedding[s.s * {sub} + i] AS DOUBLE)
+                 - CAST(cb.cv[s.s * {sub} + i] AS DOUBLE)))) AS d2
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+  CROSS JOIN cb
+), assigned AS (
+  SELECT vec_id, subspace, cid, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT CAST(subspace AS INTEGER) AS subspace, cid AS code,
+       COUNT(*) AS n_assigned,
+       ROUND(SUM(d2), 6) AS total_sq_err
+FROM assigned
+GROUP BY subspace, cid
+ORDER BY subspace, code
+"""
+
+
+EMBEDDING_PQ_SQL = _pq_oracle_sql()
+
+QUERIES["embedding_pq_codes"] = embedding_pq_codes
+ORACLES["embedding_pq_codes"] = EMBEDDING_PQ_SQL
