@@ -109,6 +109,7 @@ HEADLINE = [
     "fuzzy_part_match",
     "q6_forecast_revenue",
     "orders_customer_reconcile",
+    "embedding_pq_codes",
 ]
 
 
