@@ -1,0 +1,173 @@
+"""Differential and property tests for the round-5 mining tier
+(plans/mining.py, curation.sample_weighted, similarity.pq_codes).
+
+Oracle parity pins Spark == DuckDB; these tests pin both against a
+third, independently-written pure-pandas/python computation, and pin
+semantic properties (weighting bias, codebook self-assignment) that a
+row-hash cannot express.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+
+def _events_pdf(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ts = pd.to_datetime(pdf["ts"])
+    # microseconds since epoch, matching tables.ts_us_expr -- unit-safe:
+    # parquet generations ship datetime64[us] OR [ns], and a bare
+    # astype(int64) yields the STORAGE unit, not a fixed one
+    pdf["ts_us"] = (ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    return pdf
+
+
+HOUR_US = 3_600_000_000
+
+
+class TestGapFillDifferential:
+    def test_matches_pandas_locf(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.mining import events_gap_fill
+
+        got = {r["user_id"]: r for r in
+               events_gap_fill(spark, sf_dir).collect()}
+
+        pdf = _events_pdf(sf_dir)
+        pdf["h"] = pdf["ts_us"] - pdf["ts_us"] % HOUR_US
+        for uid, g in pdf.groupby("user_id"):
+            # last observed value per hour: (ts, event_id) order
+            g = g.sort_values(["ts_us", "event_id"])
+            lv = g.groupby("h")["value"].last()
+            grid = range(int(lv.index.min()), int(lv.index.max()) + 1, HOUR_US)
+            filled = lv.reindex(grid).ffill()
+            row = got[uid]
+            assert row["n_hours"] == len(filled)
+            assert row["n_observed"] == lv.size
+            assert row["n_filled"] == len(filled) - lv.size
+            assert row["sum_value_locf"] == pytest.approx(
+                round(filled.sum(), 6), abs=2e-6)
+
+    def test_first_grid_hour_always_observed(self, spark, sf_dir):
+        """The grid starts at each user's first observed hour, so LOCF
+        never leaves a null (no leading gap)."""
+        from operating_system_map_reduce_spark.plans.mining import events_gap_fill
+
+        for r in events_gap_fill(spark, sf_dir).collect():
+            assert r["n_observed"] >= 1
+            assert r["sum_value_locf"] is not None
+
+
+class TestAnomalyMadDifferential:
+    def test_matches_pandas_mad(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.mining import events_anomaly_mad
+
+        got = {r["event_type"]: r for r in
+               events_anomaly_mad(spark, sf_dir).collect()}
+        pdf = _events_pdf(sf_dir)
+        for et, g in pdf.groupby("event_type"):
+            med = g["value"].median()
+            adev = (g["value"] - med).abs()
+            mad = adev.median()
+            n_out = int((adev.round(6) > round(3 * mad, 6)).sum())
+            row = got[et]
+            assert row["n_events"] == len(g)
+            assert row["med"] == pytest.approx(round(med, 6), abs=2e-6)
+            assert row["mad"] == pytest.approx(round(mad, 6), abs=2e-6)
+            assert row["n_outliers"] == n_out
+
+
+class TestWeightedSampling:
+    def test_ranks_contiguous_and_bias_toward_long_docs(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.curation import (
+            SAMPLE_W_K, sample_weighted)
+
+        rows = sample_weighted(spark, sf_dir).collect()
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        k = min(SAMPLE_W_K, len(docs))
+        assert [r["smp_rank"] for r in rows] == list(range(1, k + 1))
+        # Efraimidis-Spirakis with w = n_chars: inclusion probability
+        # rises with length, so the sample mean length must exceed the
+        # corpus mean (comfortably, given the ~10x length spread).
+        if len(docs) > 2 * k:
+            sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+            corpus_mean = docs["n_chars"].mean()
+            assert sample_mean > corpus_mean
+
+    def test_deterministic_across_calls(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.curation import sample_weighted
+
+        a = [(r["smp_rank"], r["doc_id"]) for r in
+             sample_weighted(spark, sf_dir).collect()]
+        b = [(r["smp_rank"], r["doc_id"]) for r in
+             sample_weighted(spark, sf_dir).collect()]
+        assert a == b
+
+
+class TestPqCodes:
+    def test_codebook_vectors_self_assign_with_zero_error(self, spark, sf_dir):
+        """The PQ_K lowest-id vectors ARE the codebook: each of their
+        subvectors must quantize to itself with sq_err == 0."""
+        from operating_system_map_reduce_spark.operators import similarity as sim
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb_ids = [r["vec_id"] for r in
+                  emb.orderBy("vec_id").limit(sim.PQ_K).collect()]
+        codes = sim.pq_codes(emb).filter(F.col("vec_id").isin(cb_ids)).collect()
+        for r in codes:
+            assert r["sq_err"] == 0.0, r
+            assert r["code"] == r["vec_id"], r
+
+    def test_every_vector_fully_coded(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.operators import similarity as sim
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        codes = sim.pq_codes(emb)
+        assert codes.count() == n * sim.PQ_M
+        per_vec = codes.groupBy("vec_id").count().collect()
+        assert all(r["count"] == sim.PQ_M for r in per_vec)
+
+
+class TestFuzzyBlockCensus:
+    def test_matches_pandas_blocks(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.mining import fuzzy_part_match
+
+        got = {(r["p_brand"], r["noun"]): r for r in
+               fuzzy_part_match(spark, sf_dir).collect()}
+        part = pd.read_parquet(os.path.join(sf_dir, "part.parquet"))
+        part["noun"] = part["p_name"].str.extract(r"([a-z]+)$", expand=False)
+
+        def lev(a: str, b: str) -> int:
+            if a == b:
+                return 0
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        want = {}
+        for (brand, noun), g in part.groupby(["p_brand", "noun"]):
+            rows = sorted(zip(g["p_partkey"], g["p_name"]))
+            n_pairs = n_id = n_one = 0
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = lev(rows[i][1], rows[j][1])
+                    n_pairs += 1
+                    n_id += d == 0
+                    n_one += d == 1
+            if n_id + n_one > 0:
+                want[(brand, noun)] = (n_pairs, n_id, n_one)
+        assert {k: (r["n_pairs"], r["n_identical"], r["n_one_edit"])
+                for k, r in got.items()} == want
