@@ -110,6 +110,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "orders_customer_reconcile",
     "embedding_pq_codes",
+    "interval_overlap_errors",
 ]
 
 

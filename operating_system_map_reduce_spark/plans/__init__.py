@@ -74,6 +74,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q6_forecast_revenue",       # new in round 5 (pure pushdown agg)
         "orders_customer_reconcile",  # new in round 5 (full outer join census)
         "embedding_pq_codes",        # new in round 5 (product-quantization census)
+        "interval_overlap_errors",   # new in round 5 (interval-overlap join face)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -125,6 +126,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "fn_registry_doc_stats",    # green r2/r4; KVF auth matrix also pytest-pinned
         "pipeline_corpus_curation",  # green r2/r4; every composed stage windowed individually
         "kv_insert_guarded",        # green r2/r4; kv_mix_ops (windowed) covers guarded writes in bulk
+        "mr_odd_key_vals",          # green r2/r4; KMR byte-parity vs golden fixtures pytest-pinned
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

@@ -638,8 +638,113 @@ ORDER BY p_brand, noun
 """
 
 
+# --- interval_overlap_errors: interval-interval overlap join face ---------
+# Which error bursts landed inside an active browsing session?  Both
+# interval sets derive from the same gaps-and-islands sessionization
+# (30 min inactivity, [first, last] event extents); the overlap join is
+# operators/temporal.interval_overlap_join -- intervals explode onto
+# hour buckets, the join is (bucket, user) EQUI (never a non-equi range
+# join), and multi-bucket pairs credit exactly one bucket, so no
+# dedup shuffle.  Output is the per-user census over users with at
+# least one browse session.
+
+_IOV_GAP_US = 1_800_000_000
+_IOV_BUCKET_US = 3_600_000_000
+
+
+def _event_sessions(ev: DataFrame, types: list[str]) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (ev.filter(F.col("event_type").isin(types))
+         .select("user_id", "ts_us", "event_id"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.withColumn(
+        "new_s",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _IOV_GAP_US, 1)
+        .otherwise(0))
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "sid")
+            .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e")))
+
+
+def interval_overlap_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    browse = (_event_sessions(ev, ["click", "view"])
+              .select("user_id", F.col("s").alias("b_s"), F.col("e").alias("b_e")))
+    errors = (_event_sessions(ev, ["error"])
+              .select("user_id", F.col("s").alias("x_s"), F.col("e").alias("x_e")))
+    overlaps = interval_overlap_join(
+        browse, errors, key="user_id",
+        l_start="b_s", l_end="b_e", r_start="x_s", r_end="x_e",
+        bucket_width=_IOV_BUCKET_US,
+    ).groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+    nb = browse.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_browse"))
+    ne = errors.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_error_bursts"))
+    return (
+        nb.join(ne, "user_id", "left").join(overlaps, "user_id", "left")
+        .select(
+            "user_id", "n_browse",
+            F.coalesce("n_error_bursts", F.lit(0)).alias("n_error_bursts"),
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+), browse AS (
+  SELECT user_id, MIN(ts_us) AS b_s, MAX(ts_us) AS b_e FROM (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) > {_IOV_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WHERE event_type IN ('click', 'view')
+    )
+  ) GROUP BY user_id, sid
+), errs AS (
+  SELECT user_id, MIN(ts_us) AS x_s, MAX(ts_us) AS x_e FROM (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) > {_IOV_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WHERE event_type = 'error'
+    )
+  ) GROUP BY user_id, sid
+), ov AS (
+  SELECT b.user_id, COUNT(*) AS n_overlaps
+  FROM browse b JOIN errs x
+    ON b.user_id = x.user_id AND b.b_s <= x.x_e AND x.x_s <= b.b_e
+  GROUP BY b.user_id
+), nb AS (
+  SELECT user_id, COUNT(*) AS n_browse FROM browse GROUP BY user_id
+), ne AS (
+  SELECT user_id, COUNT(*) AS n_error_bursts FROM errs GROUP BY user_id
+)
+SELECT nb.user_id, nb.n_browse,
+       COALESCE(ne.n_error_bursts, 0) AS n_error_bursts,
+       COALESCE(ov.n_overlaps, 0) AS n_overlaps
+FROM nb LEFT JOIN ne ON nb.user_id = ne.user_id
+LEFT JOIN ov ON nb.user_id = ov.user_id
+ORDER BY nb.user_id
+"""
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
+    "interval_overlap_errors": interval_overlap_errors,
     "embedding_label_centroids": embedding_label_centroids,
     "fuzzy_part_match": fuzzy_part_match,
     "dedup_graph_triangles": dedup_graph_triangles,
@@ -654,6 +759,7 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "interval_overlap_errors": INTERVAL_OVERLAP_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "fuzzy_part_match": FUZZY_PART_SQL,
     "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
