@@ -575,6 +575,9 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# total = sum of the PINNED types (not COUNT(*)): if a future testdata
+# generation introduces a sixth event type, both engines still census
+# the same five columns instead of silently diverging on the total.
 EVENTS_PIVOT_SQL = """
 SELECT user_id,
        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
@@ -582,7 +585,8 @@ SELECT user_id,
        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
-       COUNT(*) AS total
+       COUNT(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+             THEN 1 END) AS total
 FROM events
 GROUP BY user_id
 ORDER BY user_id
