@@ -52,8 +52,18 @@ _EXPECTED: dict[str, dict[str, tuple[str, ...]]] = {
         "value": ("double", "decimal"),  # SUM'd by stream_enrich_revenue
         "props": ("string",),            # events_json_extract JSON blob
     },
-    "documents": {"doc_id": ("bigint", "int"), "text": ("string",)},
-    "embeddings": {"vec_id": ("bigint", "int"), "embedding": ("array",)},
+    "documents": {
+        "doc_id": ("bigint", "int"),
+        "text": ("string",),
+        "lang": ("string",),             # stratified sampling / curation keys
+        "source": ("string",),           # domain_mix_sample admission key
+        "n_chars": ("bigint", "int"),    # sample_weighted weight column
+    },
+    "embeddings": {
+        "vec_id": ("bigint", "int"),
+        "embedding": ("array",),
+        "label": ("int", "bigint"),      # embedding_label_centroids group key
+    },
 }
 
 # Per-session source-frame cache.  A loader call costs ~60 ms (parquet
