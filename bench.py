@@ -111,6 +111,7 @@ HEADLINE = [
     "orders_customer_reconcile",
     "embedding_pq_codes",
     "interval_overlap_errors",
+    "similarity_ivfpq_search",
 ]
 
 

@@ -772,3 +772,147 @@ def pq_codes(emb: DataFrame, id_col: str = "vec_id",
             })
 
     return src.mapInPandas(code_batches, schema)
+
+
+def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ serving search: IVF candidate generation (home cells /
+    NPROBE probes, exactly ivf_search's) scored against PQ-RECONSTRUCTED
+    corpus vectors -- the full compressed-index ANN stack, where the
+    index stores PQ_M codes per vector instead of DIM floats and
+    queries rank by cosine to the reconstruction.
+
+    Determinism contract: cell assignment uses the ORIGINAL corpus
+    vector (the index build sees the real data); reconstruction snaps
+    each subvector to the codebook entry chosen by the same
+    sequential-fold argmin as pq_codes; the scoring norm folds the
+    reconstructed 64 dims FLAT left-to-right, and the oracle rebuilds
+    the same array (flatten of ordered codebook slices) so every double
+    matches bit-for-bit."""
+    import pandas as pd
+
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    queries = _drop_zero_vectors(queries, vec_col)
+    cent_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(IVF_NLIST)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    cb_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(PQ_K)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    src_c = corpus.select(F.col(id_col), F.col(vec_col))
+    src_q = queries.select(F.col(id_col), F.col(vec_col))
+    id_field, vec_field = src_c.schema[id_col], src_c.schema[vec_col]
+    member_schema = StructType([
+        StructField("cell", LongType()), StructField("is_q", BooleanType()),
+        StructField("__id", id_field.dataType),
+        StructField("__vec", vec_field.dataType),
+        StructField("__nrm", DoubleType()),
+    ])
+    out_schema = StructType([
+        StructField("qid", id_field.dataType),
+        StructField("nid", id_field.dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    if not cent_rows or not cb_rows:
+        empty = src_c.sparkSession.createDataFrame([], out_schema)
+        return _ranked_topk(empty, k)
+    cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    # codebook kept in the STORAGE dtype (float32): reconstructions are
+    # exact codebook entries, cast to double only inside folds
+    CB32 = np.stack([np.asarray(r["cv"], dtype=np.float32) for r in cb_rows])
+    CB64 = CB32.astype(np.float64)
+
+    def corpus_batches(bs):
+        for pdf in bs:
+            E = _stack(pdf[vec_col])
+            n = E.shape[0]
+            if n == 0:
+                continue
+            nrm = np.sqrt(_seq_dot(E, E))
+            sims = np.empty((n, len(cent_ids)), dtype=np.float64)
+            for j in range(len(cent_ids)):
+                sims[:, j] = _seq_dot(
+                    E, np.broadcast_to(C[j], E.shape)) / (nrm * cn[j])
+            home = cent_ids[np.argsort(-sims, axis=1, kind="stable")[:, 0]]
+            recon = np.empty((n, DIM), dtype=np.float32)
+            for s in range(PQ_M):
+                lo, hi = s * PQ_SUB, (s + 1) * PQ_SUB
+                sub = E[:, lo:hi]
+                d2 = np.empty((n, PQ_K), dtype=np.float64)
+                for kk in range(PQ_K):
+                    diff = sub - CB64[kk, lo:hi]
+                    d2[:, kk] = np.cumsum(diff * diff, axis=1)[:, -1]
+                best = np.argmin(d2, axis=1)  # first min == lowest cid
+                recon[:, lo:hi] = CB32[best][:, lo:hi]
+            R64 = recon.astype(np.float64)
+            rnrm = np.sqrt(np.cumsum(R64 * R64, axis=1)[:, -1])
+            keep = rnrm > 0
+            yield pd.DataFrame({
+                "cell": home[keep],
+                "is_q": np.zeros(int(keep.sum()), dtype=bool),
+                "__id": pdf[id_col].to_numpy()[keep],
+                "__vec": pd.Series(list(recon[keep])),
+                "__nrm": rnrm[keep],
+            })
+
+    nprobe_q = min(IVF_NPROBE, len(cent_rows))
+
+    def query_batches(bs):
+        for pdf in bs:
+            E = _stack(pdf[vec_col])
+            n = E.shape[0]
+            if n == 0:
+                continue
+            nrm = np.sqrt(_seq_dot(E, E))
+            sims = np.empty((n, len(cent_ids)), dtype=np.float64)
+            for j in range(len(cent_ids)):
+                sims[:, j] = _seq_dot(
+                    E, np.broadcast_to(C[j], E.shape)) / (nrm * cn[j])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_q]
+            yield pd.DataFrame({
+                "cell": cent_ids[order].ravel(),
+                "is_q": np.ones(n * nprobe_q, dtype=bool),
+                "__id": np.repeat(pdf[id_col].to_numpy(), nprobe_q),
+                "__vec": pd.Series(
+                    [v for v in pdf[vec_col] for _ in range(nprobe_q)]),
+                "__nrm": np.repeat(nrm, nprobe_q),
+            })
+
+    members = (
+        src_c.mapInPandas(corpus_batches, member_schema)
+        .unionByName(src_q.mapInPandas(query_batches, member_schema))
+    )
+
+    def cell_fn(pdf):
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        qmask = pdf["is_q"].to_numpy()
+        nids = pdf["__id"].to_numpy()[~qmask]
+        qids = pdf["__id"].to_numpy()[qmask]
+        if len(nids) == 0 or len(qids) == 0:
+            return pd.DataFrame({"qid": qids[:0], "nid": qids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        QE, qn = E[qmask], nrm[qmask]
+        NE, nn = E[~qmask], nrm[~qmask]
+        kk = min(k, len(nids))
+        q_out, n_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(QE, NE, qn, nn):
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            q_out.append(np.repeat(qids[s:s + cos.shape[0]], kk))
+            n_out.append(nids[order].ravel())
+            c_out.append(np.take_along_axis(cos, order, axis=1).ravel())
+        return pd.DataFrame({"qid": np.concatenate(q_out),
+                             "nid": np.concatenate(n_out),
+                             "cosine": np.concatenate(c_out)})
+
+    import pandas as pd  # noqa: F811 -- cell_fn closure needs module pd
+
+    scored = members.groupBy("cell").applyInPandas(cell_fn, out_schema)
+    return _ranked_topk(scored, k)

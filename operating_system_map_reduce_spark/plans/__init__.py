@@ -75,6 +75,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "orders_customer_reconcile",  # new in round 5 (full outer join census)
         "embedding_pq_codes",        # new in round 5 (product-quantization census)
         "interval_overlap_errors",   # new in round 5 (interval-overlap join face)
+        "similarity_ivfpq_search",   # new in round 5 (IVF-PQ compressed-index ANN)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -127,6 +128,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "pipeline_corpus_curation",  # green r2/r4; every composed stage windowed individually
         "kv_insert_guarded",        # green r2/r4; kv_mix_ops (windowed) covers guarded writes in bulk
         "mr_odd_key_vals",          # green r2/r4; KMR byte-parity vs golden fixtures pytest-pinned
+        "similarity_ivf_knn",       # green r4; superseded in-window by ivf_search + ivfpq_search
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

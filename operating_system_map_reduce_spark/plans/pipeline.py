@@ -1368,3 +1368,114 @@ EMBEDDING_PQ_SQL = _pq_oracle_sql()
 
 QUERIES["embedding_pq_codes"] = embedding_pq_codes
 ORACLES["embedding_pq_codes"] = EMBEDDING_PQ_SQL
+
+
+# --- IVF-PQ search: compressed-index serving ANN ---------------------------
+# The full IVF-PQ stack in one query: IVF candidate generation (home
+# cells + NPROBE probes, identical to similarity_ivf_search) scored by
+# cosine against PQ-RECONSTRUCTED corpus vectors -- the index holds
+# PQ_M codes per vector, not DIM floats (an 8x residency cut at these
+# shapes; the 100 TB vector-serving layout).  Reconstruction snaps each
+# subvector to the deterministic corpus codebook (operators/similarity.
+# ivfpq_search), and the oracle rebuilds the identical float32 arrays
+# via flatten(list(codebook slice ORDER BY subspace)), so every scoring
+# double matches bit-for-bit.
+
+def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(~(F.col("vec_id") % 10 == 7))
+    queries = emb.filter(F.col("vec_id") % 10 == 7)
+    return _sim.ivfpq_search(corpus, queries, k=5).orderBy("vec_id", "rank")
+
+
+def _ivfpq_oracle_sql() -> str:
+    dim, m, sub, kcb = _sim.DIM, _sim.PQ_M, _sim.PQ_SUB, _sim.PQ_K
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    cdot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    sq = (
+        f"(CAST(v.embedding[s.s * {sub} + i] AS DOUBLE)"
+        f" - CAST(cb.cv[s.s * {sub} + i] AS DOUBLE))"
+    )
+    return f"""
+WITH n AS (
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
+), corpus AS (
+  SELECT * FROM n WHERE vec_id % 10 <> 7
+), qset AS (
+  SELECT * FROM n WHERE vec_id % 10 = 7
+), centroids AS (
+  SELECT vec_id AS cell, embedding, nrm AS cn FROM corpus ORDER BY vec_id LIMIT {_sim.IVF_NLIST}
+), cb AS (
+  SELECT vec_id AS cid, embedding AS cv FROM corpus ORDER BY vec_id LIMIT {kcb}
+), home AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM corpus v CROSS JOIN centroids c
+  ) WHERE pr = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM qset v CROSS JOIN centroids c
+  ) WHERE pr <= {_sim.IVF_NPROBE}
+), pqd AS (
+  SELECT v.vec_id, s.s AS subspace, cb.cid,
+         list_sum(list_transform(range(1, {sub} + 1),
+           i -> {sq} * {sq})) AS d2
+  FROM corpus v
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+  CROSS JOIN cb
+), assigned AS (
+  SELECT vec_id, subspace, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, cid) AS rn
+    FROM pqd
+  ) WHERE rn = 1
+), recon AS (
+  SELECT a.vec_id,
+         flatten(list(list_slice(cb.cv, a.subspace * {sub} + 1,
+                                 a.subspace * {sub} + {sub})
+                      ORDER BY a.subspace)) AS rv
+  FROM assigned a JOIN cb ON a.cid = cb.cid
+  GROUP BY a.vec_id
+), recon_n AS (
+  SELECT vec_id, rv,
+         sqrt(list_sum(list_transform(range(1, {dim + 1}),
+           i -> CAST(rv[i] AS DOUBLE) * CAST(rv[i] AS DOUBLE)))) AS rn
+  FROM recon
+), cands AS (
+  SELECT DISTINCT p.vec_id AS qid, h.vec_id AS nid
+  FROM probes p JOIN home h ON p.cell = h.cell
+), scored AS (
+  SELECT qid, nid,
+         list_sum(list_transform(range(1, {dim + 1}),
+           i -> CAST(qn.embedding[i] AS DOUBLE) * CAST(r.rv[i] AS DOUBLE)))
+           / (qn.nrm * r.rn) AS cosine
+  FROM cands JOIN n qn ON qid = qn.vec_id
+  JOIN recon_n r ON nid = r.vec_id
+  WHERE r.rn > 0
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
+SIMILARITY_IVFPQ_SQL = _ivfpq_oracle_sql()
+
+QUERIES["similarity_ivfpq_search"] = similarity_ivfpq_search
+ORACLES["similarity_ivfpq_search"] = SIMILARITY_IVFPQ_SQL

@@ -130,6 +130,7 @@ class TestRegistryWindow:
         "embedding_label_centroids", "fuzzy_part_match",  # new in round 5
         "q6_forecast_revenue", "orders_customer_reconcile",  # new in round 5
         "embedding_pq_codes", "interval_overlap_errors",  # new in round 5
+        "similarity_ivfpq_search",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -139,7 +140,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 96
+        assert len(_QUERIES) == len(set(_QUERIES)) == 97
         assert set(oracles) <= set(_QUERIES)
 
 
