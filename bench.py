@@ -112,6 +112,9 @@ HEADLINE = [
     "embedding_pq_codes",
     "interval_overlap_errors",
     "similarity_ivfpq_search",
+    "basket_part_pairs",
+    "orders_monthly_growth",
+    "events_markov_transitions",
 ]
 
 

@@ -76,6 +76,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "embedding_pq_codes",        # new in round 5 (product-quantization census)
         "interval_overlap_errors",   # new in round 5 (interval-overlap join face)
         "similarity_ivfpq_search",   # new in round 5 (IVF-PQ compressed-index ANN)
+        "basket_part_pairs",         # new in round 5 (association-rules lift)
+        "orders_monthly_growth",     # new in round 5 (series-over-aggregate lag)
+        "events_markov_transitions",  # new in round 5 (transition matrix)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -129,6 +132,12 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "kv_insert_guarded",        # green r2/r4; kv_mix_ops (windowed) covers guarded writes in bulk
         "mr_odd_key_vals",          # green r2/r4; KMR byte-parity vs golden fixtures pytest-pinned
         "similarity_ivf_knn",       # green r4; superseded in-window by ivf_search + ivfpq_search
+        # single-r4-row demotions (trade: a first driver row for a
+        # never-checked query beats a second row for these; all three
+        # carry differential pytest coverage beyond the local oracle)
+        "split_assign",             # green r4; md5-split differentials in test_curation.py
+        "contamination_check",      # green r4; n-gram scan shares windowed dedup machinery
+        "sample_stratified",        # green r4; sample_weighted (windowed) shares the salted-rank shape
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

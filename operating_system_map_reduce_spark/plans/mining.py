@@ -746,8 +746,155 @@ ORDER BY nb.user_id
 """
 
 
+# --- basket_part_pairs: market-basket association mining -------------------
+# Frequent part pairs across order baskets with lift -- the
+# association-rules face.  Pair generation is a self-join keyed on the
+# ORDER (shuffle key = l_orderkey; pairs per order ~ basket_size^2
+# with baskets of ~4, so total pairs stay O(rows)); supports and lift
+# are two more hash aggregates plus broadcast-size joins back.  Output
+# = top 20 by (rounded lift DESC, pair) with min pair support 2 --
+# rounding first keeps the cut identical across engines.
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    n_orders = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("isup"))
+    a = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(c, "l_orderkey").filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("isup").alias("sup_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("isup").alias("sup_b"))
+    lift = (F.col("sup").cast("double") * F.col("n_orders")
+            / (F.col("sup_a").cast("double") * F.col("sup_b")))
+    return (
+        pairs.join(F.broadcast(ia), "pa").join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select("pa", "pb", "sup", F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(20)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), tot AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b
+), item AS (
+  SELECT l_partkey, COUNT(*) AS isup FROM b GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS sup
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT pa, pb, sup,
+       ROUND(CAST(sup AS DOUBLE) * t.n_orders
+             / (CAST(ia.isup AS DOUBLE) * ib.isup), 6) AS lift
+FROM pairs
+JOIN item ia ON pa = ia.l_partkey
+JOIN item ib ON pb = ib.l_partkey
+CROSS JOIN tot t
+ORDER BY lift DESC, pa, pb LIMIT 20
+"""
+
+
+# --- orders_monthly_growth: time-series growth over an aggregate ----------
+# Month-over-month revenue growth: one hash aggregate to the ~80-month
+# series, then lag() over the AGGREGATE -- the window's SinglePartition
+# exchange moves |months| rows, not orders, which is the correct shape
+# for series-over-aggregate analytics at any SF.  First month's growth
+# is NULL on both engines.
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    # month as 'yyyy-MM' STRING: a DATE column round-trips as
+    # datetime.date from Spark but datetime64 from DuckDB and the
+    # driver's dtype-strict compare flags the kind mismatch
+    monthly = (
+        orders.groupBy(
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn(
+            "mom_growth",
+            F.round((F.col("revenue") - prev) / prev, 6))
+        .orderBy("month_start")
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month_start,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month_start, n_orders, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month_start))
+             / LAG(revenue) OVER (ORDER BY month_start), 6) AS mom_growth
+FROM monthly ORDER BY month_start
+"""
+
+
+# --- events_markov_transitions: first-order transition matrix -------------
+# P(next type | type) over per-user ordered event streams -- the
+# sequence-modeling census (events_user_paths' normalized cousin).
+# lead() in the per-user window, then a |types|^2-cardinality
+# aggregate; probabilities divide exact counts and round.
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(wf), 6))
+        .select("from_type", "to_type", "n", "prob")
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM c ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
+    "basket_part_pairs": basket_part_pairs,
+    "orders_monthly_growth": orders_monthly_growth,
+    "events_markov_transitions": events_markov_transitions,
     "interval_overlap_errors": interval_overlap_errors,
     "embedding_label_centroids": embedding_label_centroids,
     "fuzzy_part_match": fuzzy_part_match,
@@ -763,6 +910,9 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "basket_part_pairs": BASKET_PAIRS_SQL,
+    "orders_monthly_growth": ORDERS_MONTHLY_SQL,
+    "events_markov_transitions": EVENTS_MARKOV_SQL,
     "interval_overlap_errors": INTERVAL_OVERLAP_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "fuzzy_part_match": FUZZY_PART_SQL,

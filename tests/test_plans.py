@@ -21,7 +21,8 @@ ALLPAIRS_BY_DESIGN = {"similarity_cosine_topk"}
 # BroadcastNestedLoopJoin over a CONSTANT single-row side -- the
 # declarative alternative to a driver collect of the scalar, not an
 # all-pairs blowup.  CartesianProduct stays forbidden for these.
-BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles"}
+BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
+                      "basket_part_pairs"}
 
 _QUERIES = entrymod.queries()
 
@@ -131,6 +132,8 @@ class TestRegistryWindow:
         "q6_forecast_revenue", "orders_customer_reconcile",  # new in round 5
         "embedding_pq_codes", "interval_overlap_errors",  # new in round 5
         "similarity_ivfpq_search",  # new in round 5
+        "basket_part_pairs", "orders_monthly_growth",  # new in round 5
+        "events_markov_transitions",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -140,7 +143,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 97
+        assert len(_QUERIES) == len(set(_QUERIES)) == 100
         assert set(oracles) <= set(_QUERIES)
 
 
