@@ -115,6 +115,7 @@ HEADLINE = [
     "basket_part_pairs",
     "orders_monthly_growth",
     "events_markov_transitions",
+    "pagerank_neardup",
 ]
 
 

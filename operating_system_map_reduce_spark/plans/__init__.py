@@ -79,6 +79,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "basket_part_pairs",         # new in round 5 (association-rules lift)
         "orders_monthly_growth",     # new in round 5 (series-over-aggregate lag)
         "events_markov_transitions",  # new in round 5 (transition matrix)
+        "pagerank_neardup",          # new in round 5 (fixed-iteration PageRank)
     ]
     # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
     # semantics overlapped by still-windowed entries, plus the round-2
@@ -138,6 +139,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "split_assign",             # green r4; md5-split differentials in test_curation.py
         "contamination_check",      # green r4; n-gram scan shares windowed dedup machinery
         "sample_stratified",        # green r4; sample_weighted (windowed) shares the salted-rank shape
+        "sketch_distinct_tokens",   # green r4; KMV accuracy pinned +/-4 sigma in test_curation.py
     ]
     ordered = {n: queries[n] for n in promoted}
     ordered.update(

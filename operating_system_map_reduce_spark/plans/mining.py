@@ -890,8 +890,91 @@ FROM c ORDER BY from_type, to_type
 """
 
 
+# --- pagerank_neardup: fixed-iteration PageRank over the near-dup graph ---
+# The iterative-algorithm face beyond connected components: 3 unrolled
+# power iterations of PageRank (d=0.85) over the undirected
+# Jaccard>=0.2 pair graph -- per iteration one keyed join (contribution
+# = rank/deg shipped along edges) and one hash aggregate per target,
+# the standard distributed PageRank step whose shuffle is edge-
+# proportional.  Cross-engine float discipline: each iteration's rank
+# is ROUND(...,9) on both engines, so accumulation-order ulps cannot
+# compound across iterations; the final report rounds to 6.
+
+_PR_ITERS = 3
+
+
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.plans.pipeline import dedup_ngram_jaccard
+
+    e = (dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+         .localCheckpoint(eager=False))
+    und = (e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionAll(e.select(F.col("id_b").alias("src"),
+                              F.col("id_a").alias("dst"))))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("v"), "deg")
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = (nodes.crossJoin(F.broadcast(n1))
+         .select("v", "deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            und.join(r.select(F.col("v").alias("src"),
+                              (F.col("rank") / F.col("deg")).alias("c")), "src")
+            .groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        r = (
+            r.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v", "deg", "n",
+                F.round(F.lit(0.15) / F.col("n")
+                        + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)), 9)
+                .alias("rank"))
+        )
+    return (
+        r.select(F.col("v").alias("doc_id"), "deg",
+                 F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(20)
+    )
+
+
+def _pagerank_sql() -> str:
+    its = []
+    prev = "it0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+, it{i} AS (
+  SELECT d.v, d.deg,
+         ROUND(0.15 / nn.n + 0.85 * COALESCE(SUM(p.rank / p.deg), 0), 9) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN und u ON u.dst = d.v
+  LEFT JOIN {prev} p ON p.v = u.src
+  GROUP BY d.v, d.deg, nn.n
+)""")
+        prev = f"it{i}"
+    return _NGRAM_PAIRS_CTE + f"""
+, und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+), deg AS (
+  SELECT src AS v, COUNT(*) AS deg FROM und GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), it0 AS (
+  SELECT v, deg, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn
+){''.join(its)}
+SELECT v AS doc_id, deg, ROUND(rank, 6) AS pagerank
+FROM {prev}
+ORDER BY pagerank DESC, doc_id LIMIT 20
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
+    "pagerank_neardup": pagerank_neardup,
     "basket_part_pairs": basket_part_pairs,
     "orders_monthly_growth": orders_monthly_growth,
     "events_markov_transitions": events_markov_transitions,
@@ -910,6 +993,7 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "pagerank_neardup": PAGERANK_SQL,
     "basket_part_pairs": BASKET_PAIRS_SQL,
     "orders_monthly_growth": ORDERS_MONTHLY_SQL,
     "events_markov_transitions": EVENTS_MARKOV_SQL,

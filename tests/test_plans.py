@@ -22,7 +22,7 @@ ALLPAIRS_BY_DESIGN = {"similarity_cosine_topk"}
 # declarative alternative to a driver collect of the scalar, not an
 # all-pairs blowup.  CartesianProduct stays forbidden for these.
 BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
-                      "basket_part_pairs"}
+                      "basket_part_pairs", "pagerank_neardup"}
 
 _QUERIES = entrymod.queries()
 
@@ -133,7 +133,7 @@ class TestRegistryWindow:
         "embedding_pq_codes", "interval_overlap_errors",  # new in round 5
         "similarity_ivfpq_search",  # new in round 5
         "basket_part_pairs", "orders_monthly_growth",  # new in round 5
-        "events_markov_transitions",  # new in round 5
+        "events_markov_transitions", "pagerank_neardup",  # new in round 5
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
@@ -143,7 +143,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 100
+        assert len(_QUERIES) == len(set(_QUERIES)) == 101
         assert set(oracles) <= set(_QUERIES)
 
 
