@@ -131,12 +131,21 @@ def ts_us_expr(ts_type: T.DataType, source: str = "events.ts"):
         # ns values (~1.7e18) exceed double's 53-bit mantissa, so float
         # division would be off by +/-1 us.
         return F.expr("ts div 1000")
-    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        # TIMESTAMP(US) parquet -> TIMESTAMP_NTZ (or LTZ).  The session
-        # timezone is pinned to UTC in session.py, so NTZ -> LTZ is the
-        # identity mapping and unix_micros() recovers the exact stored
-        # microsecond count -- matching DuckDB's epoch_us(ts).
-        return F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # TIMESTAMP(US) parquet -> TIMESTAMP_NTZ.  timestampdiff on NTZ
+        # operands recovers the stored microsecond count WITHOUT going
+        # through LTZ, so the result is independent of the session
+        # timezone -- a vanilla session in a non-UTC environment gets
+        # the same integers as DuckDB's (equally TZ-free) epoch_us(ts).
+        # (The previous NTZ -> LTZ cast interpreted the wall time in
+        # the session zone and was only correct because session.py pins
+        # UTC -- a latent divergence for any un-pinned session.)
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    if isinstance(ts_type, T.TimestampType):
+        # Already LTZ (isAdjustedToUTC storage): unix_micros is exact
+        # and timezone-free.
+        return F.unix_micros(F.col("ts"))
     raise TableSchemaError(
         f"testdata drift: {source} has unsupported type "
         f"{ts_type.simpleString()!r}; expected bigint (nanos) or timestamp"
