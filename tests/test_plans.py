@@ -214,3 +214,15 @@ class TestRound5PlanShapes:
         lever, not just the prefix cut."""
         plan = _plan(_QUERIES["dedup_jaccard_ppjoin"](spark, sf_dir))
         assert "least(" in plan, plan
+
+
+class TestBenchRegistry:
+    def test_headline_is_subset_of_registry(self):
+        """bench.py silently skips HEADLINE names missing from
+        queries(); a typo would drop a query from the published numbers
+        with no error, so pin the subset relation (and no duplicates)."""
+        import bench
+
+        missing = [n for n in bench.HEADLINE if n not in _QUERIES]
+        assert not missing, f"HEADLINE names not in registry: {missing}"
+        assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
