@@ -139,12 +139,18 @@ def _clear_stat_caches() -> None:
             pass
 
 
-def kv_mix_bench(spark, n_ops: int = 1 << 20, key_range: int = 1 << 20) -> dict:
+def kv_mix_bench(spark, n_ops: int = 1 << 25, key_range: int = 1 << 20) -> dict:
     """The reference's intset microbench shape (p2/bench/bench.cc:21-25,
     96-99: 50% pre-fill, 80% lookup / 10% insert / 10% remove),
     re-expressed as Spark bulk set operations: each op class becomes one
     distributed (anti-)join against the pre-filled table instead of a
-    per-op critical section.  Reports ops/sec over the whole mix."""
+    per-op critical section.  Reports ops/sec over the whole mix.
+
+    n_ops defaults to 32M: the six bulk jobs cost ~3.6 s of FIXED
+    scheduling overhead regardless of op count (1M ops -> 0.28M ops/s,
+    32M -> 9.2M ops/s in the SAME wall time), so a small mix measures
+    Spark's job latency, not the engine's set throughput.  The detail
+    dict reports total_ops so the denominator is explicit."""
     import time
 
     from pyspark.sql import functions as F
