@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (<1,900 chars so the driver's 2,000-char stdout tail
+always contains it): {"metric", "value": total_sec, "unit": "sec", "sf",
+"n_queries", "queries": {10 slowest}, "kv_mix_ops_per_sec",
+"detail_file"}.  Full per-query timings land in BENCH_DETAIL.json.
 
 Timing = full plan execution to a noop write (forces every operator and
 result materialization).  JMH-style steady-state measurement: each
@@ -235,14 +237,39 @@ def main() -> None:
     mix = kv_mix_bench(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver captures only the LAST ~2,000 chars of stdout, so the
+    # printed line must stay compact (round 5's 2,880-char line was
+    # truncated and failed to parse).  Full per-query timings + the kv-mix
+    # detail go to BENCH_DETAIL.json next to this script; the printed line
+    # carries the total, the 10 slowest queries, and the ops/sec scalar.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "metric": "headline_queries_total",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": timings,
+            "kv_mix": mix,
+        }, fh, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "kv_mix": mix,
-    }))
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "kv_mix_ops_per_sec": mix["ops_per_sec"],
+        "detail_file": "BENCH_DETAIL.json",
+    })
+    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -28,122 +28,79 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         oracles.update(mod.ORACLES)
 
     # Rotation policy: the driver's correctness gate checks the FIRST 50
-    # entries in insertion order; the registry holds more.  Every round,
-    # queries that have never had a driver correctness row are PROMOTED to
-    # the front of the window, and an equal number of multi-round-green
-    # entries are DEMOTED past position 50 to make room.  Demoted entries
-    # stay registered and stay covered by tests/test_oracle_parity.py,
-    # which runs ALL entries against the DuckDB oracle locally.
+    # entries in insertion order; the registry holds more.  Window
+    # selection each round, in priority order:
+    #   1. queries that have NEVER had a driver correctness row
+    #      (new additions) take the front of the window;
+    #   2. remaining slots refresh OLDEST-newest-row-first, so no
+    #      registered query's newest green driver row falls more than two
+    #      rounds behind HEAD (round-3 incident: local-green and
+    #      driver-green can diverge after refactors).
+    # Entries outside the window stay registered and stay covered by
+    # tests/test_oracle_parity.py, which runs ALL entries against the
+    # DuckDB oracle locally.
     #
-    # Round 5: the nine round-4 additions (never driver-checked through r4)
-    # take positions 1-9.
-    promoted = [
-        "text_pii_scrub",
-        "dedup_span_exact",
-        "quality_filter_composite",
-        "domain_mix_sample",
-        "lm_unigram_score",
-        "embedding_quantize",
-        "pack_sequences",
-        "stream_enrich_revenue",
-        "bucketed_segment_revenue",
-        "dedup_jaccard_ppjoin",      # new in round 5
-        "dedup_purge_canonical",     # new in round 5
-        "corpus_novelty_filter",     # new in round 5
-        "zorder_cluster_stats",      # new in round 5
-        "stream_mru_types",          # new in round 5
-        "events_ohlc",               # new in round 5
-        "similarity_ivf_search",     # new in round 5
-        "events_funnel",             # new in round 5
-        "events_retention_cohorts",  # new in round 5
-        "events_gap_fill",           # new in round 5 (plans/mining.py)
-        "events_anomaly_mad",        # new in round 5 (plans/mining.py)
-        "events_user_paths",         # new in round 5 (plans/mining.py)
-        "dedup_containment",         # new in round 5 (plans/mining.py)
-        "tokens_pmi_bigrams",        # new in round 5 (plans/mining.py)
-        "events_cube_summary",       # new in round 5 (CUBE grouping sets)
-        "events_type_pivot",         # new in round 5 (pivot reshaping)
-        "sample_weighted",           # new in round 5 (A-ES weighted sampling)
-        "dedup_graph_triangles",     # new in round 5 (triangle census)
-        "stream_topk_trending",      # new in round 5 (windowed rank, foreachBatch shape)
-        "token_bpe_pretokenize",     # new in round 5 (GPT-2-style pre-tokenizer census)
-        "profile_orders",            # new in round 5 (one-pass data profiling)
-        "events_type_unpivot",       # new in round 5 (melt round-trip)
-        "embedding_label_centroids",  # new in round 5 (vector agg + cohesion)
-        "fuzzy_part_match",          # new in round 5 (blocked edit-distance)
-        "q6_forecast_revenue",       # new in round 5 (pure pushdown agg)
-        "orders_customer_reconcile",  # new in round 5 (full outer join census)
-        "embedding_pq_codes",        # new in round 5 (product-quantization census)
-        "interval_overlap_errors",   # new in round 5 (interval-overlap join face)
-        "similarity_ivfpq_search",   # new in round 5 (IVF-PQ compressed-index ANN)
-        "basket_part_pairs",         # new in round 5 (association-rules lift)
-        "orders_monthly_growth",     # new in round 5 (series-over-aggregate lag)
-        "events_markov_transitions",  # new in round 5 (transition matrix)
-        "pagerank_neardup",          # new in round 5 (fixed-iteration PageRank)
+    # Round 6: zero never-checked queries remain, so the window is pure
+    # staleness refresh: the nine r3-newest-row queries (two rounds
+    # stale), then 41 of the 42 r4-newest-row queries.  `split_assign` is
+    # the one r4 entry deferred to round 7 (unchanged plan since r4;
+    # md5-split differentials in test_curation.py).  The 50 r5-green
+    # entries rotate out for one round.
+    window = [
+        # -- r3-stale (newest driver row: round 3) --------------------
+        "orders_rollup",
+        "customer_order_coverage",
+        "q4_order_priority",
+        "inactive_customers_by_nation",
+        "brand_supplier_breadth",
+        "repeat_buyer_setops",
+        "skew_salted_distinct",
+        "all_users_fold",
+        "multimodal_resize",
+        # -- r4-aged (newest driver row: round 4) ---------------------
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "top_customers_window",
+        "events_sessionize",
+        "events_json_extract",
+        "asof_click_attribution",
+        "range_join_prior_activity",
+        "kv_get_point",
+        "kv_all_keys",
+        "kv_insert_guarded",
+        "kv_upsert_classify",
+        "changelog_replay",
+        "kv_top_mru",
+        "quota_sliding_window",
+        "auth_hash_users",
+        "mr_odd_key_vals",
+        "kv_aes_at_rest",
+        "dedup_exact",
+        "text_quality",
+        "token_count",
+        "text_lang_id",
+        "doc_fingerprint",
+        "text_repetition",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "similarity_cosine_topk",
+        "similarity_lsh_buckets",
+        "multimodal_metadata",
+        "similarity_lsh_knn",
+        "dedup_embedding_cosine",
+        "fn_registry_doc_stats",
+        "multimodal_frame_sample",
+        "multimodal_features",
+        "text_tfidf_top_terms",
+        "similarity_ivf_knn",
+        "pipeline_corpus_curation",
+        "contamination_check",
+        "sample_stratified",
+        "sketch_distinct_tokens",
     ]
-    # Demoted: green in multiple prior driver rounds (r1/r2/r4) with
-    # semantics overlapped by still-windowed entries, plus the round-2
-    # demotions.  Streaming/curation queries first checked only in r4 are
-    # deliberately KEPT inside the window for a second consecutive row.
-    demoted = [
-        "q1_pricing_summary",       # green r1/r2/r4; agg face kept via orders_rollup siblings
-        "q3_shipping_priority",     # green r1/r2/r4
-        "q5_region_revenue",        # green r1/r2/r4
-        "top_customers_window",     # green r1/r2/r4
-        "events_json_extract",      # green r1/r2/r4
-        "kv_get_point",             # green r2/r4; point-op twins still windowed
-        "kv_all_keys",              # green r2/r4
-        "dedup_exact",              # green r2/r4; other dedup ops still windowed
-        "text_quality",             # green r2/r4; quality_filter_composite supersedes
-        "doc_fingerprint",          # green r2/r4; seat freed for dedup_jaccard_ppjoin
-        "orders_rollup",            # grouping-sets face of q1/q4 aggs
-        "customer_order_coverage",  # join-coverage variant of q3/q5
-        "inactive_customers_by_nation",  # anti-join twin of repeat_buyer_setops
-        "brand_supplier_breadth",   # distinct-agg variant of q5
-        "repeat_buyer_setops",      # set-ops face of inactive_customers
-        "all_users_fold",           # ALL cmd; kv_all_keys covers the scan
-        "multimodal_resize",        # same mapInPandas plumbing as _features
-        "skew_salted_distinct",     # salting shown; covered by pytest too
-        "q4_order_priority",        # exists-agg face of q1/q3, green r01-r03
-        "token_count",              # green r2/r4; lm_unigram_score shares the tokenizer
-        "text_lang_id",             # green r2/r4; quality/textprep tier still windowed
-        "events_sessionize",        # green r1/r2/r4; stream_session_counts covers sessionization
-        "similarity_cosine_topk",   # green r2/r4; LSH/IVF kNN variants still windowed
-        "text_repetition",          # green r2/r4; quality_filter_composite still windowed
-        "quota_sliding_window",     # green r2/r4; stream_quota_admission (windowed) replays the same fold
-        "kv_aes_at_rest",           # green r2/r4; crypto roundtrip also pytest-pinned
-        "kv_top_mru",               # green r2/r4; stream_mru_types (windowed) shares the MRU fold
-        "similarity_lsh_buckets",   # green r2/r4; lsh_knn + ivf variants still windowed
-        "multimodal_metadata",      # green r2/r4; _features/_frame_sample still windowed
-        "dedup_embedding_cosine",   # green r2/r4; embedding tier covered by lsh/ivf knn
-        "asof_click_attribution",   # green r1/r2/r4; range_join_prior_activity kept
-        "auth_hash_users",          # green r2/r4; sha2 path also under kv_insert_guarded
-        "multimodal_features",      # green r2/r4; _frame_sample still windowed
-        "similarity_lsh_knn",       # green r2/r4; ivf_knn + ivf_search windowed
-        "text_tfidf_top_terms",     # green r2/r4; tokens_pmi_bigrams same family
-        "range_join_prior_activity",  # green r1/r2/r4; gap_fill/ohlc temporal faces windowed
-        "kv_upsert_classify",       # green r2/r4; kv_insert_guarded write face kept
-        "dedup_simhash",            # green r2/r4; minhash/ppjoin/containment windowed
-        "dedup_ngram_jaccard",      # green r2/r4; ppjoin + containment share the index
-        "changelog_replay",         # green r2/r4; kv_insert_guarded + kv_mix_ops windowed
-        "multimodal_frame_sample",  # green r2/r4; multimodal plumbing also pytest-pinned
-        "dedup_minhash_lsh",        # green r2/r4; clusters + novelty (windowed) reuse the signature path
-        "fn_registry_doc_stats",    # green r2/r4; KVF auth matrix also pytest-pinned
-        "pipeline_corpus_curation",  # green r2/r4; every composed stage windowed individually
-        "kv_insert_guarded",        # green r2/r4; kv_mix_ops (windowed) covers guarded writes in bulk
-        "mr_odd_key_vals",          # green r2/r4; KMR byte-parity vs golden fixtures pytest-pinned
-        "similarity_ivf_knn",       # green r4; superseded in-window by ivf_search + ivfpq_search
-        # single-r4-row demotions (trade: a first driver row for a
-        # never-checked query beats a second row for these; all three
-        # carry differential pytest coverage beyond the local oracle)
-        "split_assign",             # green r4; md5-split differentials in test_curation.py
-        "contamination_check",      # green r4; n-gram scan shares windowed dedup machinery
-        "sample_stratified",        # green r4; sample_weighted (windowed) shares the salted-rank shape
-        "sketch_distinct_tokens",   # green r4; KMV accuracy pinned +/-4 sigma in test_curation.py
-    ]
-    ordered = {n: queries[n] for n in promoted}
-    ordered.update(
-        {n: queries[n] for n in queries if n not in demoted and n not in ordered}
-    )
-    ordered.update({n: queries[n] for n in demoted})
+    ordered = {n: queries[n] for n in window}
+    ordered.update({n: queries[n] for n in queries if n not in ordered})
     return ordered, oracles
+

@@ -514,9 +514,10 @@ ORDER BY cohort_us, offset_h
 # All four grouping combinations of (event_type, hour-of-day) in ONE
 # aggregate: Catalyst expands CUBE to grouping sets and still plans a
 # map-side partial agg, so the shuffle carries |types+1| x 25 rows per
-# partition regardless of SF.  NULL group labels are disambiguated
-# ('ALL' / -1) identically on both engines; hour-of-day stays integer
-# arithmetic on ts_us, never a float division.
+# partition regardless of SF.  Subtotal rows are labeled ('ALL' / -1)
+# via GROUPING() -- not COALESCE, which would conflate a genuine NULL
+# event_type group with the grand total -- identically on both engines;
+# hour-of-day stays integer arithmetic on ts_us, never a float division.
 
 def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
@@ -526,11 +527,17 @@ def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.cube("event_type", "hour_of_day")
+        # grouping() is only valid inside the cube's agg clause, so the
+        # subtotal labels are computed here rather than in a later select
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 6).alias("sum_value"))
+             F.round(F.sum("value"), 6).alias("sum_value"),
+             F.grouping("event_type").alias("_g_type"),
+             F.grouping("hour_of_day").alias("_g_hour"))
         .select(
-            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("hour_of_day"), F.lit(-1)).alias("hour_of_day"),
+            F.when(F.col("_g_type") == 1, F.lit("ALL"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            F.when(F.col("_g_hour") == 1, F.lit(-1))
+            .otherwise(F.col("hour_of_day")).alias("hour_of_day"),
             "n_events", "sum_value",
         )
         .orderBy("event_type", "hour_of_day")
@@ -538,8 +545,10 @@ def events_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_CUBE_SQL = """
-SELECT COALESCE(event_type, 'ALL') AS event_type,
-       COALESCE(hour_of_day, -1) AS hour_of_day,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CASE WHEN GROUPING(hour_of_day) = 1 THEN -1 ELSE hour_of_day END
+         AS hour_of_day,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM (

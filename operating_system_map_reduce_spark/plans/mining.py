@@ -18,8 +18,10 @@ Scale notes (100 TB stance):
  - containment reuses the inverted-index shingle join: shuffle key is
    the shingle, candidate space sum-over-shingles(freq^2), never n^2.
  - PMI joins bigram counts to the unigram table twice; the vocabulary
-   table broadcasts at test SFs and degrades to a keyed shuffle join at
-   corpus scale.
+   and item-support tables carry NO broadcast hint (AQE auto-broadcasts
+   them at test SFs and falls back to a keyed shuffle join at corpus
+   scale -- a hard hint would never degrade).  Only provably-1-row
+   totals are hint-broadcast.
 """
 
 from __future__ import annotations
@@ -43,14 +45,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per-user fill census (grid size, observed/filled split, LOCF sum) so
 # the filled VALUES are hash-checked through the sum while the result
 # stays |users|-sized.
+#
+# Grid bound (round-6): the per-user grid is span/step rows, and an
+# unbounded span is a latent blowup at 100 TB (one user with a 10-year
+# [first, last] extent explodes to 87k rows).  ``max_span_hours`` caps
+# the grid to the most recent N hours per user (retention-window
+# semantics: h0 is clamped to h1 - (N-1) hours; observations older than
+# the clamped start simply fall outside the grid).  Default None keeps
+# the exact unbounded oracle semantics for the driver gate; a real
+# deployment configures the cap.
 
 _GF_H = 3_600_000_000  # 1 hour in microseconds
 
 
-def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gap_fill_census(ev: DataFrame, max_span_hours: int | None = None) -> DataFrame:
+    """LOCF fill census over an events-shaped DF
+    (user_id, ts_us, event_id, value)."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "value")
     hour = (F.col("ts_us") - F.col("ts_us") % _GF_H).alias("h")
     pick = F.struct(F.col("ts_us").alias("t"), F.col("event_id").alias("e"),
                     F.col("value").alias("v"))
@@ -58,6 +70,12 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("user_id", "h")
            .agg(F.max("s").getField("v").alias("lv")))
     span = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    if max_span_hours is not None:
+        span = span.withColumn(
+            "h0",
+            F.greatest(
+                F.col("h0"),
+                F.col("h1") - F.lit((max_span_hours - 1) * _GF_H).cast("long")))
     grid = span.select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.lit(_GF_H).cast("long"))).alias("h"),
@@ -76,6 +94,12 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str,
+                    max_span_hours: int | None = None) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "value")
+    return _gap_fill_census(ev, max_span_hours)
 
 
 EVENTS_GAP_FILL_SQL = f"""
@@ -216,9 +240,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("inter"))
     )
     return (
-        inter.withColumn("containment", F.col("inter") / F.col("n_a"))
+        inter.withColumn(
+            "containment", F.round(F.col("inter") / F.col("n_a"), 6))
+        # filter the ROUNDED value so the predicate matches the oracle's
+        # (which filters its own ROUND(..., 6) output) bit-for-bit at the
+        # 0.8 boundary
         .filter(F.col("containment") >= 0.8)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .select("id_a", "id_b", "containment")
         .orderBy("id_a", "id_b")
     )
 
@@ -278,8 +306,12 @@ def tokens_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bc").cast("double") * F.col("nu") * F.col("nu"))
         / (F.col("nb").cast("double") * F.col("uc1") * F.col("uc2"))
     )
+    # No explicit broadcast hint on the unigram-count sides: vocabulary
+    # grows with the corpus, so a forced broadcast would not degrade at
+    # scale -- AQE/auto-broadcast picks broadcast vs shuffle by measured
+    # size.  The totals cross join stays hinted: always exactly 1 row.
     return (
-        bc.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+        bc.join(u1, "w1").join(u2, "w2")
         .crossJoin(F.broadcast(totals))
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
@@ -595,26 +627,48 @@ GROUP BY p.label ORDER BY p.label
 # --- fuzzy_part_match: blocked edit-distance entity matching ---------------
 # The fuzzy-join face: near-duplicate part names by Levenshtein
 # distance <= 1 (exact dup or one edit), BLOCKED on (brand, trailing
-# noun) so the pairwise distance runs only inside blocks -- the
-# classic entity-resolution shape (blocking key cuts 80.1k brand-only
-# pairs to 10.0k at sf0.01; never an unblocked n^2).  Output is the
-# per-block census (parts, compared pairs, identical, one-edit),
-# blocks with at least one close pair -- block-count-bounded, not
-# pair-bounded.  Both engines implement unit-cost Wagner-Fischer, so
-# the distances agree exactly.
+# noun, LENGTH BAND).  Distance <= 1 forces |len_a - len_b| <= 1, so
+# the band is lossless for the match columns; it exists to kill the
+# in-block quadratic (round-5 SCALING finding: (brand, noun)-only
+# blocking ran 5.1x on 10x data because a hot block compares
+# block_size^2 pairs; with the band a hot block only pairs names of
+# near-equal length).  The band is part of the EQUI join key: the left
+# side replicates each name to bands {len-1, len, len+1} and the right
+# side keys by its exact length, so every |dlen|<=1 pair meets in
+# EXACTLY one band (the right name's length) -- no dedup shuffle, 3x
+# replication on one side only.  `n_pairs` counts the candidate pairs
+# actually compared under the band; identical/one-edit counts are
+# unchanged vs unblocked.  Output is the per-block census restricted
+# to blocks with at least one close pair -- block-count-bounded.  Both
+# engines implement unit-cost Wagner-Fischer, so distances agree.
+
+def _banded_name_pairs(p: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a < id_b) within (p_brand, noun) blocks whose
+    name lengths differ by at most 1, met via an equi-key length band.
+    Input needs columns p_partkey, p_name, p_brand, noun."""
+    a = p.select(
+        "p_brand", "noun",
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        F.explode(F.array(
+            F.length("p_name") - 1, F.length("p_name"),
+            F.length("p_name") + 1)).alias("band"),
+    )
+    b = p.select(
+        "p_brand", "noun",
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("band"),
+    )
+    return (
+        a.join(b, ["p_brand", "noun", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
 
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     p = part.withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))
-    a = p.select(F.col("p_brand"), F.col("noun"),
-                 F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_brand"), F.col("noun"),
-                 F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
-    pairs = (
-        a.join(b, ["p_brand", "noun"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("d", F.levenshtein("name_a", "name_b"))
-    )
+    pairs = _banded_name_pairs(p).withColumn(
+        "d", F.levenshtein("name_a", "name_b"))
     return (
         pairs.groupBy("p_brand", "noun")
         .agg(
@@ -636,6 +690,7 @@ WITH p AS (
   SELECT a.p_brand, a.noun, levenshtein(a.p_name, b.p_name) AS d
   FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
         AND a.p_partkey < b.p_partkey
+        AND abs(len(a.p_name) - len(b.p_name)) <= 1
 )
 SELECT p_brand, noun, COUNT(*) AS n_pairs,
        COUNT(CASE WHEN d = 0 THEN 1 END) AS n_identical,
@@ -776,8 +831,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("isup").alias("sup_b"))
     lift = (F.col("sup").cast("double") * F.col("n_orders")
             / (F.col("sup_a").cast("double") * F.col("sup_b")))
+    # item-support sides unhinted: the part catalog grows with the corpus,
+    # so broadcast-vs-shuffle is AQE's call, not a hard-coded hint
     return (
-        pairs.join(F.broadcast(ia), "pa").join(F.broadcast(ib), "pb")
+        pairs.join(ia, "pa").join(ib, "pb")
         .crossJoin(F.broadcast(n_orders))
         .select("pa", "pb", "sup", F.round(lift, 6).alias("lift"))
         .orderBy(F.desc("lift"), "pa", "pb")

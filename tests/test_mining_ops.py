@@ -246,3 +246,121 @@ class TestIvfPqQuality:
             q, n = vecs[r["vec_id"]], vecs[r["neighbor_id"]]
             exact = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
             assert abs(r["cosine"] - round(exact, 6)) <= 2e-6, r
+
+
+class TestBandedFuzzyBlocking:
+    """Round-6 de-quadratic fix for fuzzy_part_match: the length band
+    must (a) never drop a d<=1 pair, (b) emit each candidate exactly
+    once, and (c) collapse a hot block's candidate count from
+    block_size^2 toward sum-over-lengths(freq * neighborhood)."""
+
+    def _hot_block(self, spark):
+        # one pathological (brand, noun) block: 40 names, lengths
+        # 10..29 (two names per length), all sharing brand+noun
+        rows = []
+        pk = 0
+        for length in range(10, 30):
+            for c in "xy":
+                name = c * (length - 4) + " bolt"  # trailing noun 'bolt'
+                rows.append((pk, name, "Brand#1"))
+                pk += 1
+        return spark.createDataFrame(
+            rows, "p_partkey long, p_name string, p_brand string")
+
+    def test_hot_block_candidates_exact_and_subquadratic(self, spark):
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.plans.mining import (
+            _banded_name_pairs,
+        )
+
+        p = self._hot_block(spark).withColumn(
+            "noun", F.regexp_extract("p_name", "[a-z]+$", 0))
+        pairs = _banded_name_pairs(p).collect()
+
+        names = {r["p_partkey"]: r["p_name"] for r in p.collect()}
+        brute = [(a, b) for a in names for b in names
+                 if a < b and abs(len(names[a]) - len(names[b])) <= 1]
+        got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+        # (b) exactly once per candidate, (a) == the |dlen|<=1 set
+        assert got == sorted(brute)
+        # (c) subquadratic: 40 names -> 780 unbanded pairs; banded must
+        # stay at the length-neighborhood count (96 here)
+        n_unbanded = 40 * 39 // 2
+        assert len(got) == 96
+        assert len(got) < 0.15 * n_unbanded
+
+    def test_band_is_lossless_for_matches(self, spark):
+        """identical/one-edit counts under the band equal the unbanded
+        truth: d<=1 implies |dlen|<=1, so banding only prunes pairs
+        that could never match."""
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.plans.mining import (
+            _banded_name_pairs,
+        )
+
+        rows = [
+            (0, "amber bolt", "B"), (1, "amber bolt", "B"),      # d=0
+            (2, "ambery bolt", "B"),                             # d=1 to 0/1
+            (3, "umber bolt", "B"),                              # d=1 to 0/1
+            (4, "completely different bolt", "B"),
+        ]
+        p = spark.createDataFrame(
+            rows, "p_partkey long, p_name string, p_brand string"
+        ).withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))
+        pairs = (_banded_name_pairs(p)
+                 .withColumn("d", F.levenshtein("name_a", "name_b"))
+                 .collect())
+        ident = sum(1 for r in pairs if r["d"] == 0)
+        one_edit = sum(1 for r in pairs if r["d"] == 1)
+        # brute-force truth over ALL 10 pairs
+        import itertools
+        names = {r[0]: r[1] for r in rows}
+
+        def lev(s, t):
+            dp = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                prev, dp[0] = dp[0], i
+                for j, ct in enumerate(t, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct))
+            return dp[-1]
+
+        ds = [lev(names[a], names[b])
+              for a, b in itertools.combinations(sorted(names), 2)]
+        assert ident == sum(1 for d in ds if d == 0)
+        assert one_edit == sum(1 for d in ds if d == 1)
+
+
+class TestGapFillSpanBound:
+    def test_max_span_hours_truncates_long_span_user(self, spark):
+        """A user with a 100-hour extent under max_span_hours=10 gets a
+        10-row grid anchored at the LAST observed hour (retention-window
+        clamp); observations older than the window fall off the grid."""
+        from operating_system_map_reduce_spark.plans.mining import (
+            _GF_H, _gap_fill_census,
+        )
+
+        rows = [
+            # user 1: events at hour 0 and hour 99 -- 100-hour span
+            (1, 0 * _GF_H + 5, 10, 1.0),
+            (1, 99 * _GF_H + 5, 11, 2.0),
+            # user 2: events at hours 3, 4 -- inside any window
+            (2, 3 * _GF_H, 20, 5.0),
+            (2, 4 * _GF_H, 21, 7.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts_us long, event_id long, value double")
+
+        unbounded = {r["user_id"]: r for r in _gap_fill_census(ev).collect()}
+        assert unbounded[1]["n_hours"] == 100
+        assert unbounded[1]["n_observed"] == 2
+
+        capped = {r["user_id"]: r
+                  for r in _gap_fill_census(ev, max_span_hours=10).collect()}
+        assert capped[1]["n_hours"] == 10       # hours 90..99 only
+        assert capped[1]["n_observed"] == 1     # the hour-0 event aged out
+        assert capped[1]["sum_value_locf"] == 2.0  # no stale LOCF from h0
+        # short-span users are untouched by the cap
+        assert capped[2] == unbounded[2]

@@ -98,30 +98,29 @@ def test_real_testdata_loads_all_tables(spark, sf_dir):
         assert len(df.columns) >= 2, name
 
 
-def test_ts_us_is_session_timezone_independent():
+def test_ts_us_is_session_timezone_independent(spark, sf_dir):
     """ts_us must be the stored microsecond count regardless of
     spark.sql.session.timeZone: the old NTZ -> LTZ cast interpreted
     wall time in the session zone and silently shifted every events
     query by the UTC offset on un-pinned sessions (DuckDB's epoch_us
-    is TZ-free, so the driver compare would diverge)."""
+    is TZ-free, so the driver compare would diverge).
+
+    Uses the shared session fixture with conf.set/restore -- a second
+    builder.getOrCreate() would return the same session and silently
+    ignore its builder configs anyway."""
     import duckdb
-    from pyspark.sql import SparkSession
 
     from operating_system_map_reduce_spark.sources.tables import load_table
 
-    spark = (SparkSession.builder.master("local[2]")
-             .config("spark.ui.enabled", "false")
-             .config("spark.sql.session.timeZone", "America/New_York")
-             .appName("tz-independence").getOrCreate())
+    prev = spark.conf.get("spark.sql.session.timeZone")
     try:
-        prev = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        ev = load_table(spark, sf_dir, "events")
         got = {r["event_id"]: r["ts_us"]
                for r in ev.select("event_id", "ts_us").collect()}
         want = dict(duckdb.sql(
-            "SELECT event_id, epoch_us(ts) FROM "
-            "read_parquet('/root/testdata/sf0.001/events.parquet')").fetchall())
+            f"SELECT event_id, epoch_us(ts) FROM "
+            f"read_parquet('{sf_dir}/events.parquet')").fetchall())
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
