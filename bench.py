@@ -118,6 +118,8 @@ HEADLINE = [
     "orders_monthly_growth",
     "events_markov_transitions",
     "pagerank_neardup",
+    "bpe_merge_pairs",
+    "nation_rolling_revenue",
 ]
 
 

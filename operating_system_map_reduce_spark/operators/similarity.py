@@ -23,8 +23,8 @@ import hashlib
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BooleanType, DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
 
 N_PLANES = 16
 DIM = 64
@@ -613,8 +613,6 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
     dedup + ranking.  At 100 TB the corpus assignment is a one-time
     index build (persisted in production); the per-batch cost is the
     small query side plus the probed cells."""
-    import pandas as pd
-
     corpus = _drop_zero_vectors(corpus, vec_col)
     queries = _drop_zero_vectors(queries, vec_col)
     cent_rows = (
@@ -622,6 +620,24 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    if not cent_rows:
+        cent_ids = np.empty(0, dtype=np.int64)
+        C = np.empty((0, 0), dtype=np.float64)
+    else:
+        cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+        C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    return _ivf_search_core(corpus, queries, k, id_col, vec_col, cent_ids, C)
+
+
+def _ivf_search_core(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str, vec_col: str,
+                     cent_ids: np.ndarray, C: np.ndarray) -> DataFrame:
+    """Shared IVF serving plan: centroids are an already-built (ids,
+    matrix) codebook -- deterministic lowest-id rows for the oracled
+    path, trained k-means for the quality path.  Inputs must already be
+    zero-vector-free."""
+    import pandas as pd
+
     src_c = corpus.select(F.col(id_col), F.col(vec_col))
     src_q = queries.select(F.col(id_col), F.col(vec_col))
     id_field, vec_field = src_c.schema[id_col], src_c.schema[vec_col]
@@ -636,11 +652,9 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
         StructField("nid", id_field.dataType),
         StructField("cosine", DoubleType()),
     ])
-    if not cent_rows:
+    if len(cent_ids) == 0:
         empty = src_c.sparkSession.createDataFrame([], out_schema)
         return _ranked_topk(empty, k)
-    cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
 
     def assign_fn(nprobe: int, is_q: bool):
@@ -668,7 +682,7 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 })
         return batches
 
-    nprobe_q = min(IVF_NPROBE, len(cent_rows))
+    nprobe_q = min(IVF_NPROBE, len(cent_ids))
     members = (
         src_c.mapInPandas(assign_fn(1, False), member_schema)
         .unionByName(src_q.mapInPandas(assign_fn(nprobe_q, True), member_schema))
@@ -699,6 +713,103 @@ def ivf_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     scored = members.groupBy("cell").applyInPandas(cell_fn, out_schema)
     return _ranked_topk(scored, k)
+
+
+def kmeans_centroids(corpus: DataFrame, nlist: int = IVF_NLIST,
+                     iters: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed spherical k-means for IVF centroid
+    training -- the quality half the lowest-id codebook trades away.
+
+    Lloyd iterations with a fixed count (no data-dependent stopping) and
+    a deterministic init (unit vectors of the ``nlist`` lowest-id rows),
+    so every run on the same data yields the same codebook without any
+    RNG.  Assignment metric is cosine (matching the serving-side probe),
+    so training operates on UNIT vectors and the update step is the
+    normalized mean direction of each cell's members.
+
+    Scale shape per iteration: one map-side Arrow pass emits per-BATCH
+    partial (sum-vector, count) rows -- at most nlist rows per batch --
+    and only those partials are collected (bounded by nlist x
+    input-partitions rows of dim doubles, independent of corpus size;
+    the same constant-size-collect discipline as the 1-row convergence
+    probes elsewhere).  The full corpus is never collected and never
+    reshuffled; the codebook matrix (nlist x dim) is what a production
+    job would persist.
+
+    Not oracle-gated: a DuckDB re-implementation of iterative k-means
+    adds no verification value; quality is pinned instead by the
+    recall-vs-brute-force test in tests/test_mining_ops.py."""
+    import pandas as pd
+
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    init_rows = (corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+                 .select(vec_col).collect())
+    if not init_rows:
+        return np.empty((0, 0), dtype=np.float64)
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in init_rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    n_cells, dim = C.shape
+    src = corpus.select(vec_col)
+    partial_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("psum", ArrayType(DoubleType())),
+        StructField("cnt", LongType()),
+    ])
+
+    for _ in range(iters):
+        Cb = C  # closed over by this iteration's Arrow stage
+
+        def partial_batches(bs, Cb=Cb):
+            for pdf in bs:
+                E = _stack(pdf[vec_col])
+                if E.shape[0] == 0:
+                    continue
+                U = E / np.sqrt(_seq_dot(E, E))[:, None]
+                sims = U @ Cb.T
+                assign = np.argmax(sims, axis=1)
+                sums = np.zeros((n_cells, dim), dtype=np.float64)
+                counts = np.zeros(n_cells, dtype=np.int64)
+                np.add.at(sums, assign, U)
+                np.add.at(counts, assign, 1)
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame({
+                    "cell": live.astype(np.int64),
+                    "psum": list(sums[live]),
+                    "cnt": counts[live],
+                })
+
+        partials = src.mapInPandas(partial_batches, partial_schema).collect()
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in partials:
+            sums[r["cell"]] += np.asarray(r["psum"], dtype=np.float64)
+            counts[r["cell"]] += r["cnt"]
+        live = counts > 0
+        newC = C.copy()  # empty cells keep their previous direction
+        newC[live] = sums[live] / counts[live, None]
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        C = newC / norms
+    return C
+
+
+def ivf_search_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       nlist: int = IVF_NLIST, iters: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """``ivf_search`` served from a k-means-trained codebook instead of
+    the lowest-id rows: same plan shape (map-side probe assignment, one
+    shuffle on cell, JVM-side ranking), better-calibrated recall because
+    the cells follow the data's actual density.  Cell labels are the
+    codebook row indices 0..nlist-1."""
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    queries = _drop_zero_vectors(queries, vec_col)
+    C = kmeans_centroids(corpus, nlist=nlist, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    cent_ids = np.arange(C.shape[0], dtype=np.int64)
+    return _ivf_search_core(corpus, queries, k, id_col, vec_col, cent_ids, C)
 
 
 # --- product quantization (the IVF-PQ compression companion) ---------------
@@ -764,6 +875,132 @@ def pq_codes(emb: DataFrame, id_col: str = "vec_id",
                 out_s.append(np.full(n, s, dtype=np.int32))
                 out_c.append(cb_ids[best])
                 out_e.append(d2[np.arange(n), best])
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_id),
+                "subspace": np.concatenate(out_s),
+                "code": np.concatenate(out_c),
+                "sq_err": np.concatenate(out_e),
+            })
+
+    return src.mapInPandas(code_batches, schema)
+
+
+def pq_codebooks_trained(corpus: DataFrame, iters: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> np.ndarray:
+    """(PQ_M, PQ_K, PQ_SUB) per-subspace codebooks trained with
+    deterministic L2 Lloyd iterations -- the quality half of PQ that the
+    lowest-id codebook (kept for the SQL oracle) trades away.
+
+    Same distributed-training shape as ``kmeans_centroids``: a fixed
+    iteration count, a deterministic init (the PQ_K lowest-id vectors'
+    subvectors, i.e. exactly the untrained codebook), and one map-side
+    Arrow pass per iteration that emits per-batch partial (sum, count)
+    rows for all PQ_M x PQ_K cells at once; only those partials (at most
+    PQ_M*PQ_K rows per batch) reach the driver.  Assignment metric is
+    squared L2 per subspace, matching ``pq_codes``' quantizer.
+
+    Not oracle-gated; quality is pinned by the distortion-reduction test
+    (trained codebooks must cut mean squared quantization error vs the
+    untrained ones) in tests/test_mining_ops.py."""
+    import pandas as pd
+
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    init_rows = (corpus.orderBy(F.col(id_col).asc()).limit(PQ_K)
+                 .select(vec_col).collect())
+    if not init_rows:
+        return np.empty((PQ_M, 0, PQ_SUB), dtype=np.float64)
+    flat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in init_rows])
+    n_codes = flat.shape[0]
+    CB = np.stack([flat[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+                   for s in range(PQ_M)])          # (PQ_M, n_codes, PQ_SUB)
+    src = corpus.select(vec_col)
+    partial_schema = StructType([
+        StructField("slot", LongType()),           # s * n_codes + code
+        StructField("psum", ArrayType(DoubleType())),
+        StructField("cnt", LongType()),
+    ])
+
+    for _ in range(iters):
+        CBb = CB
+
+        def partial_batches(bs, CBb=CBb):
+            for pdf in bs:
+                E = _stack(pdf[vec_col])
+                if E.shape[0] == 0:
+                    continue
+                sums = np.zeros((PQ_M * n_codes, PQ_SUB), dtype=np.float64)
+                counts = np.zeros(PQ_M * n_codes, dtype=np.int64)
+                for s in range(PQ_M):
+                    sub = E[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+                    # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; argmin only
+                    # needs the last two terms
+                    d2 = (-2.0 * sub @ CBb[s].T
+                          + (CBb[s] * CBb[s]).sum(axis=1))
+                    best = np.argmin(d2, axis=1) + s * n_codes
+                    np.add.at(sums, best, sub)
+                    np.add.at(counts, best, 1)
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame({
+                    "slot": live.astype(np.int64),
+                    "psum": list(sums[live]),
+                    "cnt": counts[live],
+                })
+
+        partials = src.mapInPandas(partial_batches, partial_schema).collect()
+        sums = np.zeros((PQ_M * n_codes, PQ_SUB), dtype=np.float64)
+        counts = np.zeros(PQ_M * n_codes, dtype=np.int64)
+        for r in partials:
+            sums[r["slot"]] += np.asarray(r["psum"], dtype=np.float64)
+            counts[r["slot"]] += r["cnt"]
+        newCB = CB.copy()  # empty cells keep their previous entry
+        live = counts > 0
+        flat_cb = newCB.reshape(PQ_M * n_codes, PQ_SUB)
+        flat_cb[live] = sums[live] / counts[live, None]
+        CB = flat_cb.reshape(PQ_M, n_codes, PQ_SUB)
+    return CB
+
+
+def pq_codes_trained(emb: DataFrame, iters: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """``pq_codes`` quantizing against ``pq_codebooks_trained`` output:
+    same (vec_id, subspace, code, sq_err) schema, codes are codebook row
+    indices 0..PQ_K-1.  Same map-side Arrow plan; the trained codebook
+    is a driver constant closed over by the stage."""
+    import pandas as pd
+
+    CB = pq_codebooks_trained(emb, iters=iters, id_col=id_col,
+                              vec_col=vec_col)
+    emb = _drop_zero_vectors(emb, vec_col)
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    id_type = src.schema[id_col].dataType
+    n_codes = CB.shape[1]
+    schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("subspace", IntegerType()),
+        StructField("code", LongType()),
+        StructField("sq_err", DoubleType()),
+    ])
+
+    def code_batches(batches):
+        for pdf in batches:
+            E = _stack(pdf[vec_col])
+            n = E.shape[0]
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            out_id, out_s, out_c, out_e = [], [], [], []
+            for s in range(PQ_M):
+                sub = E[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+                d2 = ((sub * sub).sum(axis=1)[:, None]
+                      - 2.0 * sub @ CB[s].T
+                      + (CB[s] * CB[s]).sum(axis=1))
+                best = np.argmin(d2, axis=1)
+                out_id.append(ids)
+                out_s.append(np.full(n, s, dtype=np.int32))
+                out_c.append(best.astype(np.int64))
+                out_e.append(np.maximum(d2[np.arange(n), best], 0.0))
             yield pd.DataFrame({
                 "vec_id": np.concatenate(out_id),
                 "subspace": np.concatenate(out_s),

@@ -40,13 +40,17 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: zero never-checked queries remain, so the window is pure
+    # Round 6: the two new (never-checked) queries lead, then pure
     # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 41 of the 42 r4-newest-row queries.  `split_assign` is
-    # the one r4 entry deferred to round 7 (unchanged plan since r4;
-    # md5-split differentials in test_curation.py).  The 50 r5-green
-    # entries rotate out for one round.
+    # stale), then 39 of the 42 r4-newest-row queries.  `split_assign`,
+    # `sample_stratified` and `sketch_distinct_tokens` are the r4
+    # entries deferred to round 7 (plans unchanged since r4; all three
+    # carry differential pytest coverage in test_curation.py beyond the
+    # local oracle).  The 50 r5-green entries rotate out for one round.
     window = [
+        # -- new in round 6 (never driver-checked) --------------------
+        "bpe_merge_pairs",
+        "nation_rolling_revenue",
         # -- r3-stale (newest driver row: round 3) --------------------
         "orders_rollup",
         "customer_order_coverage",
@@ -97,8 +101,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_ivf_knn",
         "pipeline_corpus_curation",
         "contamination_check",
-        "sample_stratified",
-        "sketch_distinct_tokens",
     ]
     ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})

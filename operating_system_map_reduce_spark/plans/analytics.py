@@ -1003,6 +1003,72 @@ ORDER BY c_mktsegment
 """
 
 
+# --- nation_rolling_revenue: moving-frame + ratio-to-report windows --------
+# Three window faces the surface lacked in one series query: a 3-month
+# moving average (ROWS moving frame), a cumulative running total, and a
+# ratio-to-report share (revenue / month total across nations).  Shape:
+# fact scan joins two dims (nation hint-broadcast at 25 rows; supplier
+# unhinted -- it grows with SF, AQE decides), one hash aggregate down
+# to |nations| x |months| rows, then ALL windows run over the
+# aggregate: the window exchanges move ~2k rows, never lineitem.
+# No rounding anywhere: monthly sums carry sub-ulp summation-order
+# noise between engines, and ROUND(x, 2) on cent-aligned money AMPLIFIES
+# an ulp to 0.01 at .xx5 boundaries (measured: 2 of ~2k rows flipped).
+# Raw doubles compare clean under the driver's relative tolerance, the
+# same discipline as q1's unrounded sums.
+
+def nation_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    w_nat = Window.partitionBy("nation").orderBy("month")
+    w_ma = w_nat.rowsBetween(-2, 0)
+    w_cum = w_nat.rowsBetween(Window.unboundedPreceding, 0)
+    w_month = Window.partitionBy("month")
+    return (
+        monthly.select(
+            "nation", "month", "revenue",
+            F.avg("revenue").over(w_ma).alias("ma3"),
+            F.sum("revenue").over(w_cum).alias("cum_revenue"),
+            (F.col("revenue") / F.sum("revenue").over(w_month))
+            .alias("month_share"),
+        )
+        .orderBy("nation", "month")
+    )
+
+
+NATION_ROLLING_SQL = """
+WITH monthly AS (
+  SELECT n.n_name AS nation, strftime(l.l_shipdate, '%Y-%m') AS month,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, month, revenue,
+       AVG(revenue) OVER (PARTITION BY nation ORDER BY month
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+       SUM(revenue) OVER (PARTITION BY nation ORDER BY month
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_revenue,
+       revenue / SUM(revenue) OVER (PARTITION BY month) AS month_share
+FROM monthly
+ORDER BY nation, month
+"""
+
+
 # --- bucketed co-located join: the at-rest partitioning story -------------
 # The reference places every key into its hash bucket ONCE at insert
 # time (p2/server/concurrenthashmap.h) and all later ops are
@@ -1172,6 +1238,7 @@ QUERIES = {
     "brand_supplier_breadth": brand_supplier_breadth,
     "repeat_buyer_setops": repeat_buyer_setops,
     "skew_salted_distinct": skew_salted_distinct,
+    "nation_rolling_revenue": nation_rolling_revenue,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1201,4 +1268,5 @@ ORACLES = {
     "brand_supplier_breadth": BRAND_BREADTH_SQL,
     "repeat_buyer_setops": SETOPS_SQL,
     "skew_salted_distinct": SKEW_DISTINCT_SQL,
+    "nation_rolling_revenue": NATION_ROLLING_SQL,
 }

@@ -487,6 +487,59 @@ ORDER BY doc_id
 """
 
 
+# --- bpe_merge_pairs: one BPE vocabulary-training merge round --------------
+# The inner loop of byte-pair-encoding training: count adjacent symbol
+# pairs across the corpus (symbols start as characters) weighted by
+# word frequency, and rank merge candidates.  The canonical
+# tokenizer-training shape at 100 TB: the pair census runs over the
+# DISTINCT VOCABULARY (|vocab| rows, each carrying its corpus
+# frequency), never over raw text -- one word-count hash agg over the
+# corpus, then a map-side pair explode of the vocab and a second
+# vocab-sized hash agg.  Corpus size only enters through the first
+# aggregate.  Output: top 20 merge candidates by (weighted count DESC,
+# pair ASC).
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    ).alias("w"))
+    wc = (words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+          .filter(F.length("w") >= 2))
+    pairs = wc.select(
+        "f",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("f").alias("n_merge"))
+        .orderBy(F.desc("n_merge"), "pair")
+        .limit(20)
+    )
+
+
+BPE_MERGE_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+), words AS (
+  SELECT unnest(toks) AS w FROM toks
+), wc AS (
+  SELECT w, COUNT(*) AS f FROM words GROUP BY w
+), pairs AS (
+  SELECT f,
+         unnest(list_transform(range(1, len(w)),
+                               i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+  FROM wc WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS n_merge
+FROM pairs GROUP BY pair
+ORDER BY n_merge DESC, pair
+LIMIT 20
+"""
+
+
 # --- profile_orders: one-pass data-profiling operator ----------------------
 # The schema-quality census every ingestion pipeline runs: per column
 # the row count, null count, and exact distinct count -- computed in
@@ -1045,6 +1098,7 @@ QUERIES = {
     "fuzzy_part_match": fuzzy_part_match,
     "dedup_graph_triangles": dedup_graph_triangles,
     "token_bpe_pretokenize": token_bpe_pretokenize,
+    "bpe_merge_pairs": bpe_merge_pairs,
     "profile_orders": profile_orders,
     "events_type_unpivot": events_type_unpivot,
     "events_anomaly_mad": events_anomaly_mad,
@@ -1064,6 +1118,7 @@ ORACLES = {
     "fuzzy_part_match": FUZZY_PART_SQL,
     "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
     "token_bpe_pretokenize": TOKEN_BPE_SQL,
+    "bpe_merge_pairs": BPE_MERGE_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "events_type_unpivot": EVENTS_UNPIVOT_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_MAD_SQL,

@@ -12,10 +12,12 @@ Physical layout per table:
 
 Appends are driver-side pyarrow writes (a log append is a server-side
 action, ~ms, no Spark job); *reads* are Spark scans so replay and
-queries distribute.  At 100 TB the log ingestion path would be a
-Structured Streaming sink writing the same layout; the replay view is
-one shuffle on key (window dedup) regardless of log file count and
-needs no ordering assumption across files.
+queries distribute.  The 100 TB ingestion path is
+streaming.changelog_cdc.ChangelogStreamSink: a Structured Streaming
+sink writing this same layout distributed, interleavable with driver
+appends.  The replay view is one shuffle on key (window dedup)
+regardless of log file count and needs no ordering assumption across
+files.
 """
 
 from __future__ import annotations

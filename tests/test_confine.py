@@ -196,3 +196,64 @@ def reduce(values):
             lambda vals: str(sum(int(v) for v in vals if v)).encode(),
             associative=True, confined=True)
         assert (ok, code, data) == (True, codes.RES_OK, b"10")
+
+
+# Reference fixture parity: invalid1 (reduce opens a file,
+# p5/so/invalid1.cc:14-22) and invalid2 (map opens a file,
+# p5/so/invalid2.cc:9-15) must yield ERR_SERVER through the full KMR
+# path, and the engine must keep serving KMR afterwards -- the
+# p5/scripts/p5.py:85-90 flow.
+
+INVALID1_SRC = b"""
+def map(key, value):
+    return value
+
+def reduce(values):
+    open("/tmp/kmr-invalid1-leak.txt", "w").write("x")
+    return b"|".join(values)
+"""
+
+INVALID2_SRC = b"""
+def map(key, value):
+    open("/tmp/kmr-invalid2-leak.txt", "w").write("x")
+    return value
+
+def reduce(values):
+    return b"|".join(values)
+"""
+
+ALL_KEYS_SRC = b"""
+def map(key, value):
+    return key.encode()
+
+def reduce(values):
+    return b"\\n".join(values)
+"""
+
+
+class TestInvalidFixturesThroughEngine:
+    def _assert_blocked_then_healthy(self, engine, name, src, leak):
+        if os.path.exists(leak):
+            os.unlink(leak)
+        assert engine.register_mr(
+            "alice", "alice_is_awesome", name, src)[1] == codes.RES_OK
+        ok, code, data = engine.invoke_mr("alice", "alice_is_awesome", name)
+        assert (ok, code, data) == (False, codes.RES_ERR_SERVER, None)
+        assert not os.path.exists(leak), "sandbox must prevent, not just fail"
+        # sandbox death must not poison the session: a clean KMR on the
+        # SAME engine still succeeds (p5.py runs all_keys after invalid*)
+        assert engine.register_mr(
+            "alice", "alice_is_awesome", f"ok_after_{name}",
+            ALL_KEYS_SRC)[1] == codes.RES_OK
+        ok, code, data = engine.invoke_mr(
+            "alice", "alice_is_awesome", f"ok_after_{name}")
+        assert (ok, code) == (True, codes.RES_OK)
+        assert sorted(data.split(b"\n")) == [b"k1", b"k2", b"k3", b"k4"]
+
+    def test_invalid1_reduce_opens_file(self, engine):
+        self._assert_blocked_then_healthy(
+            engine, "invalid1", INVALID1_SRC, "/tmp/kmr-invalid1-leak.txt")
+
+    def test_invalid2_map_opens_file(self, engine):
+        self._assert_blocked_then_healthy(
+            engine, "invalid2", INVALID2_SRC, "/tmp/kmr-invalid2-leak.txt")

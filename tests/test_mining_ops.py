@@ -163,6 +163,11 @@ class TestFuzzyBlockCensus:
             n_pairs = n_id = n_one = 0
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
+                    # candidates = the length band (|dlen| <= 1, the
+                    # round-6 de-quadratic blocking); lossless for the
+                    # d<=1 match counts
+                    if abs(len(rows[i][1]) - len(rows[j][1])) > 1:
+                        continue
                     d = lev(rows[i][1], rows[j][1])
                     n_pairs += 1
                     n_id += d == 0
@@ -364,3 +369,98 @@ class TestGapFillSpanBound:
         assert capped[1]["sum_value_locf"] == 2.0  # no stale LOCF from h0
         # short-span users are untouched by the cap
         assert capped[2] == unbounded[2]
+
+
+class TestTrainedIvf:
+    """Round-6 trained-codebook ANN: distributed spherical k-means
+    centroids must be deterministic and must lift recall over the
+    lowest-id codebook the oracled path uses (measured 0.50-0.54 vs
+    0.36-0.40 top-1-in-top-5 on the test corpora)."""
+
+    def _split(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return (emb, emb.filter(~(F.col("vec_id") % 10 == 7)),
+                emb.filter(F.col("vec_id") % 10 == 7))
+
+    def test_kmeans_codebook_is_deterministic(self, spark, sf_dir):
+        import numpy as np
+
+        from operating_system_map_reduce_spark.operators import similarity as sim
+
+        _, corpus, _ = self._split(spark, sf_dir)
+        c1 = sim.kmeans_centroids(corpus, iters=2)
+        c2 = sim.kmeans_centroids(corpus.repartition(7), iters=2)
+        assert c1.shape == c2.shape
+        # bit-stable across partitionings: partials are summed on the
+        # driver in cell order, so layout must not leak into the result
+        assert np.allclose(c1, c2, atol=1e-12)
+        # spherical: every centroid is unit-norm
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    def test_trained_recall_beats_lowest_id_codebook(self, spark, sf_dir):
+        import numpy as np
+
+        from operating_system_map_reduce_spark.operators import similarity as sim
+
+        emb, corpus, queries = self._split(spark, sf_dir)
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        cids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+        qids = sorted(r["vec_id"] for r in queries.select("vec_id").collect())
+        E = np.stack([vecs[i] for i in cids])
+        Q = np.stack([vecs[i] for i in qids])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        cos = Qn @ En.T
+        exact_1 = {qids[i]: np.asarray(cids)[np.argmax(cos[i])]
+                   for i in range(len(qids))}
+
+        def top1_recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+            return (sum(1 for q in qids if exact_1[q] in got.get(q, set()))
+                    / len(qids))
+
+        plain = top1_recall(sim.ivf_search(corpus, queries, k=5))
+        trained = top1_recall(sim.ivf_search_trained(corpus, queries, k=5))
+        assert trained >= plain, (trained, plain)
+        assert trained >= 0.45, trained
+
+
+class TestTrainedPq:
+    """Trained per-subspace PQ codebooks must be deterministic and must
+    reduce quantization distortion vs the lowest-id codebook the oracled
+    pq_codes path uses -- the PQ training objective, measured directly."""
+
+    def test_trained_codebooks_cut_distortion(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.operators import similarity as sim
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        mse_plain = (sim.pq_codes(emb)
+                     .agg(F.avg("sq_err").alias("m")).collect()[0]["m"])
+        mse_trained = (sim.pq_codes_trained(emb)
+                       .agg(F.avg("sq_err").alias("m")).collect()[0]["m"])
+        assert mse_trained < mse_plain, (mse_trained, mse_plain)
+        # Lloyd on a 16-entry random-init codebook should cut MSE
+        # substantially, not epsilon-ly
+        assert mse_trained <= 0.9 * mse_plain, (mse_trained, mse_plain)
+
+    def test_codebooks_deterministic_across_partitioning(self, spark, sf_dir):
+        import numpy as np
+
+        from operating_system_map_reduce_spark.operators import similarity as sim
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        c1 = sim.pq_codebooks_trained(emb, iters=2)
+        c2 = sim.pq_codebooks_trained(emb.repartition(5), iters=2)
+        assert c1.shape == c2.shape == (sim.PQ_M, sim.PQ_K, sim.PQ_SUB)
+        assert np.allclose(c1, c2, atol=1e-12)

@@ -112,38 +112,31 @@ class TestRegistryWindow:
     entries; the rotation policy promises every never-driver-checked
     query a seat inside that window."""
 
-    NEVER_CHECKED_THROUGH_R4 = [
-        "text_pii_scrub", "dedup_span_exact", "quality_filter_composite",
-        "domain_mix_sample", "lm_unigram_score", "embedding_quantize",
-        "pack_sequences", "stream_enrich_revenue", "bucketed_segment_revenue",
-        "dedup_jaccard_ppjoin",  # new in round 5
-        "dedup_purge_canonical", "corpus_novelty_filter",  # new in round 5
-        "zorder_cluster_stats", "stream_mru_types",  # new in round 5
-        "events_ohlc", "similarity_ivf_search",  # new in round 5
-        "events_funnel", "events_retention_cohorts",  # new in round 5
-        "events_gap_fill", "events_anomaly_mad",  # new in round 5
-        "events_user_paths", "dedup_containment",  # new in round 5
-        "tokens_pmi_bigrams", "events_cube_summary",  # new in round 5
-        "events_type_pivot", "sample_weighted",  # new in round 5
-        "dedup_graph_triangles", "stream_topk_trending",  # new in round 5
-        "token_bpe_pretokenize", "profile_orders",  # new in round 5
-        "events_type_unpivot",  # new in round 5
-        "embedding_label_centroids", "fuzzy_part_match",  # new in round 5
-        "q6_forecast_revenue", "orders_customer_reconcile",  # new in round 5
-        "embedding_pq_codes", "interval_overlap_errors",  # new in round 5
-        "similarity_ivfpq_search",  # new in round 5
-        "basket_part_pairs", "orders_monthly_growth",  # new in round 5
-        "events_markov_transitions", "pagerank_neardup",  # new in round 5
+    # Round-6 policy: never-checked first, then oldest-newest-row-first
+    NEVER_CHECKED_THROUGH_R5 = [
+        "bpe_merge_pairs", "nation_rolling_revenue",  # new in round 6
+    ]
+    R3_STALE = [
+        "orders_rollup", "customer_order_coverage", "q4_order_priority",
+        "inactive_customers_by_nation", "brand_supplier_breadth",
+        "repeat_buyer_setops", "skew_salted_distinct", "all_users_fold",
+        "multimodal_resize",
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.NEVER_CHECKED_THROUGH_R4 if n not in window]
+        missing = [n for n in self.NEVER_CHECKED_THROUGH_R5
+                   if n not in window]
         assert not missing, f"outside the 50-entry gate window: {missing}"
+
+    def test_stalest_queries_lead_the_refresh(self):
+        window = list(_QUERIES)[:50]
+        missing = [n for n in self.R3_STALE if n not in window]
+        assert not missing, f"r3-stale queries missing a refresh seat: {missing}"
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 101
+        assert len(_QUERIES) == len(set(_QUERIES)) == 103
         assert set(oracles) <= set(_QUERIES)
 
 
