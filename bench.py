@@ -120,6 +120,7 @@ HEADLINE = [
     "pagerank_neardup",
     "bpe_merge_pairs",
     "nation_rolling_revenue",
+    "stream_click_purchase_join",
 ]
 
 

@@ -40,17 +40,19 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: the two new (never-checked) queries lead, then pure
+    # Round 6: the three new (never-checked) queries lead, then pure
     # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 39 of the 42 r4-newest-row queries.  `split_assign`,
-    # `sample_stratified` and `sketch_distinct_tokens` are the r4
-    # entries deferred to round 7 (plans unchanged since r4; all three
-    # carry differential pytest coverage in test_curation.py beyond the
-    # local oracle).  The 50 r5-green entries rotate out for one round.
+    # stale), then 38 of the 42 r4-newest-row queries.  `split_assign`,
+    # `sample_stratified`, `sketch_distinct_tokens` and
+    # `contamination_check` are the r4 entries deferred to round 7
+    # (plans unchanged since r4; all four carry differential pytest
+    # coverage in test_curation.py beyond the local oracle).  The 50
+    # r5-green entries rotate out for one round.
     window = [
         # -- new in round 6 (never driver-checked) --------------------
         "bpe_merge_pairs",
         "nation_rolling_revenue",
+        "stream_click_purchase_join",
         # -- r3-stale (newest driver row: round 3) --------------------
         "orders_rollup",
         "customer_order_coverage",
@@ -100,7 +102,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "text_tfidf_top_terms",
         "similarity_ivf_knn",
         "pipeline_corpus_curation",
-        "contamination_check",
     ]
     ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})

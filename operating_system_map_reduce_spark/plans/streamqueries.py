@@ -211,8 +211,36 @@ ORDER BY user_id, mru_rank
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (see streaming/windows.
+    click_purchase_join): purchases paired with same-user clicks in the
+    preceding hour, both sides watermarked unbounded streams.  The
+    bounded AvailableNow replay joins everything in one batch, so the
+    result equals the batch interval join the oracle spells."""
+    from operating_system_map_reduce_spark.streaming.windows import (
+        run_click_purchase_join,
+    )
+
+    return run_click_purchase_join(spark, sf_dir)
+
+
+STREAM_SSJOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts_us - c.ts_us AS gap_us
+FROM e p JOIN e c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "stream_mru_types": stream_mru_types,
+    "stream_click_purchase_join": stream_click_purchase_join,
     "stream_topk_trending": stream_topk_trending,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_first_seen": stream_dedup_first_seen,
@@ -223,6 +251,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_mru_types": STREAM_MRU_SQL,
+    "stream_click_purchase_join": STREAM_SSJOIN_SQL,
     "stream_topk_trending": STREAM_TOPK_SQL,
     "stream_windowed_counts": STREAM_WINDOW_SQL,
     "stream_dedup_first_seen": STREAM_DEDUP_SQL,

@@ -256,3 +256,61 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("window_start_us", "event_type")
+
+
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase pairs
+    with the same user's clicks in the preceding hour (inclusive both
+    ends).  The one streaming face the tier lacked: both sides are
+    unbounded, so the join buffers each side in state only until the
+    watermark plus the interval passes -- click state is droppable
+    1 h + watermark after its event time, which is what makes a
+    stream-stream join runnable forever at 100 TB (a batch as-of join
+    would re-scan history every run).  The range condition rides ON the
+    event-time columns, so Spark derives the state-eviction bound
+    instead of keeping both sides forever."""
+    c = (clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_us").alias("click_us"))
+         .withColumn("c_ts", F.timestamp_micros(F.col("click_us")))
+         .withWatermark("c_ts", WATERMARK))
+    p = (purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("purchase_us"))
+         .withColumn("p_ts", F.timestamp_micros(F.col("purchase_us")))
+         .withWatermark("p_ts", WATERMARK))
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner")
+        .select(
+            "purchase_id", "click_id",
+            (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+        )
+    )
+
+
+def run_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the stream-stream join; return the sink.
+    Both sides filter the SAME source stream (a streaming self-join),
+    the production shape for intra-topic attribution."""
+    sink = "events_ssjoin_" + uuid.uuid4().hex[:8]
+    with _stream_shuffle(spark):
+        ev = events_stream(spark, sf_dir)
+        q = (
+            click_purchase_join(
+                ev.filter(F.col("event_type") == "click"),
+                ev.filter(F.col("event_type") == "purchase"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("purchase_id", "click_id")

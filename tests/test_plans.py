@@ -115,6 +115,7 @@ class TestRegistryWindow:
     # Round-6 policy: never-checked first, then oldest-newest-row-first
     NEVER_CHECKED_THROUGH_R5 = [
         "bpe_merge_pairs", "nation_rolling_revenue",  # new in round 6
+        "stream_click_purchase_join",  # new in round 6
     ]
     R3_STALE = [
         "orders_rollup", "customer_order_coverage", "q4_order_priority",
@@ -136,7 +137,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 103
+        assert len(_QUERIES) == len(set(_QUERIES)) == 104
         assert set(oracles) <= set(_QUERIES)
 
 

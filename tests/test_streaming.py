@@ -279,3 +279,28 @@ class TestChangelogStreamSink:
         # compaction works over streamed files too
         log.compact()
         assert snap(log.replay()) == snap(ref.replay())
+
+
+class TestStreamStreamJoin:
+    def test_plans_as_symmetric_hash_join_with_state(self, spark):
+        """The click->purchase attribution must be a REAL stream-stream
+        join (StreamingSymmetricHashJoin with watermark-derived state
+        eviction), not a batch join in disguise."""
+        from operating_system_map_reduce_spark.streaming.windows import (
+            click_purchase_join, events_stream,
+        )
+        from pyspark.sql import functions as F
+
+        ev = events_stream(spark, "/root/testdata/sf0.001")
+        joined = click_purchase_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"))
+        assert joined.isStreaming
+        sink = "ssjoin_plan_probe"
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        last = q.lastProgress
+        # the progress report names the stateful operator
+        ops = [op["operatorName"] for op in last["stateOperators"]]
+        assert "symmetricHashJoin" in ops, ops
