@@ -717,6 +717,47 @@ def _banded_name_pairs(p: DataFrame) -> DataFrame:
     )
 
 
+def deletion_neighborhood_pairs(p: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a < id_b) within (p_brand, noun) blocks that
+    share a deletion-neighborhood key -- the SymSpell idea, and the
+    LINEAR-at-scale exact path for edit distance <= 1 that the length
+    band cannot give (banded candidates still grow quadratically in a
+    hot same-length cell).
+
+    Every name emits itself plus its single-character-deletion variants
+    as join keys (L+1 keys for length L).  Two names at distance <= 1
+    always share a key: equal names share the name; an insert/delete
+    pair shares the shorter name; a substitution pair shares the
+    variant deleting the differing position.  Sharing a key is
+    necessary but NOT sufficient ('ab'/'ba' share 'a'), so consumers
+    must verify candidates with levenshtein -- candidates are a
+    superset of matches and a tiny subset of the block's pairs.
+    One explode (L+1 rows/name), one equi-join on (block, key), one
+    distinct on the pair: every stage linear in input + true-match
+    density, never block_size^2."""
+    variants = F.expr(
+        "concat(array(p_name),"
+        " transform(sequence(1, length(p_name)),"
+        "  i -> concat(substring(p_name, 1, i - 1),"
+        "              substring(p_name, i + 1, length(p_name)))))")
+    keyed = p.select(
+        "p_brand", "noun", "p_partkey", "p_name",
+        F.explode(variants).alias("nkey"),
+    ).distinct()  # a name can emit duplicate variants ('aab' twice -> 'ab')
+    a = keyed.select("p_brand", "noun", "nkey",
+                     F.col("p_partkey").alias("id_a"),
+                     F.col("p_name").alias("name_a"))
+    b = keyed.select("p_brand", "noun", "nkey",
+                     F.col("p_partkey").alias("id_b"),
+                     F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, ["p_brand", "noun", "nkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("p_brand", "noun", "id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+
+
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     p = part.withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))

@@ -464,3 +464,68 @@ class TestTrainedPq:
         c2 = sim.pq_codebooks_trained(emb.repartition(5), iters=2)
         assert c1.shape == c2.shape == (sim.PQ_M, sim.PQ_K, sim.PQ_SUB)
         assert np.allclose(c1, c2, atol=1e-12)
+
+
+class TestDeletionNeighborhood:
+    """SymSpell-style deletion-neighborhood candidates: the linear exact
+    path for d<=1 that stays flat where even length-banded blocking
+    goes quadratic (a hot SAME-LENGTH cell)."""
+
+    def _prep(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "p_partkey long, p_name string, p_brand string"
+        ).withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))
+
+    def test_matches_equal_banded_matches_on_real_data(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.plans.mining import (
+            _banded_name_pairs, deletion_neighborhood_pairs,
+        )
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        p = (load_table(spark, sf_dir, "part")
+             .select("p_partkey", "p_name", "p_brand")
+             .withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0)))
+
+        def matches(pairs):
+            return sorted(
+                (r["id_a"], r["id_b"]) for r in
+                pairs.withColumn("d", F.levenshtein("name_a", "name_b"))
+                .filter(F.col("d") <= 1).collect())
+
+        assert matches(deletion_neighborhood_pairs(p)) == \
+            matches(_banded_name_pairs(p))
+
+    def test_flat_on_hot_same_length_cell(self, spark):
+        """40 distinct same-length names in one block: the band degrades
+        to all 780 pairs; deletion neighborhoods only surface the
+        actual near-matches."""
+        import itertools
+        import string
+
+        from operating_system_map_reduce_spark.plans.mining import (
+            _banded_name_pairs, deletion_neighborhood_pairs,
+        )
+
+        # 38 distinct, mutually-distant names, all the same length
+        names = [pair[0] * 2 + pair[1] * 3 + " bolt"
+                 for pair in itertools.islice(
+                     itertools.combinations(string.ascii_lowercase[:20], 2), 38)]
+        assert len(set(names)) == 38
+        rows = [(i, n, "B") for i, n in enumerate(names)]
+        rows.append((90, "abcde bolt", "B"))
+        rows.append((91, "abcdf bolt", "B"))   # one substitution away
+        p = self._prep(spark, rows)
+
+        banded = _banded_name_pairs(p).count()
+        neigh = deletion_neighborhood_pairs(p).count()
+        n = len(rows)
+        assert banded == n * (n - 1) // 2      # same length: band is blind
+        assert neigh < 0.1 * banded, (neigh, banded)
+        # and the true match is among the candidates
+        got = {(r["id_a"], r["id_b"])
+               for r in deletion_neighborhood_pairs(p).collect()}
+        assert (90, 91) in got
