@@ -1026,8 +1026,6 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
     reconstructed 64 dims FLAT left-to-right, and the oracle rebuilds
     the same array (flatten of ordered codebook slices) so every double
     matches bit-for-bit."""
-    import pandas as pd
-
     corpus = _drop_zero_vectors(corpus, vec_col)
     queries = _drop_zero_vectors(queries, vec_col)
     cent_rows = (
@@ -1040,6 +1038,51 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    if not cent_rows or not cb_rows:
+        cent_ids = np.empty(0, dtype=np.int64)
+        C = np.empty((0, 0), dtype=np.float64)
+        CBS32 = np.empty((PQ_M, 0, PQ_SUB), dtype=np.float32)
+    else:
+        cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+        C = np.stack([np.asarray(r["cv"], dtype=np.float64)
+                      for r in cent_rows])
+        # codebook kept in the STORAGE dtype (float32): reconstructions
+        # are exact codebook entries, cast to double only inside folds
+        CB32 = np.stack([np.asarray(r["cv"], dtype=np.float32)
+                         for r in cb_rows])
+        CBS32 = np.stack([CB32[:, s_ * PQ_SUB:(s_ + 1) * PQ_SUB]
+                          for s_ in range(PQ_M)])
+    return _ivfpq_search_core(corpus, queries, k, id_col, vec_col,
+                              cent_ids, C, CBS32)
+
+
+def ivfpq_search_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                         iters: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """``ivfpq_search`` served entirely from TRAINED codebooks: spherical
+    k-means IVF centroids (``kmeans_centroids``) and per-subspace
+    L2-Lloyd PQ codebooks (``pq_codebooks_trained``) -- the full
+    production compressed-index stack with both quantizers calibrated to
+    the data.  Same plan shape as the oracled path; quality pinned by
+    the recall test in tests/test_mining_ops.py."""
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    queries = _drop_zero_vectors(queries, vec_col)
+    C = kmeans_centroids(corpus, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent_ids = np.arange(C.shape[0], dtype=np.int64)
+    CBS = pq_codebooks_trained(corpus, iters=iters, id_col=id_col,
+                               vec_col=vec_col)
+    return _ivfpq_search_core(corpus, queries, k, id_col, vec_col,
+                              cent_ids, C, CBS.astype(np.float32))
+
+
+def _ivfpq_search_core(corpus: DataFrame, queries: DataFrame, k: int,
+                       id_col: str, vec_col: str, cent_ids: np.ndarray,
+                       C: np.ndarray, CBS32: np.ndarray) -> DataFrame:
+    """Shared IVF-PQ serving plan over an already-built coarse codebook
+    (cent_ids, C) and per-subspace PQ codebook CBS32 of shape
+    (PQ_M, n_codes, PQ_SUB)."""
+    import pandas as pd
+
     src_c = corpus.select(F.col(id_col), F.col(vec_col))
     src_q = queries.select(F.col(id_col), F.col(vec_col))
     id_field, vec_field = src_c.schema[id_col], src_c.schema[vec_col]
@@ -1054,16 +1097,12 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
         StructField("nid", id_field.dataType),
         StructField("cosine", DoubleType()),
     ])
-    if not cent_rows or not cb_rows:
+    if len(cent_ids) == 0 or CBS32.shape[1] == 0:
         empty = src_c.sparkSession.createDataFrame([], out_schema)
         return _ranked_topk(empty, k)
-    cent_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
-    # codebook kept in the STORAGE dtype (float32): reconstructions are
-    # exact codebook entries, cast to double only inside folds
-    CB32 = np.stack([np.asarray(r["cv"], dtype=np.float32) for r in cb_rows])
-    CB64 = CB32.astype(np.float64)
+    CBS64 = CBS32.astype(np.float64)
+    n_codes = CBS32.shape[1]
 
     def corpus_batches(bs):
         for pdf in bs:
@@ -1081,12 +1120,12 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
             for s in range(PQ_M):
                 lo, hi = s * PQ_SUB, (s + 1) * PQ_SUB
                 sub = E[:, lo:hi]
-                d2 = np.empty((n, PQ_K), dtype=np.float64)
-                for kk in range(PQ_K):
-                    diff = sub - CB64[kk, lo:hi]
+                d2 = np.empty((n, n_codes), dtype=np.float64)
+                for kk in range(n_codes):
+                    diff = sub - CBS64[s, kk]
                     d2[:, kk] = np.cumsum(diff * diff, axis=1)[:, -1]
                 best = np.argmin(d2, axis=1)  # first min == lowest cid
-                recon[:, lo:hi] = CB32[best][:, lo:hi]
+                recon[:, lo:hi] = CBS32[s][best]
             R64 = recon.astype(np.float64)
             rnrm = np.sqrt(np.cumsum(R64 * R64, axis=1)[:, -1])
             keep = rnrm > 0
@@ -1098,7 +1137,7 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "__nrm": rnrm[keep],
             })
 
-    nprobe_q = min(IVF_NPROBE, len(cent_rows))
+    nprobe_q = min(IVF_NPROBE, len(cent_ids))
 
     def query_batches(bs):
         for pdf in bs:
@@ -1148,8 +1187,6 @@ def ivfpq_search(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return pd.DataFrame({"qid": np.concatenate(q_out),
                              "nid": np.concatenate(n_out),
                              "cosine": np.concatenate(c_out)})
-
-    import pandas as pd  # noqa: F811 -- cell_fn closure needs module pd
 
     scored = members.groupBy("cell").applyInPandas(cell_fn, out_schema)
     return _ranked_topk(scored, k)

@@ -529,3 +529,43 @@ class TestDeletionNeighborhood:
         got = {(r["id_a"], r["id_b"])
                for r in deletion_neighborhood_pairs(p).collect()}
         assert (90, 91) in got
+
+
+class TestTrainedIvfPq:
+    def test_trained_stack_recall_beats_untrained(self, spark, sf_dir):
+        """The fully-trained compressed-index stack (k-means IVF cells +
+        Lloyd PQ codebooks) must not lose to the lowest-id codebooks the
+        oracled path uses (measured 0.36/0.42 vs 0.32/0.24 top-1-in-
+        top-5 at sf0.001/sf0.01)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.operators import similarity as sim
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(~(F.col("vec_id") % 10 == 7))
+        queries = emb.filter(F.col("vec_id") % 10 == 7)
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        cids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+        qids = sorted(r["vec_id"] for r in queries.select("vec_id").collect())
+        E = np.stack([vecs[i] for i in cids])
+        Q = np.stack([vecs[i] for i in qids])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        cos = Qn @ En.T
+        exact_1 = {qids[i]: np.asarray(cids)[np.argmax(cos[i])]
+                   for i in range(len(qids))}
+
+        def top1_recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+            return (sum(1 for q in qids if exact_1[q] in got.get(q, set()))
+                    / len(qids))
+
+        plain = top1_recall(sim.ivfpq_search(corpus, queries, k=5))
+        trained = top1_recall(sim.ivfpq_search_trained(corpus, queries, k=5))
+        assert trained >= plain, (trained, plain)
+        assert trained >= 0.3, trained

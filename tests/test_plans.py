@@ -220,3 +220,35 @@ class TestBenchRegistry:
         missing = [n for n in bench.HEADLINE if n not in _QUERIES]
         assert not missing, f"HEADLINE names not in registry: {missing}"
         assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+class TestRound6PlanShapes:
+    def test_bpe_merge_pairs_two_aggregates_topk(self, spark, sf_dir):
+        """Corpus size must only enter through the first aggregate: the
+        pair census runs over the distinct vocabulary, all JVM-side,
+        with a TakeOrderedAndProject top-20 (never a global sort of the
+        pair table)."""
+        plan = _plan(_QUERIES["bpe_merge_pairs"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    def test_nation_rolling_windows_run_over_aggregate(self, spark, sf_dir):
+        """All three windows must partition by their keys (nation /
+        month) -- no single-partition window -- and the lineitem scan
+        must prune to the four referenced columns."""
+        plan = _plan(_QUERIES["nation_rolling_revenue"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "Window" in plan
+        # the only acceptable SinglePartition would come from a window
+        # with no partition key; every window here has one
+        assert "Exchange SinglePartition" not in plan, plan
+        import re
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        while m and "l_suppkey" not in m.group(1):
+            m = re.search(r"ReadSchema: struct<([^>]*)>",
+                          plan[m.end():])
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert cols == {"l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"}, cols
