@@ -121,6 +121,8 @@ HEADLINE = [
     "bpe_merge_pairs",
     "nation_rolling_revenue",
     "stream_click_purchase_join",
+    "supplier_brand_division",
+    "orders_above_customer_avg",
 ]
 
 

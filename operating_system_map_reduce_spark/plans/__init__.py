@@ -40,19 +40,23 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: the three new (never-checked) queries lead, then pure
+    # Round 6: the five new (never-checked) queries lead, then pure
     # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 38 of the 42 r4-newest-row queries.  `split_assign`,
-    # `sample_stratified`, `sketch_distinct_tokens` and
-    # `contamination_check` are the r4 entries deferred to round 7
-    # (plans unchanged since r4; all four carry differential pytest
-    # coverage in test_curation.py beyond the local oracle).  The 50
-    # r5-green entries rotate out for one round.
+    # stale), then 36 of the 42 r4-newest-row queries.  Deferred to
+    # round 7 (plans unchanged since r4, each with differential pytest
+    # coverage beyond the local oracle): `split_assign`,
+    # `sample_stratified`, `sketch_distinct_tokens`,
+    # `contamination_check` (test_curation.py), `mr_odd_key_vals` (KMR
+    # byte-parity goldens in test_mapreduce.py), `kv_aes_at_rest`
+    # (crypto roundtrip in test_kv_engine.py).  The 50 r5-green entries
+    # rotate out for one round.
     window = [
         # -- new in round 6 (never driver-checked) --------------------
         "bpe_merge_pairs",
         "nation_rolling_revenue",
         "stream_click_purchase_join",
+        "supplier_brand_division",
+        "orders_above_customer_avg",
         # -- r3-stale (newest driver row: round 3) --------------------
         "orders_rollup",
         "customer_order_coverage",
@@ -80,8 +84,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "kv_top_mru",
         "quota_sliding_window",
         "auth_hash_users",
-        "mr_odd_key_vals",
-        "kv_aes_at_rest",
         "dedup_exact",
         "text_quality",
         "token_count",

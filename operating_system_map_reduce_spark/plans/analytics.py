@@ -1069,6 +1069,123 @@ ORDER BY nation, month
 """
 
 
+# --- supplier_brand_division: relational division --------------------------
+# The "FOR ALL" operator face: which suppliers ship EVERY brand in the
+# catalog (restricted to bulk lines, l_quantity >= 45, so coverage is
+# non-trivial)?  Division compiles to count-distinct-equals-divisor --
+# never a per-element anti-join loop: one distinct on (supplier,
+# brand) pairs, one count-distinct per supplier, compared against the
+# 1-row divisor total (hint-broadcast, provably 1 row).  Output is the
+# per-nation coverage census so the result is informative at every SF
+# (full-coverage suppliers: 0 at sf0.001, 24 at sf0.01, 216 at sf0.1).
+
+def supplier_brand_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 45)
+          .select("l_suppkey", "l_partkey"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nb = part.agg(F.count_distinct("p_brand").alias("nb"))
+    cov = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand").distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("p_brand").alias("n_brands"))
+    )
+    per_sup = (
+        sup.join(cov, F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .na.fill(0, ["n_brands"])
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        per_sup.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.count(F.when(F.col("n_brands") > 0, 1)).alias("n_active"),
+            F.count(F.when(F.col("n_brands") == F.col("nb"), 1))
+            .alias("n_full_coverage"),
+            F.max("n_brands").alias("max_brands"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SUPPLIER_DIVISION_SQL = """
+WITH nb AS (
+  SELECT COUNT(DISTINCT p_brand) AS nb FROM part
+), cov AS (
+  SELECT l_suppkey, COUNT(DISTINCT p_brand) AS n_brands
+  FROM (
+    SELECT DISTINCT l.l_suppkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity >= 45
+  ) GROUP BY l_suppkey
+), per_sup AS (
+  SELECT s.s_nationkey, COALESCE(c.n_brands, 0) AS n_brands, nb.nb
+  FROM supplier s LEFT JOIN cov c ON s.s_suppkey = c.l_suppkey
+  CROSS JOIN nb
+)
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       COUNT(CASE WHEN n_brands > 0 THEN 1 END) AS n_active,
+       COUNT(CASE WHEN n_brands = nb THEN 1 END) AS n_full_coverage,
+       MAX(n_brands) AS max_brands
+FROM per_sup
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+# --- orders_above_customer_avg: correlated-subquery face --------------------
+# "Orders above their own customer's average" -- the classic correlated
+# scalar subquery, compiled as a window aggregate (one shuffle on
+# custkey, the subquery never re-executes per row).  Both engines round
+# the price and the per-customer average to 6 decimals before the
+# comparison so an ulp of window-summation-order noise cannot flip a
+# boundary row.  Output: per-mktsegment census with the above-average
+# share.
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey")
+    flagged = orders.withColumn(
+        "above",
+        F.round("o_totalprice", 6) > F.round(F.avg("o_totalprice").over(w), 6))
+    return (
+        flagged.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("above"), 1)).alias("n_above_avg"),
+            F.round(
+                F.count(F.when(F.col("above"), 1))
+                / F.count(F.lit(1)).cast("double"), 6).alias("above_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH flagged AS (
+  SELECT o_custkey,
+         ROUND(o_totalprice, 6) >
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS above
+  FROM orders
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN above THEN 1 END) AS n_above_avg,
+       ROUND(COUNT(CASE WHEN above THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS above_share
+FROM flagged JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # --- bucketed co-located join: the at-rest partitioning story -------------
 # The reference places every key into its hash bucket ONCE at insert
 # time (p2/server/concurrenthashmap.h) and all later ops are
@@ -1239,6 +1356,8 @@ QUERIES = {
     "repeat_buyer_setops": repeat_buyer_setops,
     "skew_salted_distinct": skew_salted_distinct,
     "nation_rolling_revenue": nation_rolling_revenue,
+    "supplier_brand_division": supplier_brand_division,
+    "orders_above_customer_avg": orders_above_customer_avg,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1269,4 +1388,6 @@ ORACLES = {
     "repeat_buyer_setops": SETOPS_SQL,
     "skew_salted_distinct": SKEW_DISTINCT_SQL,
     "nation_rolling_revenue": NATION_ROLLING_SQL,
+    "supplier_brand_division": SUPPLIER_DIVISION_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
 }

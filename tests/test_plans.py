@@ -22,7 +22,8 @@ ALLPAIRS_BY_DESIGN = {"similarity_cosine_topk"}
 # declarative alternative to a driver collect of the scalar, not an
 # all-pairs blowup.  CartesianProduct stays forbidden for these.
 BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
-                      "basket_part_pairs", "pagerank_neardup"}
+                      "basket_part_pairs", "pagerank_neardup",
+                      "supplier_brand_division"}
 
 _QUERIES = entrymod.queries()
 
@@ -116,6 +117,7 @@ class TestRegistryWindow:
     NEVER_CHECKED_THROUGH_R5 = [
         "bpe_merge_pairs", "nation_rolling_revenue",  # new in round 6
         "stream_click_purchase_join",  # new in round 6
+        "supplier_brand_division", "orders_above_customer_avg",  # round 6
     ]
     R3_STALE = [
         "orders_rollup", "customer_order_coverage", "q4_order_priority",
@@ -137,7 +139,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 104
+        assert len(_QUERIES) == len(set(_QUERIES)) == 106
         assert set(oracles) <= set(_QUERIES)
 
 
