@@ -254,3 +254,37 @@ class TestRound6PlanShapes:
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert cols == {"l_suppkey", "l_shipdate", "l_extendedprice",
                         "l_discount"}, cols
+
+
+# Queries whose plans legitimately contain Exchange SinglePartition:
+# global scalar totals (a partial aggregate collapses 1 row/partition)
+# or a window over an already-aggregated ~80-row series.  None of them
+# move fact-table rows through one task.
+SINGLE_PARTITION_JUSTIFIED = {
+    "all_users_fold",            # global newline fold (ALL command)
+    "kv_all_keys",               # global newline fold (KVA command)
+    "basket_part_pairs",         # n_orders scalar total
+    "tokens_pmi_bigrams",        # unigram/bigram scalar totals
+    "dedup_graph_triangles",     # triangle/wedge scalar totals
+    "events_funnel",             # per-stage global counts
+    "lm_unigram_score",          # corpus token scalar total
+    "orders_monthly_growth",     # lag window over the ~80-month series
+    "profile_orders",            # one-row profiling aggregate
+    "q6_forecast_revenue",       # single-row pushdown aggregate
+    "pagerank_neardup",          # per-iteration 1-row convergence totals
+    "supplier_brand_division",   # 1-row brand-count divisor
+}
+
+
+class TestSinglePartitionCensus:
+    @pytest.mark.parametrize("name", sorted(_lazy_queries()))
+    def test_single_partition_only_where_justified(self, spark, sf_dir, name):
+        """A SinglePartition exchange outside the allow-list means a new
+        query funnels data through one task -- the classic hidden
+        scale-killer.  Additions to the list need a justification
+        comment."""
+        plan = _plan(_QUERIES[name](spark, sf_dir))
+        if name in SINGLE_PARTITION_JUSTIFIED:
+            return
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: unjustified SinglePartition exchange")
