@@ -360,6 +360,70 @@ class KVEngine:
         self.kv_log.compact()
         return True, codes.RES_OK, None
 
+    def import_reference_file(self, user: str, password: str, path: str):
+        """Reverse migration: replay a reference-format persistence file
+        (p3/server/format.h grammar, ALL five tags) into the engine's
+        changelogs, exactly the reference's load_file dispatch
+        (p3/server/my_storage.cc:573-702: insert on AUTHAUTH/KVKVKVKV,
+        upsert on AUTHDIFF/KVUPDATE, remove on KVDELETE, in arrival
+        order).  Entries become ordered changelog appends, so
+        latest-seq-wins replay reproduces the sequential apply; a
+        missing file is success with zero entries (my_storage.cc:574-578
+        treats file-not-found as a fresh start)."""
+        from operating_system_map_reduce_spark.sources import binlog as B
+
+        if self._auth(user, password) is None:
+            return False, codes.RES_ERR_LOGIN, None
+        if not os.path.exists(path):
+            return True, codes.RES_OK, 0
+        n = 0
+        auth_rows: list[dict] = []
+        kv_rows: list[dict] = []
+        for tag, *fields in B.read_entries(path):
+            seq = self._next_seq()
+            if tag == B.AUTHENTRY:
+                uname, salt, phash, content = fields
+                auth_rows.append({
+                    "seq": seq, "op": "insert",
+                    "username": uname.decode(), "salt": bytes(salt),
+                    "pass_hash": bytes(phash), "content": bytes(content)})
+            elif tag == B.AUTHDIFF:
+                uname, content = fields
+                # profile-only diff: carry forward the credential columns
+                # from the live replay, as load_file's do_with mutation
+                # touches only the content field.  Flush pending rows
+                # first so the replay sees every prior entry.
+                if auth_rows:
+                    self.auth_log.append(auth_rows)
+                    auth_rows = []
+                cur = (self.auth_log.replay_cached()
+                       .filter(F.col("username") == uname.decode())
+                       .select("salt", "pass_hash").collect())
+                if not cur:
+                    continue  # diff for an unknown user: load_file skips
+                auth_rows.append({
+                    "seq": seq, "op": "update",
+                    "username": uname.decode(),
+                    "salt": bytes(cur[0]["salt"]),
+                    "pass_hash": bytes(cur[0]["pass_hash"]),
+                    "content": bytes(content)})
+            elif tag in (B.KVENTRY, B.KVUPDATE):
+                key, val = fields
+                kv_rows.append({
+                    "seq": seq,
+                    "op": "insert" if tag == B.KVENTRY else "update",
+                    "key": key.decode(), "value": bytes(val)})
+            elif tag == B.KVDELETE:
+                (key,) = fields
+                kv_rows.append({"seq": seq, "op": "delete",
+                                "key": key.decode(), "value": b""})
+            n += 1
+        if auth_rows:
+            self.auth_log.append(auth_rows)
+        if kv_rows:
+            self.kv_log.append(kv_rows)
+        return True, codes.RES_OK, n
+
     def export_reference_file(self, user: str, password: str, path: str):
         """SAV-to-reference-format export: serialize the live state as
         AUTHAUTH + KVKVKVKV entries (p3/server/format.h grammar, byte-

@@ -150,3 +150,71 @@ def test_truncated_file_raises_with_offset(tmp_path):
     open(path, "wb").write(data[:12])
     with pytest.raises(ValueError, match="truncated length block"):
         list(B.read_entries(path))
+
+
+class TestReferenceImport:
+    def test_export_import_round_trip(self, spark, tmp_path):
+        """Engine A -> reference file -> fresh engine B: B serves the
+        same users, profiles and kv pairs (the migration path in BOTH
+        directions)."""
+        from operating_system_map_reduce_spark import codes
+        from operating_system_map_reduce_spark.engine import KVEngine
+
+        a = KVEngine(spark, str(tmp_path / "a"))
+        assert a.add_user("alice", "pw")[1] == codes.RES_OK
+        assert a.set_user_data("alice", "pw", b"profile bytes")[1] == codes.RES_OK
+        assert a.kv_insert("alice", "pw", "k1", b"v1")[1] == codes.RES_OK
+        assert a.kv_insert("alice", "pw", "k2", b"v2")[1] == codes.RES_OK
+        path = str(tmp_path / "company.dir")
+        assert a.export_reference_file("alice", "pw", path)[1] == codes.RES_OK
+
+        b = KVEngine(spark, str(tmp_path / "b"))
+        assert b.add_user("bootstrap", "pw")[1] == codes.RES_OK
+        assert b.import_reference_file("bootstrap", "bad", path)[1] == \
+            codes.RES_ERR_LOGIN
+        ok, code, n = b.import_reference_file("bootstrap", "pw", path)
+        assert (ok, code, n) == (True, codes.RES_OK, 3)  # 1 auth + 2 kv
+        # alice's credentials survived byte-exact: she can log in on B
+        assert b.kv_get("alice", "pw", "k1")[2] == b"v1"
+        assert b.kv_get("alice", "pw", "k2")[2] == b"v2"
+        assert b.get_user_data("bootstrap", "pw", "alice")[2] == b"profile bytes"
+
+    def test_import_full_tag_grammar_applies_in_order(self, spark, tmp_path):
+        """A log with all five tags (insert, update, delete, profile
+        diff) replays with the reference's sequential load_file
+        semantics."""
+        import hashlib
+        import secrets
+
+        from operating_system_map_reduce_spark import codes
+        from operating_system_map_reduce_spark.engine import KVEngine
+
+        salt = secrets.token_bytes(16)
+        phash = hashlib.sha256(b"pw" + salt).digest()
+        path = str(tmp_path / "log.dir")
+        B.write_entries(path, [
+            (B.AUTHENTRY, b"carol", salt, phash, b""),
+            (B.KVENTRY, b"k1", b"one"),
+            (B.KVENTRY, b"k2", b"two"),
+            (B.KVUPDATE, b"k1", b"ONE"),
+            (B.KVDELETE, b"k2"),
+            (B.AUTHDIFF, b"carol", b"new profile"),
+        ])
+        eng = KVEngine(spark, str(tmp_path / "data"))
+        assert eng.add_user("admin", "pw")[1] == codes.RES_OK
+        ok, code, n = eng.import_reference_file("admin", "pw", path)
+        assert (ok, code, n) == (True, codes.RES_OK, 6)
+        # carol authenticates with the imported salted hash
+        assert eng.kv_get("carol", "pw", "k1")[2] == b"ONE"
+        assert eng.kv_get("carol", "pw", "k2")[1] == codes.RES_ERR_KEY
+        assert eng.get_user_data("admin", "pw", "carol")[2] == b"new profile"
+
+    def test_import_missing_file_is_fresh_start(self, spark, tmp_path):
+        from operating_system_map_reduce_spark import codes
+        from operating_system_map_reduce_spark.engine import KVEngine
+
+        eng = KVEngine(spark, str(tmp_path / "data"))
+        assert eng.add_user("admin", "pw")[1] == codes.RES_OK
+        ok, code, n = eng.import_reference_file(
+            "admin", "pw", str(tmp_path / "nope.dir"))
+        assert (ok, code, n) == (True, codes.RES_OK, 0)
