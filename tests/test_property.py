@@ -104,3 +104,39 @@ class TestAsofJoinDifferential:
                 if rts >= lts - tol:
                     want = (rid, rts)
             assert got[lid] == want
+
+
+class TestBinlogCodecProperties:
+    """Hypothesis round-trips for the reference-format codec: any
+    sequence of well-formed entries (arbitrary binary fields, including
+    empty ones) must serialize and parse back identically, with sizes
+    matching the entry_size arithmetic the reference tests assert."""
+
+    _tags = None
+
+    @staticmethod
+    def _entries_strategy():
+        from operating_system_map_reduce_spark.sources import binlog as B
+
+        field = st.binary(min_size=0, max_size=64)
+        return st.lists(st.one_of(
+            st.tuples(st.just(B.AUTHENTRY), field, field, field, field),
+            st.tuples(st.just(B.KVENTRY), field, field),
+            st.tuples(st.just(B.KVUPDATE), field, field),
+            st.tuples(st.just(B.KVDELETE), field),
+            st.tuples(st.just(B.AUTHDIFF), field, field),
+        ), min_size=0, max_size=20)
+
+    @given(entries=_entries_strategy())
+    @settings(max_examples=100, deadline=None)
+    def test_round_trip_and_size_arithmetic(self, entries, tmp_path_factory):
+        from operating_system_map_reduce_spark.sources import binlog as B
+
+        path = str(tmp_path_factory.mktemp("binlog") / "f.dir")
+        n = B.write_entries(path, entries)
+        assert n == sum(
+            B.entry_size(t, *(len(f) for f in fs))
+            for t, *fs in entries)
+        assert list(B.read_entries(path)) == [tuple(e) for e in entries]
+        # every entry lands 8-byte aligned, the format.h invariant
+        assert n % 8 == 0
