@@ -394,6 +394,37 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str,
+                                accuracy: int = 10_000) -> DataFrame:
+    """The SKETCH path for the same census: ``percentile_approx``
+    (Greenwald-Khanna, bounded memory ~ accuracy) instead of exact
+    ``percentile`` (memory ~ distinct values per group).  This is the
+    swap every "exact percentile" scale-note in this repo points at:
+    at 100 TB a group can hold billions of distinct values and the
+    exact aggregate's state explodes, while the sketch stays at
+    O(accuracy) per group with rank error <= 1/accuracy.
+
+    Not oracle-gated (DuckDB has no GK sketch and approximation is
+    engine-specific by nature); pinned in tests/test_curation.py
+    against the exact quantiles with the sketch's own rank-error
+    bound."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.expr(
+        f"percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), {accuracy})")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), q.alias("q")
+    )
+    return (
+        agg.select(
+            "lang", "n_docs",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- sample_weighted: deterministic weighted sampling (A-ES) ---------------
 # Efraimidis-Spirakis weighted reservoir sampling, derandomized for
 # oracle parity: each doc draws u in (0,1] from md5(doc_id) (48-bit

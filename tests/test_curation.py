@@ -169,3 +169,34 @@ class TestCurationPlans:
         for lang, ranks in per_lang.items():
             assert len(ranks) <= curation.SAMPLE_K
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+
+
+class TestApproxQuantilesSketch:
+    def test_sketch_within_rank_error_of_exact(self, spark, sf_dir):
+        """percentile_approx (GK sketch, the bounded-memory 100 TB
+        path) must land within its rank-error bound of the exact
+        percentiles: with accuracy A, the returned value's rank is
+        within n/A of the target rank, so the value must lie between
+        the exact quantiles at p -/+ 1/A (evaluated on the actual
+        per-group data)."""
+        import os
+
+        import pandas as pd
+
+        from operating_system_map_reduce_spark.plans.curation import (
+            doc_length_quantiles_approx,
+        )
+
+        acc = 10_000
+        got = {r["lang"]: r for r in
+               doc_length_quantiles_approx(spark, sf_dir, acc).collect()}
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        for lang, g in docs.groupby("lang"):
+            vals = g["n_chars"].sort_values().to_numpy()
+            row = got[lang]
+            assert row["n_docs"] == len(vals)
+            for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                lo = vals[max(0, int((p - 1.0 / acc) * (len(vals) - 1)))]
+                hi = vals[min(len(vals) - 1,
+                              int((p + 1.0 / acc) * (len(vals) - 1)) + 1)]
+                assert lo <= row[col] <= hi, (lang, col, row[col], lo, hi)
