@@ -123,6 +123,7 @@ HEADLINE = [
     "stream_click_purchase_join",
     "supplier_brand_division",
     "orders_above_customer_avg",
+    "doc_chunk_windows",
 ]
 
 

@@ -40,15 +40,17 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: the five new (never-checked) queries lead, then pure
+    # Round 6: the six new (never-checked) queries lead, then pure
     # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 36 of the 42 r4-newest-row queries.  Deferred to
-    # round 7 (plans unchanged since r4, each with differential pytest
-    # coverage beyond the local oracle): `split_assign`,
-    # `sample_stratified`, `sketch_distinct_tokens`,
-    # `contamination_check` (test_curation.py), `mr_odd_key_vals` (KMR
+    # stale), then 35 of the 42 r4-newest-row queries.  Deferred to
+    # round 7 (plans unchanged since r4, each with coverage beyond the
+    # local oracle): `split_assign`, `sample_stratified`,
+    # `sketch_distinct_tokens`, `contamination_check`
+    # (test_curation.py differentials), `mr_odd_key_vals` (KMR
     # byte-parity goldens in test_mapreduce.py), `kv_aes_at_rest`
-    # (crypto roundtrip in test_kv_engine.py).  The 50 r5-green entries
+    # (crypto roundtrip in test_kv_engine.py),
+    # `pipeline_corpus_curation` (a composition of stages each oracled
+    # individually in-window or recently).  The 50 r5-green entries
     # rotate out for one round.
     window = [
         # -- new in round 6 (never driver-checked) --------------------
@@ -57,6 +59,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "stream_click_purchase_join",
         "supplier_brand_division",
         "orders_above_customer_avg",
+        "doc_chunk_windows",
         # -- r3-stale (newest driver row: round 3) --------------------
         "orders_rollup",
         "customer_order_coverage",
@@ -103,7 +106,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "multimodal_features",
         "text_tfidf_top_terms",
         "similarity_ivf_knn",
-        "pipeline_corpus_curation",
     ]
     ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})

@@ -457,6 +457,65 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_chunk_windows: fixed-size sliding-window chunking -- the step that
+# turns documents into training sequences.  Window C=64 tokens, stride
+# S=48 (16-token overlap); a doc with n <= C tokens is one chunk, else
+# ceil((n-C)/S)+1 chunks, each hashed so the oracle verifies the actual
+# chunk CONTENT, not just counts.  Everything is map-side expression
+# work (split -> index sequence -> explode -> slice -> md5); the only
+# exchange is the final presentation sort, and output rows ~ tokens/S,
+# linear in corpus size.
+
+CHUNK_C = 64
+CHUNK_S = 48
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.withColumn("toks", F.split(F.col("text"), " "))
+    n_last = (f"greatest(0, cast(ceil((size(toks) - {CHUNK_C}) / "
+              f"cast({CHUNK_S} as double)) as int))")
+    chunks = (
+        d.select(
+            "doc_id", "toks",
+            F.explode(F.expr(f"sequence(0, {n_last})")).alias("chunk_idx"))
+        .withColumn(
+            "chunk",
+            F.expr(f"slice(toks, chunk_idx * {CHUNK_S} + 1, {CHUNK_C})"))
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(0, CAST(ceil((len(toks) - {CHUNK_C})
+               / CAST({CHUNK_S} AS DOUBLE)) AS BIGINT)) + 1)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                           chunk_idx * {CHUNK_S} + {CHUNK_C})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                                      chunk_idx * {CHUNK_S} + {CHUNK_C}), ' '))
+         AS chunk_hash
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "dedup_span_exact": dedup_span_exact,
@@ -465,6 +524,7 @@ QUERIES = {
     "lm_unigram_score": lm_unigram_score,
     "embedding_quantize": embedding_quantize,
     "pack_sequences": pack_sequences,
+    "doc_chunk_windows": doc_chunk_windows,
 }
 
 ORACLES = {
@@ -475,4 +535,5 @@ ORACLES = {
     "quality_filter_composite": QUALITY_FILTER_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
     "lm_unigram_score": LM_UNIGRAM_SQL,
+    "doc_chunk_windows": DOC_CHUNK_SQL,
 }
