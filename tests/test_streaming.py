@@ -304,3 +304,55 @@ class TestStreamStreamJoin:
         # the progress report names the stateful operator
         ops = [op["operatorName"] for op in last["stateOperators"]]
         assert "symmetricHashJoin" in ops, ops
+
+
+class TestSinkToCdcPipeline:
+    def test_streamed_ingest_feeds_incremental_cdc(self, spark, tmp_path):
+        """The full streaming loop: mutations stream IN through
+        ChangelogStreamSink and OUT through ChangelogCDC's incremental
+        tailer; the CDC state must equal batch replay after each wave,
+        with the second catch-up processing only the new files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from operating_system_map_reduce_spark.engine import KV_SCHEMA
+        from operating_system_map_reduce_spark.sources.changelog import ChangeLog
+        from operating_system_map_reduce_spark.streaming.changelog_cdc import (
+            ChangelogCDC, ChangelogStreamSink,
+        )
+
+        def emit(dirpath, name, rows):
+            pq.write_table(pa.table(
+                {k: [r[k] for r in rows] for k in ("seq", "op", "key", "value")},
+                schema=pa.schema([pa.field("seq", pa.int64()),
+                                  pa.field("op", pa.string()),
+                                  pa.field("key", pa.string()),
+                                  pa.field("value", pa.binary())])),
+                str(dirpath / name))
+
+        def rec(seq, op, key, value=b""):
+            return {"seq": seq, "op": op, "key": key, "value": value}
+
+        def snap(df):
+            return sorted((r["key"], bytes(r["value"])) for r in
+                          df.select("key", "value").collect())
+
+        src = tmp_path / "mutations"
+        src.mkdir()
+        log = ChangeLog(spark, str(tmp_path / "kv"), KV_SCHEMA, key_col="key")
+        sink = ChangelogStreamSink(log)
+        cdc = ChangelogCDC(log)
+
+        emit(src, "w1.parquet",
+             [rec(i, "insert", f"k{i}", str(i).encode()) for i in range(1, 4)])
+        sink.ingest_available(
+            spark.readStream.schema(KV_SCHEMA).parquet(str(src)))
+        assert snap(cdc.catch_up()) == snap(log.replay())
+
+        emit(src, "w2.parquet",
+             [rec(4, "update", "k1", b"ONE"), rec(5, "delete", "k2")])
+        sink.ingest_available(
+            spark.readStream.schema(KV_SCHEMA).parquet(str(src)))
+        got = snap(cdc.catch_up())
+        assert got == snap(log.replay())
+        assert ("k1", b"ONE") in got and all(k != "k2" for k, _ in got)
