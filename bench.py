@@ -124,6 +124,7 @@ HEADLINE = [
     "supplier_brand_division",
     "orders_above_customer_avg",
     "doc_chunk_windows",
+    "orders_grouping_sets",
 ]
 
 

@@ -40,9 +40,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: the six new (never-checked) queries lead, then pure
+    # Round 6: the seven new (never-checked) queries lead, then pure
     # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 35 of the 42 r4-newest-row queries.  Deferred to
+    # stale), then 34 of the 42 r4-newest-row queries.  Deferred to
     # round 7 (plans unchanged since r4, each with coverage beyond the
     # local oracle): `split_assign`, `sample_stratified`,
     # `sketch_distinct_tokens`, `contamination_check`
@@ -50,8 +50,10 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # byte-parity goldens in test_mapreduce.py), `kv_aes_at_rest`
     # (crypto roundtrip in test_kv_engine.py),
     # `pipeline_corpus_curation` (a composition of stages each oracled
-    # individually in-window or recently).  The 50 r5-green entries
-    # rotate out for one round.
+    # individually in-window or recently), `similarity_ivf_knn`
+    # (superseded in-window by ivf_search/ivfpq_search; recall pins in
+    # test_mining_ops.py).  The 50 r5-green entries rotate out for one
+    # round.
     window = [
         # -- new in round 6 (never driver-checked) --------------------
         "bpe_merge_pairs",
@@ -60,6 +62,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "supplier_brand_division",
         "orders_above_customer_avg",
         "doc_chunk_windows",
+        "orders_grouping_sets",
         # -- r3-stale (newest driver row: round 3) --------------------
         "orders_rollup",
         "customer_order_coverage",
@@ -105,7 +108,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "multimodal_frame_sample",
         "multimodal_features",
         "text_tfidf_top_terms",
-        "similarity_ivf_knn",
     ]
     ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})

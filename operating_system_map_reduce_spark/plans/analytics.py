@@ -1186,6 +1186,48 @@ ORDER BY c_mktsegment
 """
 
 
+# --- orders_grouping_sets: explicit GROUPING SETS ---------------------------
+# The third member of the grouping trio (ROLLUP and CUBE are covered by
+# orders_rollup / events_cube_summary): DISJOINT grouping sets --
+# per-status totals, per-priority totals, and the grand total -- in ONE
+# aggregate pass.  Catalyst expands to a single Expand + hash aggregate
+# (3 rows per input row, map-side partials), versus three scans for the
+# UNION ALL spelling.  Subtotal rows are labeled via GROUPING(), never
+# NULL-conflating COALESCE; the revenue sum stays UNROUNDED (2-decimal
+# rounding of cent-aligned money amplifies cross-engine summation ulps
+# at .xx5 boundaries -- the nation_rolling_revenue lesson).  Expressed through spark.sql with a
+# DataFrame arg (the declarative SQL surface of the same engine).
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS priority,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS revenue
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """,
+        o=orders)
+
+
+ORDERS_GROUPING_SETS_SQL = """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
 # --- bucketed co-located join: the at-rest partitioning story -------------
 # The reference places every key into its hash bucket ONCE at insert
 # time (p2/server/concurrenthashmap.h) and all later ops are
@@ -1358,6 +1400,7 @@ QUERIES = {
     "nation_rolling_revenue": nation_rolling_revenue,
     "supplier_brand_division": supplier_brand_division,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "orders_grouping_sets": orders_grouping_sets,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1390,4 +1433,5 @@ ORACLES = {
     "nation_rolling_revenue": NATION_ROLLING_SQL,
     "supplier_brand_division": SUPPLIER_DIVISION_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+    "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
 }

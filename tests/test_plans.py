@@ -118,7 +118,7 @@ class TestRegistryWindow:
         "bpe_merge_pairs", "nation_rolling_revenue",  # new in round 6
         "stream_click_purchase_join",  # new in round 6
         "supplier_brand_division", "orders_above_customer_avg",  # round 6
-        "doc_chunk_windows",  # new in round 6
+        "doc_chunk_windows", "orders_grouping_sets",  # new in round 6
     ]
     R3_STALE = [
         "orders_rollup", "customer_order_coverage", "q4_order_priority",
@@ -140,7 +140,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 107
+        assert len(_QUERIES) == len(set(_QUERIES)) == 108
         assert set(oracles) <= set(_QUERIES)
 
 
