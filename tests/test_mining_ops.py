@@ -569,3 +569,71 @@ class TestTrainedIvfPq:
         trained = top1_recall(sim.ivfpq_search_trained(corpus, queries, k=5))
         assert trained >= plain, (trained, plain)
         assert trained >= 0.3, trained
+
+
+class TestRound6QueryDifferentials:
+    """Third-implementation checks for the round-6 queries: oracle
+    parity pins Spark == DuckDB; these pin both against independent
+    pure-Python computations."""
+
+    def test_bpe_merge_pairs_matches_counter(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        from operating_system_map_reduce_spark.plans.mining import bpe_merge_pairs
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        wc = Counter()
+        for text in docs["text"]:
+            for w in re.split(r"[^a-z0-9]+", text.lower()):
+                if w:
+                    wc[w] += 1
+        pairs = Counter()
+        for w, f in wc.items():
+            for i in range(len(w) - 1):
+                pairs[w[i:i + 2]] += f
+        want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [(r["pair"], r["n_merge"]) for r in
+               bpe_merge_pairs(spark, sf_dir).collect()]
+        assert got == want
+
+    def test_orders_above_avg_matches_pandas(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.analytics import (
+            orders_above_customer_avg,
+        )
+
+        orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+        cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+        orders["cavg"] = orders.groupby("o_custkey")["o_totalprice"].transform("mean")
+        orders["above"] = orders["o_totalprice"].round(6) > orders["cavg"].round(6)
+        j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        want = {
+            seg: (len(g), int(g["above"].sum()))
+            for seg, g in j.groupby("c_mktsegment")
+        }
+        got = {r["c_mktsegment"]: (r["n_orders"], r["n_above_avg"])
+               for r in orders_above_customer_avg(spark, sf_dir).collect()}
+        assert got == want
+
+    def test_chunk_windows_match_python_slicing(self, spark, sf_dir):
+        import hashlib
+
+        from operating_system_map_reduce_spark.plans.textprep import (
+            CHUNK_C, CHUNK_S, doc_chunk_windows,
+        )
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        want = []
+        for _, row in docs.sort_values("doc_id").iterrows():
+            toks = row["text"].split(" ")
+            n = len(toks)
+            n_chunks = 1 if n <= CHUNK_C else -(-(n - CHUNK_C) // CHUNK_S) + 1
+            for i in range(n_chunks):
+                chunk = toks[i * CHUNK_S:i * CHUNK_S + CHUNK_C]
+                want.append((row["doc_id"], i, len(chunk),
+                             hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+        got = [(r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_hash"])
+               for r in doc_chunk_windows(spark, sf_dir).collect()]
+        assert got == want
+        # overlap invariant: consecutive chunks share C - S tokens
+        assert CHUNK_C - CHUNK_S == 16
