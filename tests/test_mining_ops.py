@@ -637,3 +637,36 @@ class TestRound6QueryDifferentials:
         assert got == want
         # overlap invariant: consecutive chunks share C - S tokens
         assert CHUNK_C - CHUNK_S == 16
+
+
+class TestRollingRevenueDifferential:
+    def test_matches_pandas_windows(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans.analytics import (
+            nation_rolling_revenue,
+        )
+
+        li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
+        nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+        li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+        li["month"] = pd.to_datetime(li["l_shipdate"]).dt.strftime("%Y-%m")
+        j = (li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+             .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+        monthly = (j.groupby(["n_name", "month"])["rev"].sum()
+                   .reset_index().sort_values(["n_name", "month"]))
+        monthly["ma3"] = (monthly.groupby("n_name")["rev"]
+                          .transform(lambda s: s.rolling(3, min_periods=1).mean()))
+        monthly["cum"] = monthly.groupby("n_name")["rev"].cumsum()
+        monthly["share"] = (monthly["rev"]
+                            / monthly.groupby("month")["rev"].transform("sum"))
+        want = {(r["n_name"], r["month"]):
+                (r["rev"], r["ma3"], r["cum"], r["share"])
+                for _, r in monthly.iterrows()}
+        got = nation_rolling_revenue(spark, sf_dir).collect()
+        assert len(got) == len(want)
+        for r in got:
+            w = want[(r["nation"], r["month"])]
+            assert r["revenue"] == pytest.approx(w[0], rel=1e-9)
+            assert r["ma3"] == pytest.approx(w[1], rel=1e-9)
+            assert r["cum_revenue"] == pytest.approx(w[2], rel=1e-9)
+            assert r["month_share"] == pytest.approx(w[3], rel=1e-9)
