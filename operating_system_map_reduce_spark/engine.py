@@ -364,60 +364,82 @@ class KVEngine:
         """Reverse migration: replay a reference-format persistence file
         (p3/server/format.h grammar, ALL five tags) into the engine's
         changelogs, exactly the reference's load_file dispatch
-        (p3/server/my_storage.cc:573-702: insert on AUTHAUTH/KVKVKVKV,
-        upsert on AUTHDIFF/KVUPDATE, remove on KVDELETE, in arrival
-        order).  Entries become ordered changelog appends, so
-        latest-seq-wins replay reproduces the sequential apply; a
+        (p3/server/my_storage.cc:573-702) INCLUDING degenerate files the
+        reference would not self-produce: AUTHAUTH/KVKVKVKV go through
+        Map::insert, which FAILS on an existing key (first value wins on
+        a duplicate); AUTHDIFF upserts -- for an unknown user,
+        do_with_readonly leaves the credential locals empty, so the
+        upsert creates an entry with EMPTY salt/pass_hash
+        (my_storage.cc:614-641); KVDELETE frees the key so a later
+        KVKVKVKV insert succeeds.  Presence + credential state is
+        tracked driver-side across the scan (keys and credential bytes
+        only, never values -- the format is one sequential file by
+        design, so the scan itself is inherently driver-side), seeded
+        from the live replay because import appends into an existing
+        log rather than the reference's clear-then-load.  Entries that
+        survive dispatch become ordered changelog appends, so
+        latest-seq-wins replay reproduces the sequential apply.  A
         missing file is success with zero entries (my_storage.cc:574-578
-        treats file-not-found as a fresh start)."""
+        treats file-not-found as a fresh start).  Returns the number of
+        entries READ (failed duplicate inserts are read-and-dropped, as
+        in the reference, but still counted)."""
         from operating_system_map_reduce_spark.sources import binlog as B
 
         if self._auth(user, password) is None:
             return False, codes.RES_ERR_LOGIN, None
         if not os.path.exists(path):
             return True, codes.RES_OK, 0
+        auth_state: dict[str, tuple[bytes, bytes]] = {
+            r["username"]: (bytes(r["salt"]), bytes(r["pass_hash"]))
+            for r in (self.auth_log.replay_cached()
+                      .select("username", "salt", "pass_hash").collect())}
+        kv_present: set[str] = {
+            r["key"]
+            for r in self.kv_log.replay_cached().select("key").collect()}
         n = 0
         auth_rows: list[dict] = []
         kv_rows: list[dict] = []
         for tag, *fields in B.read_entries(path):
+            n += 1
             seq = self._next_seq()
             if tag == B.AUTHENTRY:
                 uname, salt, phash, content = fields
+                u = uname.decode()
+                if u in auth_state:
+                    continue  # Map::insert on an existing key: first wins
+                auth_state[u] = (bytes(salt), bytes(phash))
                 auth_rows.append({
                     "seq": seq, "op": "insert",
-                    "username": uname.decode(), "salt": bytes(salt),
+                    "username": u, "salt": bytes(salt),
                     "pass_hash": bytes(phash), "content": bytes(content)})
             elif tag == B.AUTHDIFF:
                 uname, content = fields
-                # profile-only diff: carry forward the credential columns
-                # from the live replay, as load_file's do_with mutation
-                # touches only the content field.  Flush pending rows
-                # first so the replay sees every prior entry.
-                if auth_rows:
-                    self.auth_log.append(auth_rows)
-                    auth_rows = []
-                cur = (self.auth_log.replay_cached()
-                       .filter(F.col("username") == uname.decode())
-                       .select("salt", "pass_hash").collect())
-                if not cur:
-                    continue  # diff for an unknown user: load_file skips
+                u = uname.decode()
+                # profile-only diff: upsert with carried-forward
+                # credentials; empty bytes when the user is unknown
+                # (my_storage.cc:636-641 upserts the empty locals).
+                salt, phash = auth_state.get(u, (b"", b""))
+                auth_state[u] = (salt, phash)
                 auth_rows.append({
-                    "seq": seq, "op": "update",
-                    "username": uname.decode(),
-                    "salt": bytes(cur[0]["salt"]),
-                    "pass_hash": bytes(cur[0]["pass_hash"]),
+                    "seq": seq, "op": "update", "username": u,
+                    "salt": salt, "pass_hash": phash,
                     "content": bytes(content)})
             elif tag in (B.KVENTRY, B.KVUPDATE):
                 key, val = fields
+                k = key.decode()
+                if tag == B.KVENTRY and k in kv_present:
+                    continue  # Map::insert on an existing key: first wins
+                kv_present.add(k)
                 kv_rows.append({
                     "seq": seq,
                     "op": "insert" if tag == B.KVENTRY else "update",
-                    "key": key.decode(), "value": bytes(val)})
+                    "key": k, "value": bytes(val)})
             elif tag == B.KVDELETE:
                 (key,) = fields
+                k = key.decode()
+                kv_present.discard(k)
                 kv_rows.append({"seq": seq, "op": "delete",
-                                "key": key.decode(), "value": b""})
-            n += 1
+                                "key": k, "value": b""})
         if auth_rows:
             self.auth_log.append(auth_rows)
         if kv_rows:

@@ -721,10 +721,14 @@ def kmeans_centroids(corpus: DataFrame, nlist: int = IVF_NLIST,
     """Deterministic distributed spherical k-means for IVF centroid
     training -- the quality half the lowest-id codebook trades away.
 
-    Lloyd iterations with a fixed count (no data-dependent stopping) and
-    a deterministic init (unit vectors of the ``nlist`` lowest-id rows),
-    so every run on the same data yields the same codebook without any
-    RNG.  Assignment metric is cosine (matching the serving-side probe),
+    Lloyd iterations with a fixed count (no data-dependent stopping), a
+    deterministic init (unit vectors of the ``nlist`` lowest-id rows),
+    and a content-sorted partial reduce, so repeated runs on the same
+    data AND the same input partitioning yield bit-identical codebooks
+    without any RNG.  (Across different partitionings the per-batch
+    partial sums themselves differ, so determinism is per-layout --
+    float summation order changes by ~1 ulp, never cluster quality.)
+    Assignment metric is cosine (matching the serving-side probe),
     so training operates on UNIT vectors and the update step is the
     normalized mean direction of each cell's members.
 
@@ -781,6 +785,11 @@ def kmeans_centroids(corpus: DataFrame, nlist: int = IVF_NLIST,
                 })
 
         partials = src.mapInPandas(partial_batches, partial_schema).collect()
+        # accumulate in a content-sorted order, not collect (= task
+        # completion) order: float addition is non-associative, so an
+        # order-free reduce would make the codebook bits depend on task
+        # scheduling even for identical data + layout.
+        partials.sort(key=lambda r: (r["cell"], r["cnt"], tuple(r["psum"])))
         sums = np.zeros((n_cells, dim), dtype=np.float64)
         counts = np.zeros(n_cells, dtype=np.int64)
         for r in partials:
@@ -894,10 +903,11 @@ def pq_codebooks_trained(corpus: DataFrame, iters: int = 5,
 
     Same distributed-training shape as ``kmeans_centroids``: a fixed
     iteration count, a deterministic init (the PQ_K lowest-id vectors'
-    subvectors, i.e. exactly the untrained codebook), and one map-side
-    Arrow pass per iteration that emits per-batch partial (sum, count)
-    rows for all PQ_M x PQ_K cells at once; only those partials (at most
-    PQ_M*PQ_K rows per batch) reach the driver.  Assignment metric is
+    subvectors, i.e. exactly the untrained codebook), a content-sorted
+    partial reduce (bit-identical per data + input layout), and one
+    map-side Arrow pass per iteration that emits per-batch partial
+    (sum, count) rows for all PQ_M x PQ_K cells at once; only those
+    partials (at most PQ_M*PQ_K rows per batch) reach the driver.  Assignment metric is
     squared L2 per subspace, matching ``pq_codes``' quantizer.
 
     Not oracle-gated; quality is pinned by the distortion-reduction test
@@ -949,6 +959,9 @@ def pq_codebooks_trained(corpus: DataFrame, iters: int = 5,
                 })
 
         partials = src.mapInPandas(partial_batches, partial_schema).collect()
+        # content-sorted accumulation: see kmeans_centroids -- removes
+        # task-completion-order nondeterminism from the float reduce.
+        partials.sort(key=lambda r: (r["slot"], r["cnt"], tuple(r["psum"])))
         sums = np.zeros((PQ_M * n_codes, PQ_SUB), dtype=np.float64)
         counts = np.zeros(PQ_M * n_codes, dtype=np.int64)
         for r in partials:

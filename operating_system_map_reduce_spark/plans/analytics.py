@@ -1139,11 +1139,13 @@ ORDER BY s_nationkey
 # --- orders_above_customer_avg: correlated-subquery face --------------------
 # "Orders above their own customer's average" -- the classic correlated
 # scalar subquery, compiled as a window aggregate (one shuffle on
-# custkey, the subquery never re-executes per row).  Both engines round
-# the price and the per-customer average to 6 decimals before the
-# comparison so an ulp of window-summation-order noise cannot flip a
-# boundary row.  Output: per-mktsegment census with the above-average
-# share.
+# custkey, the subquery never re-executes per row).  The comparison uses
+# an epsilon margin (price - avg > 1e-6), identical in both engines:
+# prices are cent-aligned, so a TRUE above-average gap is at least
+# 1/(100*count) ~ 2e-4, while cross-engine summation-order noise in the
+# average is ~1e-9 -- the margin separates them cleanly.  (Rounding both
+# sides, the previous spelling, cannot: an ulp landing on a .xxxxxx5
+# boundary still flips the rounded value and hence an integer count.)
 
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1153,7 +1155,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey")
     flagged = orders.withColumn(
         "above",
-        F.round("o_totalprice", 6) > F.round(F.avg("o_totalprice").over(w), 6))
+        F.col("o_totalprice") - F.avg("o_totalprice").over(w) > F.lit(1e-6))
     return (
         flagged.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
@@ -1171,8 +1173,8 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_ABOVE_AVG_SQL = """
 WITH flagged AS (
   SELECT o_custkey,
-         ROUND(o_totalprice, 6) >
-           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS above
+         o_totalprice -
+           AVG(o_totalprice) OVER (PARTITION BY o_custkey) > 1e-6 AS above
   FROM orders
 )
 SELECT c_mktsegment,

@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a directory so renames INTO it are durable, not just the
+    renamed bytes.  POSIX: rename persistence requires fsyncing the
+    containing directory; data-file fsync alone leaves the new directory
+    entry in the page cache."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class ChangeLog:
     def __init__(self, spark: SparkSession, root: str, schema: StructType,
                  key_col: str, seq_col: str = "seq", op_col: str = "op"):
@@ -65,7 +77,10 @@ class ChangeLog:
 
     def append(self, rows: list[dict]) -> None:
         """Durably append one batch of log records (fsync'd, mirroring the
-        reference's fsync-before-reply at p4/server/my_storage.cc:230-231)."""
+        reference's fsync-before-reply at p4/server/my_storage.cc:230-231).
+        The log DIRECTORY is fsync'd after the rename: data fsync alone
+        leaves the new directory entry volatile, so a crash after rename
+        could otherwise lose the append despite the durable bytes."""
         if not rows:
             return
         cols = {f.name: [r.get(f.name) for r in rows] for f in self.schema.fields}
@@ -76,6 +91,7 @@ class ChangeLog:
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
         os.rename(tmp, path)
+        fsync_dir(self.log_dir)
 
     # -- read path ---------------------------------------------------------
 

@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from operating_system_map_reduce_spark.sources.changelog import ChangeLog
+from operating_system_map_reduce_spark.sources.changelog import ChangeLog, fsync_dir
 
 
 class ChangelogCDC:
@@ -114,6 +114,7 @@ class ChangelogStreamSink:
         cols = [f.name for f in self.log.schema.fields]
         tmp = os.path.join(self.log.root, f"ingest.tmp-{uuid.uuid4().hex[:8]}")
         batch.select(*cols).write.mode("overwrite").parquet(tmp)
+        renamed = False
         for i, name in enumerate(sorted(os.listdir(tmp))):
             if not name.endswith(".parquet"):
                 continue
@@ -124,6 +125,12 @@ class ChangelogStreamSink:
                 self.log.log_dir,
                 f"batch-stream-{batch_id:012d}-{i:04d}-{uuid.uuid4().hex[:8]}.parquet")
             os.rename(src, dst)
+            renamed = True
+        if renamed:
+            # make the renames themselves durable: without a directory
+            # fsync a crash here can lose the new directory entries even
+            # though the part-file bytes were fsync'd above.
+            fsync_dir(self.log.log_dir)
         shutil.rmtree(tmp)
 
     def ingest_available(self, stream: DataFrame) -> None:

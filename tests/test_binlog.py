@@ -218,3 +218,53 @@ class TestReferenceImport:
         ok, code, n = eng.import_reference_file(
             "admin", "pw", str(tmp_path / "nope.dir"))
         assert (ok, code, n) == (True, codes.RES_OK, 0)
+
+    def test_import_degenerate_files_mirror_load_file(self, spark, tmp_path):
+        """Files the reference would not self-produce still dispatch with
+        load_file's exact semantics (my_storage.cc:573-702): duplicate
+        AUTHAUTH/KVKVKVKV go through Map::insert and FAIL (first value
+        wins); an AUTHDIFF for an unknown user upserts an entry with
+        EMPTY salt/pass_hash (do_with_readonly leaves the locals empty,
+        my_storage.cc:636-641); KVDELETE frees the key for a later
+        insert."""
+        import hashlib
+        import secrets
+
+        from operating_system_map_reduce_spark import codes
+        from operating_system_map_reduce_spark.engine import KVEngine
+        from pyspark.sql import functions as F
+
+        salt1 = secrets.token_bytes(16)
+        phash1 = hashlib.sha256(b"first" + salt1).digest()
+        salt2 = secrets.token_bytes(16)
+        phash2 = hashlib.sha256(b"second" + salt2).digest()
+        path = str(tmp_path / "degenerate.dir")
+        B.write_entries(path, [
+            (B.AUTHENTRY, b"carol", salt1, phash1, b"profile one"),
+            (B.AUTHENTRY, b"carol", salt2, phash2, b"profile two"),  # insert fails
+            (B.AUTHDIFF, b"ghost", b"spooky profile"),  # unknown: empty creds
+            (B.KVENTRY, b"k1", b"first"),
+            (B.KVENTRY, b"k1", b"second"),               # insert fails
+            (B.KVENTRY, b"k2", b"temp"),
+            (B.KVDELETE, b"k2"),
+            (B.KVENTRY, b"k2", b"reborn"),               # delete freed the key
+            (B.KVENTRY, b"live", b"from-file"),          # insert fails: pre-existing
+        ])
+        eng = KVEngine(spark, str(tmp_path / "data"))
+        assert eng.add_user("admin", "pw")[1] == codes.RES_OK
+        assert eng.kv_insert("admin", "pw", "live", b"pre-import")[1] == codes.RES_OK
+        ok, code, n = eng.import_reference_file("admin", "pw", path)
+        assert (ok, code, n) == (True, codes.RES_OK, 9)
+        # first AUTHENTRY won: carol logs in with pw "first", profile one
+        assert eng.kv_get("carol", "first", "k1")[2] == b"first"
+        assert eng.kv_get("carol", "second", "k1")[1] == codes.RES_ERR_LOGIN
+        assert eng.get_user_data("admin", "pw", "carol")[2] == b"profile one"
+        # unknown-user AUTHDIFF created an empty-credential entry
+        ghost = (eng.auth_df().filter(F.col("username") == "ghost")
+                 .select("salt", "pass_hash", "content").collect())
+        assert len(ghost) == 1
+        assert bytes(ghost[0]["salt"]) == b"" and bytes(ghost[0]["pass_hash"]) == b""
+        assert eng.get_user_data("admin", "pw", "ghost")[2] == b"spooky profile"
+        # delete-then-insert reuses the key; pre-existing live key kept
+        assert eng.kv_get("admin", "pw", "k2")[2] == b"reborn"
+        assert eng.kv_get("admin", "pw", "live")[2] == b"pre-import"
