@@ -51,11 +51,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # [first, last] extent explodes to 87k rows).  ``max_span_hours`` caps
 # the grid to the most recent N hours per user (retention-window
 # semantics: h0 is clamped to h1 - (N-1) hours; observations older than
-# the clamped start simply fall outside the grid).  Default None keeps
-# the exact unbounded oracle semantics for the driver gate; a real
-# deployment configures the cap.
+# the clamped start simply fall outside the grid, so LOCF never carries
+# a value in from beyond the window).  Round-7: the oracled/registered
+# query runs WITH the cap (GAP_FILL_SPAN_HOURS = 168, one week) and the
+# oracle SQL mirrors the clamp -- the configuration that survives a
+# 100 TB replay is the one the gate verifies.  ``max_span_hours=None``
+# remains available for the exact unbounded semantics.
 
 _GF_H = 3_600_000_000  # 1 hour in microseconds
+GAP_FILL_SPAN_HOURS = 168  # verified retention window: 7 days of hours
 
 
 def _gap_fill_census(ev: DataFrame, max_span_hours: int | None = None) -> DataFrame:
@@ -97,7 +101,7 @@ def _gap_fill_census(ev: DataFrame, max_span_hours: int | None = None) -> DataFr
 
 
 def events_gap_fill(spark: SparkSession, sf_dir: str,
-                    max_span_hours: int | None = None) -> DataFrame:
+                    max_span_hours: int | None = GAP_FILL_SPAN_HOURS) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "value")
     return _gap_fill_census(ev, max_span_hours)
 
@@ -113,7 +117,12 @@ WITH e AS (
     FROM e
   ) WHERE rn = 1
 ), span AS (
-  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id
+  -- same 168-hour retention clamp as the Spark plan: the grid covers at
+  -- most the most recent week per user
+  SELECT user_id,
+         GREATEST(MIN(h), MAX(h) - {(GAP_FILL_SPAN_HOURS - 1) * _GF_H}) AS h0,
+         MAX(h) AS h1
+  FROM obs GROUP BY user_id
 ), grid AS (
   SELECT user_id, unnest(generate_series(h0, h1, {_GF_H})) AS h FROM span
 ), filled AS (

@@ -31,7 +31,13 @@ HOUR_US = 3_600_000_000
 
 class TestGapFillDifferential:
     def test_matches_pandas_locf(self, spark, sf_dir):
-        from operating_system_map_reduce_spark.plans.mining import events_gap_fill
+        """Differential for the REGISTERED (168-hour-capped) face: the
+        pandas model mirrors the retention clamp -- grid anchored at the
+        last observed hour, observations older than the window dropped
+        before LOCF."""
+        from operating_system_map_reduce_spark.plans.mining import (
+            GAP_FILL_SPAN_HOURS, events_gap_fill,
+        )
 
         got = {r["user_id"]: r for r in
                events_gap_fill(spark, sf_dir).collect()}
@@ -40,6 +46,31 @@ class TestGapFillDifferential:
         pdf["h"] = pdf["ts_us"] - pdf["ts_us"] % HOUR_US
         for uid, g in pdf.groupby("user_id"):
             # last observed value per hour: (ts, event_id) order
+            g = g.sort_values(["ts_us", "event_id"])
+            lv = g.groupby("h")["value"].last()
+            h1 = int(lv.index.max())
+            h0 = max(int(lv.index.min()),
+                     h1 - (GAP_FILL_SPAN_HOURS - 1) * HOUR_US)
+            lv = lv[lv.index >= h0]
+            grid = range(h0, h1 + 1, HOUR_US)
+            filled = lv.reindex(grid).ffill()
+            row = got[uid]
+            assert row["n_hours"] == len(filled)
+            assert row["n_observed"] == lv.size
+            assert row["n_filled"] == len(filled) - lv.size
+            assert row["sum_value_locf"] == pytest.approx(
+                round(filled.sum(), 6), abs=2e-6)
+
+    def test_unbounded_matches_pandas_locf(self, spark, sf_dir):
+        """max_span_hours=None keeps the exact unbounded semantics."""
+        from operating_system_map_reduce_spark.plans.mining import events_gap_fill
+
+        got = {r["user_id"]: r for r in
+               events_gap_fill(spark, sf_dir, max_span_hours=None).collect()}
+
+        pdf = _events_pdf(sf_dir)
+        pdf["h"] = pdf["ts_us"] - pdf["ts_us"] % HOUR_US
+        for uid, g in pdf.groupby("user_id"):
             g = g.sort_values(["ts_us", "event_id"])
             lv = g.groupby("h")["value"].last()
             grid = range(int(lv.index.min()), int(lv.index.max()) + 1, HOUR_US)
@@ -52,8 +83,9 @@ class TestGapFillDifferential:
                 round(filled.sum(), 6), abs=2e-6)
 
     def test_first_grid_hour_always_observed(self, spark, sf_dir):
-        """The grid starts at each user's first observed hour, so LOCF
-        never leaves a null (no leading gap)."""
+        """Each user's LAST grid hour is observed by construction, so
+        LOCF always produces at least one non-null value (the clamp can
+        leave leading nulls, never an all-null user)."""
         from operating_system_map_reduce_spark.plans.mining import events_gap_fill
 
         for r in events_gap_fill(spark, sf_dir).collect():
