@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line (<1,900 chars so the driver's 2,000-char stdout tail
 always contains it): {"metric", "value": total_sec, "unit": "sec", "sf",
@@ -219,14 +219,28 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    # Full-registry coverage (round 7): EVERY registered query is benched
+    # -- silent bench non-coverage is how a regression hides.  HEADLINE
+    # keeps its historical order so round-over-round per-query deltas
+    # stay comparable; queries registered since are appended sorted.
+    # A HEADLINE name missing from the registry is a drift bug, not a
+    # skip.
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    bench_list = HEADLINE + sorted(set(qs) - set(HEADLINE))
+
     timings: dict[str, float] = {}
+    warmups: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
-        if name not in qs:
-            continue
+    for name in bench_list:
         # untimed warm-up at the target SF compiles this query's
-        # AQE-shaped codegen and boots its Python workers
+        # AQE-shaped codegen and boots its Python workers.  Warm-up
+        # wall time is recorded in the detail file (it is where
+        # once-per-corpus costs land, e.g. similarity_ivfpq_trained's
+        # codebook training) but excluded from the steady-state total.
+        t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warmups[name] = round(time.perf_counter() - t0, 4)
         # the warm-up must NOT pre-pay data-proportional work: drop
         # memoized table statistics so the timed run includes every
         # pass of the plan (the decile quantile sketch + bucket counts
@@ -261,6 +275,7 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "queries": timings,
+            "warmup_sec": warmups,
             "kv_mix": mix,
         }, fh, indent=1, sort_keys=True)
 

@@ -27,87 +27,106 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
-    # Rotation policy: the driver's correctness gate checks the FIRST 50
-    # entries in insertion order; the registry holds more.  Window
+    # Rotation policy (codified round 7 -- the window has a CLOCK, not
+    # just an ordering).  The driver's correctness gate checks the FIRST
+    # 50 entries in insertion order; the registry holds more.  Window
     # selection each round, in priority order:
-    #   1. queries that have NEVER had a driver correctness row
-    #      (new additions) take the front of the window;
-    #   2. remaining slots refresh OLDEST-newest-row-first, so no
-    #      registered query's newest green driver row falls more than two
-    #      rounds behind HEAD (round-3 incident: local-green and
-    #      driver-green can diverge after refactors).
-    # Entries outside the window stay registered and stay covered by
-    # tests/test_oracle_parity.py, which runs ALL entries against the
+    #   1. queries that have NEVER had a driver correctness row (new
+    #      additions) take the front of the window;
+    #   2. queries whose PLAN OR ORACLE CHANGED since their newest green
+    #      row re-enter regardless of age (a green row for old semantics
+    #      verifies nothing);
+    #   3. remaining slots refresh OLDEST-newest-row-first.
+    # Hard ceiling: no registered query's newest green driver row may be
+    # more than TWO rounds behind HEAD at judge time (round-3 incident:
+    # local-green and driver-green can diverge after refactors).  A
+    # query whose newest row is exactly two rounds old MUST therefore be
+    # in the CURRENT window.  Clock arithmetic: with N registered
+    # queries and a 50-slot window the refresh cycle is ceil(N/50)
+    # rounds, so the ceiling is satisfiable while N <= 150; growing the
+    # registry past 150 requires widening the window or splitting the
+    # gate.  Entries outside the window stay registered and stay covered
+    # by tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 6: the seven new (never-checked) queries lead, then pure
-    # staleness refresh: the nine r3-newest-row queries (two rounds
-    # stale), then 34 of the 42 r4-newest-row queries.  Deferred to
-    # round 7 (plans unchanged since r4, each with coverage beyond the
-    # local oracle): `split_assign`, `sample_stratified`,
-    # `sketch_distinct_tokens`, `contamination_check`
-    # (test_curation.py differentials), `mr_odd_key_vals` (KMR
-    # byte-parity goldens in test_mapreduce.py), `kv_aes_at_rest`
-    # (crypto roundtrip in test_kv_engine.py),
-    # `pipeline_corpus_curation` (a composition of stages each oracled
-    # individually in-window or recently), `similarity_ivf_knn`
-    # (superseded in-window by ivf_search/ivfpq_search; recall pins in
-    # test_mining_ops.py).  The 50 r5-green entries rotate out for one
-    # round.
+    # Round 7 (registry 110): the two new queries lead
+    # (fuzzy_match_symspell -- the linear SymSpell fuzzy path, now under
+    # the hard gate; similarity_ivfpq_trained -- rows-only, no SQL
+    # oracle by design); two r6-green queries re-enter under rule 2:
+    # orders_above_customer_avg (comparison changed to the epsilon
+    # margin) and similarity_cosine_topk (exact path re-planned from
+    # the n^2 pair join to blocked per-group top-k); then the eight
+    # r4-stale queries (exactly at the ceiling -- mr_odd_key_vals
+    # first, its last row predates two rounds of confinement/engine
+    # rewrites); then 38 of the 50 r5-green entries oldest-first,
+    # including events_gap_fill (plan changed: 168 h clamp) and the
+    # reference-semantics-bearing streaming faces
+    # stream_quota_admission / stream_mru_types.  Deferred to round 8,
+    # where they MUST lead (newest row r5 = two rounds old at r7 judge
+    # time), chosen for the strongest non-driver coverage:
+    # kv_mix_ops (benched microbench), dedup_span_exact (property
+    # tests), zorder_cluster_stats (envelope pins), pack_sequences,
+    # embedding_quantize, sample_weighted, token_bpe_pretokenize
+    # (bpe_merge_pairs r6-green covers the family), doc_length_quantiles
+    # (quantile differentials), profile_orders, events_type_unpivot
+    # (pivot face in-window), interval_overlap_errors (temporal-op
+    # differentials), events_ohlc (events family has seven other
+    # in-window faces).
     window = [
-        # -- new in round 6 (never driver-checked) --------------------
-        "bpe_merge_pairs",
-        "nation_rolling_revenue",
-        "stream_click_purchase_join",
-        "supplier_brand_division",
+        # -- new in round 7 (never driver-checked) --------------------
+        "fuzzy_match_symspell",
+        "similarity_ivfpq_trained",
+        # -- redefined in round 7 (epsilon compare; blocked exact knn) -
         "orders_above_customer_avg",
-        "doc_chunk_windows",
-        "orders_grouping_sets",
-        # -- r3-stale (newest driver row: round 3) --------------------
-        "orders_rollup",
-        "customer_order_coverage",
-        "q4_order_priority",
-        "inactive_customers_by_nation",
-        "brand_supplier_breadth",
-        "repeat_buyer_setops",
-        "skew_salted_distinct",
-        "all_users_fold",
-        "multimodal_resize",
-        # -- r4-aged (newest driver row: round 4) ---------------------
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "top_customers_window",
-        "events_sessionize",
-        "events_json_extract",
-        "asof_click_attribution",
-        "range_join_prior_activity",
-        "kv_get_point",
-        "kv_all_keys",
-        "kv_insert_guarded",
-        "kv_upsert_classify",
-        "changelog_replay",
-        "kv_top_mru",
-        "quota_sliding_window",
-        "auth_hash_users",
-        "dedup_exact",
-        "text_quality",
-        "token_count",
-        "text_lang_id",
-        "doc_fingerprint",
-        "text_repetition",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
         "similarity_cosine_topk",
-        "similarity_lsh_buckets",
-        "multimodal_metadata",
-        "similarity_lsh_knn",
-        "dedup_embedding_cosine",
-        "fn_registry_doc_stats",
-        "multimodal_frame_sample",
-        "multimodal_features",
-        "text_tfidf_top_terms",
+        # -- r4-stale (newest driver row: round 4; at the ceiling) ----
+        "mr_odd_key_vals",
+        "contamination_check",
+        "kv_aes_at_rest",
+        "pipeline_corpus_curation",
+        "sample_stratified",
+        "similarity_ivf_knn",
+        "sketch_distinct_tokens",
+        "split_assign",
+        # -- r5-aged refresh, oldest-first (39 of 50) -----------------
+        "events_gap_fill",          # plan changed round 7: 168 h clamp
+        "stream_quota_admission",
+        "stream_mru_types",
+        "fuzzy_part_match",
+        "basket_part_pairs",
+        "bucketed_segment_revenue",
+        "corpus_novelty_filter",
+        "dedup_clusters",
+        "dedup_containment",
+        "dedup_graph_triangles",
+        "dedup_jaccard_ppjoin",
+        "dedup_purge_canonical",
+        "domain_mix_sample",
+        "embedding_label_centroids",
+        "embedding_pq_codes",
+        "events_anomaly_mad",
+        "events_cube_summary",
+        "events_funnel",
+        "events_markov_transitions",
+        "events_retention_cohorts",
+        "events_type_pivot",
+        "events_user_paths",
+        "lm_unigram_score",
+        "order_value_deciles",
+        "orders_customer_reconcile",
+        "orders_monthly_growth",
+        "pagerank_neardup",
+        "q6_forecast_revenue",
+        "quality_filter_composite",
+        "similarity_ivf_search",
+        "similarity_ivfpq_search",
+        "stream_dedup_first_seen",
+        "stream_enrich_revenue",
+        "stream_session_counts",
+        "stream_topk_trending",
+        "stream_windowed_counts",
+        "text_pii_scrub",
+        "tokens_pmi_bigrams",
     ]
     ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})

@@ -805,6 +805,77 @@ ORDER BY p_brand, noun
 """
 
 
+# --- fuzzy_match_symspell: the LINEAR fuzzy path, gate-verified -------------
+# The SymSpell deletion-neighborhood matcher as a first-class oracled
+# query (round-7): this is the plan you actually run at 100 TB when a
+# (brand, noun) block is hot with same-length names -- candidates come
+# from an equi-join on shared single-deletion keys (L+1 keys per name,
+# every stage linear in input + true-match density), never from pairing
+# a block.  Its output contract is its OWN census, not the banded
+# query's: per block, the number of DISTINCT candidate pairs the key
+# join surfaces (n_candidates -- deliberately exposed so the gate pins
+# the candidate generation, not just the verified matches) plus the
+# levenshtein-verified identical/one-edit counts.  Blocks with no
+# verified match are dropped, so the result stays match-bounded.
+# n_identical/n_one_edit equal fuzzy_part_match's on every block the
+# two queries share (deletion keys are a complete cover for d <= 1);
+# n_candidates is the SymSpell join's, pinned <10% of the banded
+# count on hot blocks in tests/test_mining_ops.py.
+
+def fuzzy_match_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    p = part.withColumn("noun", F.regexp_extract("p_name", "[a-z]+$", 0))
+    cand = deletion_neighborhood_pairs(p).withColumn(
+        "d", F.levenshtein("name_a", "name_b"))
+    return (
+        cand.groupBy("p_brand", "noun")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("d") == 0, 1)).alias("n_identical"),
+            F.count(F.when(F.col("d") == 1, 1)).alias("n_one_edit"),
+        )
+        .filter(F.col("n_identical") + F.col("n_one_edit") > 0)
+        .orderBy("p_brand", "noun")
+    )
+
+
+FUZZY_SYMSPELL_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand,
+         regexp_extract(p_name, '[a-z]+$') AS noun
+  FROM part
+), keyed AS (
+  -- each name emits itself plus every single-character deletion,
+  -- deduplicated ('aab' produces 'ab' twice)
+  SELECT DISTINCT p_brand, noun, p_partkey, p_name, nkey FROM (
+    SELECT p_brand, noun, p_partkey, p_name, p_name AS nkey FROM p
+    UNION ALL
+    SELECT p_brand, noun, p_partkey, p_name,
+           substring(p_name, 1, i - 1) ||
+           substring(p_name, i + 1, len(p_name)) AS nkey
+    FROM (SELECT *, UNNEST(generate_series(1, len(p_name))) AS i FROM p)
+  )
+), cand AS (
+  SELECT DISTINCT a.p_brand, a.noun,
+         a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_name AS name_a, b.p_name AS name_b
+  FROM keyed a JOIN keyed b
+    ON a.p_brand = b.p_brand AND a.noun = b.noun AND a.nkey = b.nkey
+   AND a.p_partkey < b.p_partkey
+)
+SELECT p_brand, noun, COUNT(*) AS n_candidates,
+       COUNT(CASE WHEN levenshtein(name_a, name_b) = 0 THEN 1 END)
+         AS n_identical,
+       COUNT(CASE WHEN levenshtein(name_a, name_b) = 1 THEN 1 END)
+         AS n_one_edit
+FROM cand
+GROUP BY p_brand, noun
+HAVING COUNT(CASE WHEN levenshtein(name_a, name_b) = 0 THEN 1 END)
+     + COUNT(CASE WHEN levenshtein(name_a, name_b) = 1 THEN 1 END) > 0
+ORDER BY p_brand, noun
+"""
+
+
 # --- interval_overlap_errors: interval-interval overlap join face ---------
 # Which error bursts landed inside an active browsing session?  Both
 # interval sets derive from the same gaps-and-islands sessionization
@@ -1146,6 +1217,7 @@ QUERIES = {
     "interval_overlap_errors": interval_overlap_errors,
     "embedding_label_centroids": embedding_label_centroids,
     "fuzzy_part_match": fuzzy_part_match,
+    "fuzzy_match_symspell": fuzzy_match_symspell,
     "dedup_graph_triangles": dedup_graph_triangles,
     "token_bpe_pretokenize": token_bpe_pretokenize,
     "bpe_merge_pairs": bpe_merge_pairs,
@@ -1166,6 +1238,7 @@ ORACLES = {
     "interval_overlap_errors": INTERVAL_OVERLAP_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "fuzzy_part_match": FUZZY_PART_SQL,
+    "fuzzy_match_symspell": FUZZY_SYMSPELL_SQL,
     "dedup_graph_triangles": DEDUP_TRIANGLES_SQL,
     "token_bpe_pretokenize": TOKEN_BPE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,

@@ -113,35 +113,50 @@ class TestRegistryWindow:
     entries; the rotation policy promises every never-driver-checked
     query a seat inside that window."""
 
-    # Round-6 policy: never-checked first, then oldest-newest-row-first
-    NEVER_CHECKED_THROUGH_R5 = [
-        "bpe_merge_pairs", "nation_rolling_revenue",  # new in round 6
-        "stream_click_purchase_join",  # new in round 6
-        "supplier_brand_division", "orders_above_customer_avg",  # round 6
-        "doc_chunk_windows", "orders_grouping_sets",  # new in round 6
+    # Round-7 policy: never-checked first, then changed-definition
+    # re-entries, then oldest-newest-row-first; hard ceiling = newest
+    # green row at most two rounds behind HEAD at judge time.
+    NEVER_CHECKED_THROUGH_R6 = [
+        "fuzzy_match_symspell",        # new in round 7
+        "similarity_ivfpq_trained",    # new in round 7 (rows-only)
     ]
-    R3_STALE = [
-        "orders_rollup", "customer_order_coverage", "q4_order_priority",
-        "inactive_customers_by_nation", "brand_supplier_breadth",
-        "repeat_buyer_setops", "skew_salted_distinct", "all_users_fold",
-        "multimodal_resize",
+    REDEFINED_IN_R7 = [
+        "orders_above_customer_avg",   # epsilon compare
+        "events_gap_fill",             # 168 h retention clamp
+        "similarity_cosine_topk",      # blocked exact-knn plan
+    ]
+    R4_STALE = [
+        "mr_odd_key_vals", "contamination_check", "kv_aes_at_rest",
+        "pipeline_corpus_curation", "sample_stratified",
+        "similarity_ivf_knn", "sketch_distinct_tokens", "split_assign",
+    ]
+    STREAMING_SEMANTICS_FACES = [
+        "stream_quota_admission", "stream_mru_types",
     ]
 
     def test_never_checked_queries_inside_gate_window(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.NEVER_CHECKED_THROUGH_R5
+        missing = [n for n in self.NEVER_CHECKED_THROUGH_R6
                    if n not in window]
         assert not missing, f"outside the 50-entry gate window: {missing}"
 
+    def test_redefined_queries_reenter_the_window(self):
+        window = list(_QUERIES)[:50]
+        missing = [n for n in self.REDEFINED_IN_R7 if n not in window]
+        assert not missing, f"redefined queries missing a re-check: {missing}"
+
     def test_stalest_queries_lead_the_refresh(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.R3_STALE if n not in window]
-        assert not missing, f"r3-stale queries missing a refresh seat: {missing}"
+        missing = [n for n in self.R4_STALE + self.STREAMING_SEMANTICS_FACES
+                   if n not in window]
+        assert not missing, f"at-ceiling queries missing a refresh seat: {missing}"
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 108
+        assert len(_QUERIES) == len(set(_QUERIES)) == 110
         assert set(oracles) <= set(_QUERIES)
+        # the only oracle-less entries are the documented non-SQL ops
+        assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
 
 
 class TestRound5PlanShapes:

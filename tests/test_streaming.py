@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import functions as F
 
 from operating_system_map_reduce_spark.operators.quota import QuotaTracker
@@ -304,6 +305,94 @@ class TestStreamStreamJoin:
         # the progress report names the stateful operator
         ops = [op["operatorName"] for op in last["stateOperators"]]
         assert "symmetricHashJoin" in ops, ops
+
+
+class TestSinkCrashRecovery:
+    def test_replayed_batch_after_crash_is_idempotent(self, spark, tmp_path):
+        """Kill-and-restart through the crash window that matters: the
+        sink wrote a batch's part-files into the log but the checkpoint
+        COMMIT never landed (a crash injected inside foreachBatch right
+        after the sink write -- Spark WALs offsets BEFORE the batch and
+        commits AFTER, so this is exactly the torn state a real kill
+        leaves).  The restarted stream re-processes that batch and
+        writes the same records again.  Replay must equal the
+        no-failure result -- latest-seq-per-key dedup absorbs the
+        duplicate -- and the raw log must show the overlap actually
+        happened (the test would prove nothing if the re-run were
+        skipped)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from operating_system_map_reduce_spark.engine import KV_SCHEMA
+        from operating_system_map_reduce_spark.sources.changelog import ChangeLog
+        from operating_system_map_reduce_spark.streaming.changelog_cdc import (
+            ChangelogStreamSink,
+        )
+
+        def rec(seq, op, key, value=b""):
+            return {"seq": seq, "op": op, "key": key, "value": value}
+
+        def snap(df):
+            return sorted((r["key"], bytes(r["value"])) for r in
+                          df.select("key", "value").collect())
+
+        muts1 = [rec(i, "insert", f"k{i}", str(i).encode()) for i in range(1, 6)]
+        muts2 = [rec(6, "update", "k2", b"two"), rec(7, "delete", "k3")]
+
+        ref = ChangeLog(spark, str(tmp_path / "ref"), KV_SCHEMA, key_col="key")
+        ref.append(muts1)
+        ref.append(muts2)
+
+        src_dir = tmp_path / "mutations"
+        src_dir.mkdir()
+
+        def emit(name, rows):
+            pq.write_table(pa.table(
+                {k: [r[k] for r in rows] for k in ("seq", "op", "key", "value")},
+                schema=pa.schema([pa.field("seq", pa.int64()),
+                                  pa.field("op", pa.string()),
+                                  pa.field("key", pa.string()),
+                                  pa.field("value", pa.binary())])),
+                str(src_dir / name))
+
+        emit("m1.parquet", muts1)
+        log = ChangeLog(spark, str(tmp_path / "kv"), KV_SCHEMA, key_col="key")
+        sink = ChangelogStreamSink(log)
+        real_sink_batch = sink._sink_batch
+        wrote = {"n": 0}
+
+        def crash_after_write(batch, batch_id):
+            real_sink_batch(batch, batch_id)
+            wrote["n"] += 1
+            raise RuntimeError("injected crash: sink wrote, commit pending")
+
+        sink._sink_batch = crash_after_write
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException):
+            sink.ingest_available(
+                spark.readStream.schema(KV_SCHEMA).parquet(str(src_dir)))
+        assert wrote["n"] == 1, "crash must fire after the sink write"
+        assert log.raw().count() == len(muts1)  # torn: data in, no commit
+
+        # restart with a FRESH sink object on the same checkpoint -- the
+        # uncommitted batch replays, then the new wave processes
+        emit("m2.parquet", muts2)
+        sink2 = ChangelogStreamSink(log)
+        sink2.ingest_available(
+            spark.readStream.schema(KV_SCHEMA).parquet(str(src_dir)))
+
+        # the uncommitted batch really was re-processed: its records
+        # appear twice in the raw log
+        assert log.raw().count() == 2 * len(muts1) + len(muts2)
+        # ...and replay equals the no-failure result regardless
+        assert snap(log.replay()) == snap(ref.replay())
+        got = snap(log.replay())
+        assert ("k2", b"two") in got and all(k != "k3" for k, _ in got)
+
+        # compaction after recovery also matches
+        log.compact()
+        assert snap(log.replay()) == snap(ref.replay())
 
 
 class TestSinkToCdcPipeline:
