@@ -577,6 +577,71 @@ def ivf_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     return _ranked_topk(scored, k)
 
 
+def semantic_dedup_manifest(emb: DataFrame, threshold: float = 0.40,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 -- public method): cluster the embedding space,
+    then inside each cluster mark as a DUPLICATE every vector whose
+    cosine to a LOWER-id cluster-mate reaches the threshold; the
+    lowest-id member of each semantic neighborhood survives.  Returns
+    the purge manifest: (vec_id, keeper_id, cosine) where keeper_id is
+    the LOWEST-id in-cluster neighbor at or above the threshold (a
+    deterministic survivor rule, like dedup_purge_canonical's).
+
+    Scale shape: the cluster assignment is the IVF home-cell pass
+    (map-side, centroid table broadcast into the Arrow stage), the only
+    shuffle keys on cell, the quadratic scoring happens in-numpy inside
+    each cell with chunked left-to-right folds (bit-identical to the
+    SQL aggregate), and only manifest rows leave a cell -- the pair
+    space is bounded by sum-over-cells(|cell|^2), never corpus^2,
+    which is the entire point of clustering first (SemDeDup section 3).
+    The oracled face uses the deterministic lowest-id codebook so DuckDB
+    reproduces the identical cells; a production run swaps in
+    kmeans_centroids codebooks (same serving shape, rows-only check --
+    the similarity_ivfpq_trained precedent)."""
+    import pandas as pd
+
+    members = ivf_members(emb, id_col, vec_col, nprobe=1)
+
+    def cell_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"vec_id": ids[:0], "keeper_id": ids[:0],
+                                 "cosine": np.empty(0, dtype=np.float64)})
+        E = _stack(pdf["__vec"])
+        nrm = pdf["__nrm"].to_numpy()
+        d_out, k_out, c_out = [], [], []
+        for s, cos in _chunked_cosines(E, E, nrm, nrm):
+            for local in range(cos.shape[0]):
+                g = s + local          # global row index = id rank asc
+                if g == 0:
+                    continue
+                hits = np.nonzero(cos[local, :g] >= threshold)[0]
+                if hits.size:
+                    j = int(hits[0])   # lowest-id qualifying neighbor
+                    d_out.append(ids[g])
+                    k_out.append(ids[j])
+                    c_out.append(cos[local, j])
+        return pd.DataFrame({
+            "vec_id": np.asarray(d_out, dtype=ids.dtype),
+            "keeper_id": np.asarray(k_out, dtype=ids.dtype),
+            "cosine": np.asarray(c_out, dtype=np.float64),
+        })
+
+    id_type = members.schema["__id"].dataType
+    schema = StructType([
+        StructField("vec_id", id_type), StructField("keeper_id", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+    return (
+        members.groupBy("cell").applyInPandas(cell_fn, schema)
+        .select("vec_id", "keeper_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_knn(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k cosine via multi-table hyperplane LSH.

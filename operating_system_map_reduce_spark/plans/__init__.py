@@ -49,16 +49,18 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # by tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 7 (registry 110): the two new queries lead
+    # Round 7 (registry 111): the three new queries lead
     # (fuzzy_match_symspell -- the linear SymSpell fuzzy path, now under
     # the hard gate; similarity_ivfpq_trained -- rows-only, no SQL
-    # oracle by design); two r6-green queries re-enter under rule 2:
+    # oracle by design; dedup_semantic -- the SemDeDup
+    # cluster-then-purge manifest); two r6-green queries re-enter under
+    # rule 2:
     # orders_above_customer_avg (comparison changed to the epsilon
     # margin) and similarity_cosine_topk (exact path re-planned from
     # the n^2 pair join to blocked per-group top-k); then the eight
     # r4-stale queries (exactly at the ceiling -- mr_odd_key_vals
     # first, its last row predates two rounds of confinement/engine
-    # rewrites); then 38 of the 50 r5-green entries oldest-first,
+    # rewrites); then 37 of the 50 r5-green entries oldest-first,
     # including events_gap_fill (plan changed: 168 h clamp) and the
     # reference-semantics-bearing streaming faces
     # stream_quota_admission / stream_mru_types.  Deferred to round 8,
@@ -71,11 +73,13 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # (quantile differentials), profile_orders, events_type_unpivot
     # (pivot face in-window), interval_overlap_errors (temporal-op
     # differentials), events_ohlc (events family has seven other
-    # in-window faces).
+    # in-window faces), q6_forecast_revenue (pushdown/pruning asserted
+    # at the plan level in tests/test_plans.py).
     window = [
         # -- new in round 7 (never driver-checked) --------------------
         "fuzzy_match_symspell",
         "similarity_ivfpq_trained",
+        "dedup_semantic",
         # -- redefined in round 7 (epsilon compare; blocked exact knn) -
         "orders_above_customer_avg",
         "similarity_cosine_topk",
@@ -116,7 +120,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "orders_customer_reconcile",
         "orders_monthly_growth",
         "pagerank_neardup",
-        "q6_forecast_revenue",
         "quality_filter_composite",
         "similarity_ivf_search",
         "similarity_ivfpq_search",

@@ -870,6 +870,71 @@ QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
 ORACLES["dedup_embedding_cosine"] = DEDUP_EMBEDDING_SQL
 
 
+# --- SemDeDup: cluster-then-dedup semantic near-duplicate purge -------------
+# The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+# the embedding space, then inside each cluster drop every vector
+# within cosine >= t of a lower-id cluster-mate -- the lowest-id
+# member of each semantic neighborhood survives.  Differs from
+# dedup_embedding_cosine (LSH-candidate PAIR listing) in both candidate
+# structure (k-means-style cells, the shape that bounds pair space at
+# corpus scale) and output contract (a purge MANIFEST with a
+# deterministic survivor per duplicate, like dedup_purge_canonical).
+# The oracle reproduces the identical home-cell assignment from the
+# lowest-id codebook and the identical left-to-right cosine folds.
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup_manifest(emb, threshold=0.40).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    dim = _sim.DIM
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    cdot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    pdot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(an.embedding[i] AS DOUBLE) * CAST(bn.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH n AS (
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
+), centroids AS (
+  SELECT vec_id AS cell, embedding, nrm AS cn FROM n ORDER BY vec_id LIMIT {_sim.IVF_NLIST}
+), home AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM n v CROSS JOIN centroids c
+  ) WHERE pr = 1
+), pairs AS (
+  SELECT hb.vec_id AS vec_id, ha.vec_id AS cand_id,
+         {pdot} / (an.nrm * bn.nrm) AS cosine
+  FROM home ha JOIN home hb ON ha.cell = hb.cell AND ha.vec_id < hb.vec_id
+  JOIN n an ON ha.vec_id = an.vec_id
+  JOIN n bn ON hb.vec_id = bn.vec_id
+)
+SELECT vec_id, keeper_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT vec_id, cand_id AS keeper_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cand_id ASC) AS rn
+  FROM pairs WHERE cosine >= 0.40
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = _semantic_dedup_oracle_sql()
+
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLES["dedup_semantic"] = DEDUP_SEMANTIC_SQL
+
+
 # --- SQL function registry, end-to-end --------------------------------------
 # Exercises the functions/ tier: the osmr_* scalar functions are
 # registered as Spark SQL temporary functions (JVM-side, codegen'd) and

@@ -33,7 +33,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_all_queries_have_oracle_or_reason():
     missing = set(_QUERIES) - set(_ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list
-    # explicit so additions are deliberate.  (Empty since round 2:
-    # stream_quota_admission gained a recursive-CTE oracle.)
-    allowed_missing: set[str] = set()
+    # explicit so additions are deliberate.  similarity_ivfpq_trained is
+    # the one deliberate omission (round 7): iterative k-means training
+    # has no DuckDB re-implementation with verification value -- the
+    # driver records its rows-only check, and quality is pinned by the
+    # recall/distortion tests in test_mining_ops.py.
+    allowed_missing: set[str] = {"similarity_ivfpq_trained"}
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"

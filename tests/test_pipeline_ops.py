@@ -421,6 +421,65 @@ class TestSimilarity:
         assert all(v in (-1, 1) for row in similarity.HYPERPLANES for v in row)
 
 
+class TestSemanticDedup:
+    """SemDeDup cluster-then-purge manifest: survivor rule and
+    threshold behavior on a constructed corpus where home cells and
+    cosines are known exactly."""
+
+    def _fixture(self, spark):
+        """64 one-hot basis vectors (ids 0-63 become the lowest-id
+        centroids, each its own home cell) plus four probes:
+          64: 2*e0            -> cell 0, cos(.,id0)=1.0   -> keeper 0
+          65: e0 + 0.1*e1     -> cell 0, cos(.,id0)~0.995 -> keeper 0
+              (64 also qualifies, but 0 is the LOWEST qualifying id)
+          66: 3*e1            -> cell 1, cos(.,id1)=1.0   -> keeper 1
+          67: e2+...+e8 (7 dims) -> cell 2 by the asc tie-break; cosine
+              to its only lower cluster-mate (id 2) = 1/sqrt(7) ~ 0.378
+              < 0.40 -> NOT a duplicate
+        """
+        import numpy as np
+
+        rows = []
+        for i in range(64):
+            v = np.zeros(64, dtype=np.float32)
+            v[i] = 1.0
+            rows.append((i, v.tolist()))
+        probes = {
+            64: {0: 2.0},
+            65: {0: 1.0, 1: 0.1},
+            66: {1: 3.0},
+            67: {d: 1.0 for d in range(2, 9)},
+        }
+        for i, comps in probes.items():
+            v = np.zeros(64, dtype=np.float32)
+            for d, x in comps.items():
+                v[d] = x
+            rows.append((i, v.tolist()))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_manifest_survivor_rule(self, spark):
+        emb = self._fixture(spark)
+        got = {r["vec_id"]: (r["keeper_id"], r["cosine"]) for r in
+               similarity.semantic_dedup_manifest(emb, threshold=0.40).collect()}
+        # exactly the three near-duplicates, each kept by the LOWEST
+        # qualifying cluster-mate; centroid survivors never appear
+        assert set(got) == {64, 65, 66}
+        assert got[64] == (0, 1.0)
+        assert got[65][0] == 0 and got[65][1] == pytest.approx(
+            1 / (1.01) ** 0.5, abs=1e-6)
+        assert got[66] == (1, 1.0)
+
+    def test_threshold_tightening_shrinks_manifest(self, spark):
+        emb = self._fixture(spark)
+        loose = similarity.semantic_dedup_manifest(emb, threshold=0.37).count()
+        tight = similarity.semantic_dedup_manifest(emb, threshold=0.999).count()
+        # 0.37 admits probe 67 (cos 0.378 to its centroid); 0.999 keeps
+        # only the exact-direction duplicates 64 and 66
+        assert loose == 4
+        assert tight == 2
+
+
 class TestPPJoinPrefixFilter:
     """ppjoin_prefix_postings: the prefix principle must prune postings
     and candidate pairs WITHOUT losing any qualifying pair."""

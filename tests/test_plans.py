@@ -119,6 +119,7 @@ class TestRegistryWindow:
     NEVER_CHECKED_THROUGH_R6 = [
         "fuzzy_match_symspell",        # new in round 7
         "similarity_ivfpq_trained",    # new in round 7 (rows-only)
+        "dedup_semantic",              # new in round 7 (SemDeDup)
     ]
     REDEFINED_IN_R7 = [
         "orders_above_customer_avg",   # epsilon compare
@@ -153,7 +154,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 110
+        assert len(_QUERIES) == len(set(_QUERIES)) == 111
         assert set(oracles) <= set(_QUERIES)
         # the only oracle-less entries are the documented non-SQL ops
         assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
