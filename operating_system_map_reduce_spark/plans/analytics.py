@@ -1374,6 +1374,110 @@ FROM g GROUP BY 1 ORDER BY 1
 ZORDER_STATS_SQL = _zorder_sql()
 
 
+# --- q19_disjunctive_revenue: OR-of-ANDs predicate pushdown face ------------
+# TPC-H Q19's plan story adapted to this dataset's columns (the
+# testdata part table carries no container/shipmode, so the disjuncts
+# range over brand x size x quantity): revenue from lineitem x part
+# under a DISJUNCTION of conjunctive band predicates.  What the plan
+# must do -- and tests/test_plans.py asserts -- is split the OR: the
+# part-only prefix of each disjunct (brand, size) pushes into the part
+# SCAN as (b1 AND s1) OR (b2 AND s2) OR ..., so the join build side is
+# pre-filtered even though no single conjunct applies to every row;
+# the mixed part x lineitem residual evaluates post-join in codegen.
+# Catalyst does this via BooleanSimplification + the CNF pushdown rule
+# -- free when the predicate is declared, impossible when a UDF hides
+# it.  Grouped by brand so the gate hashes one row per disjunct family.
+
+_Q19_BANDS = [
+    ("Brand#11", 1, 10, 1, 20),
+    ("Brand#22", 1, 20, 10, 30),
+    ("Brand#33", 1, 30, 20, 40),
+]
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    pred = None
+    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_BANDS:
+        d = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(s_lo, s_hi)
+             & F.col("l_quantity").between(q_lo, q_hi))
+        pred = d if pred is None else (pred | d)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q19_SQL = """
+SELECT p_brand, COUNT(*) AS n_items,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- q18_large_orders: semi-join against an aggregated subquery -------------
+# TPC-H Q18 (large-volume customers): orders whose TOTAL line quantity
+# exceeds the threshold, joined back to customer detail.  The plan
+# story is the IN-subquery-over-an-aggregate: one hash aggregate over
+# lineitem builds the qualifying-order set, which semi-joins the fact
+# tables -- never a correlated re-execution.  Spark expresses it as an
+# aggregate + inner join on the 874-row (sf0.01) qualifier; the
+# qty re-aggregation rides the same join.  Threshold 200 keeps the
+# result customer-page sized at every gate SF.
+
+_Q18_MIN_QTY = 200
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > _Q18_MIN_QTY))
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "events_ohlc": events_ohlc,
@@ -1403,6 +1507,8 @@ QUERIES = {
     "supplier_brand_division": supplier_brand_division,
     "orders_above_customer_avg": orders_above_customer_avg,
     "orders_grouping_sets": orders_grouping_sets,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q18_large_orders": q18_large_orders,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1436,4 +1542,6 @@ ORACLES = {
     "supplier_brand_division": SUPPLIER_DIVISION_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q18_large_orders": Q18_SQL,
 }

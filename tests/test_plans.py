@@ -120,6 +120,8 @@ class TestRegistryWindow:
         "fuzzy_match_symspell",        # new in round 7
         "similarity_ivfpq_trained",    # new in round 7 (rows-only)
         "dedup_semantic",              # new in round 7 (SemDeDup)
+        "q19_disjunctive_revenue",     # new in round 7 (OR-of-ANDs)
+        "q18_large_orders",            # new in round 7 (agg semi-join)
     ]
     REDEFINED_IN_R7 = [
         "orders_above_customer_avg",   # epsilon compare
@@ -154,7 +156,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 111
+        assert len(_QUERIES) == len(set(_QUERIES)) == 113
         assert set(oracles) <= set(_QUERIES)
         # the only oracle-less entries are the documented non-SQL ops
         assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
@@ -220,6 +222,35 @@ class TestRound5PlanShapes:
         assert "PushedFilters:" in plan and "l_shipdate" in plan.split(
             "PushedFilters:")[1][:400], plan
         assert "l_returnflag" not in plan.split("ReadSchema:")[1][:300], plan
+
+    def test_q19_disjunction_splits_and_pushes_both_scans(self, spark, sf_dir):
+        """The OR-of-ANDs face: Catalyst must split the disjunction so
+        the part-only prefix (brand x size bands) pushes into the part
+        scan and the lineitem-only prefix (quantity bands) into the
+        lineitem scan -- neither conjunct alone holds for every row, so
+        this only happens if the predicate stays declarative."""
+        plan = _plan(_QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+        scans = plan.split("FileScan parquet")[1:]  # [0] is the pre-scan tree
+        part_scan = [s for s in scans if "p_brand" in s.split("ReadSchema:")[0]]
+        li_scan = [s for s in scans if "l_quantity" in s.split("ReadSchema:")[0]]
+        assert part_scan and "Or(And(" in part_scan[0].split(
+            "PushedFilters:")[1][:600], plan
+        assert li_scan and "Or(And(" in li_scan[0].split(
+            "PushedFilters:")[1][:600], plan
+
+    def test_q18_aggregates_before_the_join(self, spark, sf_dir):
+        """The aggregated-subquery semi-join: the lineitem hash
+        aggregate (the qualifier) must run BELOW the join -- a
+        correlated re-execution or a join-then-filter would read as a
+        join above the raw lineitem scan with no intervening agg."""
+        plan = _plan(_QUERIES["q18_large_orders"](spark, sf_dir))
+        join_split = plan.split("SortMergeJoin") if "SortMergeJoin" in plan \
+            else plan.split("BroadcastHashJoin")
+        assert len(join_split) >= 2, plan
+        # the qualifier aggregate appears below (after, in tree print
+        # order) the first join operator and filters on total_qty
+        below = join_split[-1]
+        assert "HashAggregate" in below and "sum(l_quantity" in below, plan
 
     def test_ppjoin_has_positional_filter(self, spark, sf_dir):
         """The candidate join condition carries the positional bound
