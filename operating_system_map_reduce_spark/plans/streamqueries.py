@@ -238,7 +238,82 @@ ORDER BY purchase_id, click_id
 """
 
 
+# --- stream_novelty_filter: the continuous-crawl cascade -------------------
+# Waves of documents arrive as a stream; each wave probes the standing
+# LSH/exact index and fully-novel docs are ADMITTED -- their bands and
+# hashes join the index before the next wave (streaming/
+# novelty_stream.py).  Wave k's verdicts depend on every admission in
+# waves < k, which the one-shot corpus_novelty_filter cannot express.
+# The oracle unrolls the identical NOVELTY_WAVES-step cascade as CTEs
+# (the pagerank unrolled-iteration precedent); the shared
+# _SIG_BANDS_CTE guarantees both engines index the same bands.
+
+def stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.streaming.novelty_stream import (
+        run_novelty_stream,
+    )
+
+    return run_novelty_stream(spark, sf_dir)
+
+
+def _novelty_cascade_sql() -> str:
+    from operating_system_map_reduce_spark.plans.pipeline import _SIG_BANDS_CTE
+    from operating_system_map_reduce_spark.streaming.novelty_stream import (
+        NOVELTY_WAVES,
+    )
+
+    parts = [f"""{_SIG_BANDS_CTE}, idx_b0 AS (
+  SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 <> 7
+), idx_h0 AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+), batchd AS (
+  SELECT doc_id, md5(text) AS h, (doc_id // 10) % {NOVELTY_WAVES} AS wave
+  FROM documents WHERE doc_id % 10 = 7
+)"""]
+    for w in range(NOVELTY_WAVES):
+        parts.append(f""", log{w} AS (
+  SELECT d.doc_id, d.wave,
+         CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_band_hits,
+         CAST(CASE WHEN d.h IN (SELECT h FROM idx_h{w})
+              THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+  FROM batchd d LEFT JOIN (
+    SELECT b.doc_id, COUNT(*) AS n
+    FROM bands b JOIN idx_b{w} i
+      ON b.band_idx = i.band_idx AND b.band_hash = i.band_hash
+    GROUP BY b.doc_id
+  ) bh ON d.doc_id = bh.doc_id
+  WHERE d.wave = {w}
+)""")
+        if w < NOVELTY_WAVES - 1:
+            parts.append(f""", adm{w} AS (
+  SELECT doc_id FROM log{w} WHERE n_band_hits = 0 AND exact_dup = 0
+), idx_b{w + 1} AS (
+  SELECT band_idx, band_hash FROM idx_b{w}
+  UNION
+  SELECT band_idx, band_hash FROM bands
+  WHERE doc_id IN (SELECT doc_id FROM adm{w})
+), idx_h{w + 1} AS (
+  SELECT h FROM idx_h{w}
+  UNION
+  SELECT h FROM batchd WHERE doc_id IN (SELECT doc_id FROM adm{w})
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM log{w}"
+                               for w in range(NOVELTY_WAVES))
+    parts.append(f"""
+SELECT doc_id, CAST(wave AS BIGINT) AS wave, n_band_hits, exact_dup,
+       CAST(CASE WHEN n_band_hits = 0 AND exact_dup = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS admitted
+FROM ({union})
+ORDER BY doc_id
+""")
+    return "".join(parts)
+
+
+STREAM_NOVELTY_SQL = _novelty_cascade_sql()
+
+
 QUERIES = {
+    "stream_novelty_filter": stream_novelty_filter,
     "stream_mru_types": stream_mru_types,
     "stream_click_purchase_join": stream_click_purchase_join,
     "stream_topk_trending": stream_topk_trending,
@@ -250,6 +325,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_novelty_filter": STREAM_NOVELTY_SQL,
     "stream_mru_types": STREAM_MRU_SQL,
     "stream_click_purchase_join": STREAM_SSJOIN_SQL,
     "stream_topk_trending": STREAM_TOPK_SQL,

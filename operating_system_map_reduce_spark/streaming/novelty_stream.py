@@ -1,0 +1,169 @@
+"""Streaming corpus-novelty filter: the continuous-crawl loop CLOSED.
+
+``corpus_novelty_filter`` (plans/pipeline.py) probes ONE arriving batch
+against a standing index.  This face runs the loop the crawler actually
+runs: document waves ARRIVE as a stream (file source, one wave per
+micro-batch), each wave probes the standing index -- corpus LSH bands +
+exact hashes -- and fully-novel documents are ADMITTED: their bands and
+hashes append to the index BEFORE the next wave probes it.  The
+admission log is the result, and wave k's verdicts depend on every
+admission in waves < k -- the cascade is the semantics, not an
+artifact, and it is what a one-shot batch probe cannot express.
+
+Scale shape: the standing index is a parquet table of slim (band_idx,
+band_hash) and hash rows (at 100 TB: the index TABLE the crawl
+maintains, e.g. Delta/Iceberg); every wave is one banded equi-join +
+one hash semi-join against it -- never doc x doc.  foreachBatch appends
+only the ADMITTED docs' band/hash rows (distributed writes, no driver
+materialization of documents).  Waves are strictly sequential in
+Structured Streaming, so index reads always see every prior admission.
+
+Determinism: wave id = (doc_id div 10) % WAVES, one parquet file per
+wave with ascending mtimes so the file source replays waves in order
+(FileStreamSource picks oldest-first).  The DuckDB oracle unrolls the
+same cascade (the pagerank unrolled-CTE precedent), so admission
+verdicts are hash-checked end-to-end through the driver gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from operating_system_map_reduce_spark.operators import dedup as _dd
+from operating_system_map_reduce_spark.sources.tables import load_table
+
+NOVELTY_WAVES = 3
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("wave", LongType()),
+])
+
+
+def _wave_col():
+    # batch doc_ids are 10k+7; (doc_id div 10) % WAVES walks k mod WAVES
+    return F.expr(f"(doc_id div 10) % {NOVELTY_WAVES}")
+
+
+def run_novelty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % 10 == 7
+    corpus = docs.filter(~is_batch)
+
+    work = tempfile.mkdtemp(prefix="novelty-stream-")
+    src_dir = os.path.join(work, "src")
+    bands_dir = os.path.join(work, "index_bands")
+    hashes_dir = os.path.join(work, "index_hashes")
+    log_dir = os.path.join(work, "admission_log")
+    ckpt_dir = os.path.join(work, "checkpoint")
+    os.makedirs(src_dir)
+
+    try:
+        # seed the standing index with the corpus (bands + exact hashes)
+        (_dd.lsh_bands(_dd.minhash_signature(corpus))
+         .select("band_idx", "band_hash").distinct()
+         .write.parquet(bands_dir))
+        (corpus.select(F.md5("text").alias("h")).distinct()
+         .write.parquet(hashes_dir))
+
+        # materialize the arriving stream: one file per wave, mtimes
+        # ascending so the file source replays waves in arrival order
+        waves = docs.filter(is_batch).withColumn("wave", _wave_col())
+        for w in range(NOVELTY_WAVES):
+            tmp = os.path.join(work, f"wavetmp-{w}")
+            (waves.filter(F.col("wave") == w).coalesce(1)
+             .write.parquet(tmp))
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"wave-{w}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000 + w, 1_000_000 + w))
+
+        def probe_wave(batch: DataFrame, batch_id: int) -> None:
+            s = batch.sparkSession
+            wave_row = batch.select("wave").limit(1).collect()
+            if not wave_row:
+                return  # an empty wave file: nothing to probe or admit
+            wave_val = wave_row[0]["wave"]
+            bands = (_dd.lsh_bands(_dd.minhash_signature(batch))
+                     .select("doc_id", "band_idx", "band_hash").persist())
+            hashes = batch.select(
+                "doc_id", "wave", F.md5("text").alias("h")).persist()
+            idx_b = s.read.parquet(bands_dir)
+            idx_h = s.read.parquet(hashes_dir)
+            band_hits = (bands.join(idx_b, ["band_idx", "band_hash"])
+                         .groupBy("doc_id")
+                         .agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_band_hits")))
+            exact_hits = (hashes.join(idx_h, "h")
+                          .select("doc_id",
+                                  F.lit(1).cast("long").alias("exact_dup")))
+            log = (
+                hashes.select("doc_id", "wave")
+                .join(band_hits, "doc_id", "left")
+                .join(exact_hits, "doc_id", "left")
+                .select(
+                    "doc_id", "wave",
+                    F.coalesce("n_band_hits", F.lit(0)).cast("long")
+                    .alias("n_band_hits"),
+                    F.coalesce("exact_dup", F.lit(0)).cast("long")
+                    .alias("exact_dup"),
+                )
+                .withColumn(
+                    "admitted",
+                    ((F.col("n_band_hits") == 0) & (F.col("exact_dup") == 0))
+                    .cast("long"))
+            )
+            log.write.mode("append").parquet(log_dir)
+            # drive the index appends from the WRITTEN log, not the
+            # in-memory frame: `log` derives from `hashes`/`bands`, and
+            # joining a frame back against its own ancestor is the
+            # ambiguous-self-join trap (observed: the hashes-side join
+            # silently resolved to empty).  The disk read has fresh
+            # lineage -- and re-reading the admission-log table you just
+            # committed is exactly what the production crawler does.
+            adm_ids = (s.read.parquet(log_dir)
+                       .filter((F.col("wave") == wave_val)
+                               & (F.col("admitted") == 1))
+                       .select("doc_id"))
+            (bands.join(adm_ids, "doc_id")
+             .select("band_idx", "band_hash").distinct()
+             .write.mode("append").parquet(bands_dir))
+            (hashes.join(adm_ids, "doc_id").select("h").distinct()
+             .write.mode("append").parquet(hashes_dir))
+            bands.unpersist()
+            hashes.unpersist()
+
+        from operating_system_map_reduce_spark.streaming.windows import (
+            _stream_shuffle,
+        )
+
+        stream = (spark.readStream.schema(_DOC_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        with _stream_shuffle(spark):
+            q = (stream.writeStream.foreachBatch(probe_wave)
+                 .option("checkpointLocation", ckpt_dir)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        result = (spark.read.parquet(log_dir)
+                  .select("doc_id", "wave", "n_band_hits", "exact_dup",
+                          "admitted")
+                  .orderBy("doc_id"))
+        # materialize the admission LOG (the query's result -- slim,
+        # |arriving-docs|-bounded rows any caller collects anyway)
+        # before the scratch workdir disappears; documents themselves
+        # never reach the driver
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

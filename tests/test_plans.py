@@ -122,6 +122,7 @@ class TestRegistryWindow:
         "dedup_semantic",              # new in round 7 (SemDeDup)
         "q19_disjunctive_revenue",     # new in round 7 (OR-of-ANDs)
         "q18_large_orders",            # new in round 7 (agg semi-join)
+        "stream_novelty_filter",       # new in round 7 (crawl cascade)
     ]
     REDEFINED_IN_R7 = [
         "orders_above_customer_avg",   # epsilon compare
@@ -156,7 +157,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 113
+        assert len(_QUERIES) == len(set(_QUERIES)) == 114
         assert set(oracles) <= set(_QUERIES)
         # the only oracle-less entries are the documented non-SQL ops
         assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}

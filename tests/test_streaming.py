@@ -395,6 +395,57 @@ class TestSinkCrashRecovery:
         assert snap(log.replay()) == snap(ref.replay())
 
 
+class TestNoveltyStream:
+    def test_cascade_rejects_dup_of_earlier_admission(self, spark, tmp_path):
+        """The property the one-shot batch probe cannot express: a
+        wave-1 document duplicating a document ADMITTED in wave 0 (and
+        absent from the corpus) must be rejected, because admission
+        updated the standing index between waves."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from operating_system_map_reduce_spark.streaming.novelty_stream import (
+            run_novelty_stream,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau ") * 4
+        corpus_text = ("one two three four five six seven eight nine "
+                       "ten eleven twelve ") * 4
+        rows = [
+            # corpus (doc_id % 10 != 7)
+            (1, corpus_text), (2, "totally different corpus words " * 8),
+            # wave 0 ((doc_id div 10) % 3 == 0)
+            (7, base),                       # novel -> admitted
+            (37, corpus_text),               # exact corpus dup -> rejected
+            # wave 1
+            (17, base),                      # exact dup of ADMITTED 7
+            (47, base + "omega"),            # near-dup of admitted 7
+            # wave 2
+            (27, "entirely novel third wave text " * 8),  # admitted
+        ]
+        pq.write_table(pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["test"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }), str(tmp_path / "documents.parquet"))
+
+        got = {r["doc_id"]: r for r in
+               run_novelty_stream(spark, str(tmp_path)).collect()}
+        assert set(got) == {7, 17, 27, 37, 47}
+        assert got[7]["admitted"] == 1 and got[7]["wave"] == 0
+        assert got[37]["exact_dup"] == 1 and got[37]["admitted"] == 0
+        # the cascade: 17 duplicates nothing in the CORPUS, only the
+        # wave-0 admission -- still rejected
+        assert got[17]["wave"] == 1
+        assert got[17]["exact_dup"] == 1 and got[17]["admitted"] == 0
+        # near-dup of the admission: caught by the band index
+        assert got[47]["n_band_hits"] > 0 and got[47]["admitted"] == 0
+        assert got[27]["admitted"] == 1 and got[27]["wave"] == 2
+
+
 class TestSinkToCdcPipeline:
     def test_streamed_ingest_feeds_incremental_cdc(self, spark, tmp_path):
         """The full streaming loop: mutations stream IN through
