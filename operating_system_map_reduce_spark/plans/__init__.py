@@ -49,21 +49,22 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # by tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 7 (registry 114): the six new queries lead
+    # Round 7 (registry 115): the seven new queries lead
     # (fuzzy_match_symspell -- the linear SymSpell fuzzy path, now under
     # the hard gate; similarity_ivfpq_trained -- rows-only, no SQL
     # oracle by design; dedup_semantic -- the SemDeDup
     # cluster-then-purge manifest; q19_disjunctive_revenue -- the
     # OR-of-ANDs pushdown face; q18_large_orders -- semi-join against
     # an aggregated subquery; stream_novelty_filter -- the continuous-
-    # crawl admission cascade with a wave-unrolled oracle); two
+    # crawl admission cascade with a wave-unrolled oracle;
+    # changelog_asof -- time travel over the append-only log); two
     # r6-green queries re-enter under rule 2:
     # orders_above_customer_avg (comparison changed to the epsilon
     # margin) and similarity_cosine_topk (exact path re-planned from
     # the n^2 pair join to blocked per-group top-k); then the eight
     # r4-stale queries (exactly at the ceiling -- mr_odd_key_vals
     # first, its last row predates two rounds of confinement/engine
-    # rewrites); then 34 of the 50 r5-green entries oldest-first,
+    # rewrites); then 33 of the 50 r5-green entries oldest-first,
     # including events_gap_fill (plan changed: 168 h clamp) and the
     # reference-semantics-bearing streaming faces
     # stream_quota_admission / stream_mru_types.  Deferred to round 8,
@@ -81,7 +82,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # (lag over a ~80-row aggregate; series shape stable since r5),
     # lm_unigram_score (randomized differentials in
     # test_textprep_property.py), events_user_paths (the events
-    # sequential family keeps funnel/markov/sessionize in-window).
+    # sequential family keeps funnel/markov/sessionize in-window),
+    # orders_customer_reconcile (changelog_asof keeps a full-outer
+    # drift census in-window).
     window = [
         # -- new in round 7 (never driver-checked) --------------------
         "fuzzy_match_symspell",
@@ -90,6 +93,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q19_disjunctive_revenue",
         "q18_large_orders",
         "stream_novelty_filter",
+        "changelog_asof",
         # -- redefined in round 7 (epsilon compare; blocked exact knn) -
         "orders_above_customer_avg",
         "similarity_cosine_topk",
@@ -125,7 +129,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "events_retention_cohorts",
         "events_type_pivot",
         "order_value_deciles",
-        "orders_customer_reconcile",
         "pagerank_neardup",
         "quality_filter_composite",
         "similarity_ivf_search",

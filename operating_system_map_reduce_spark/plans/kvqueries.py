@@ -159,6 +159,87 @@ ORDER BY key
 """
 
 
+# --- changelog AS-OF: time travel over the append-only log -----------------
+# The snapshot face of ChangeLog.replay_asof (sources/changelog.py):
+# the state AS OF the mid-history sequence (S = head-seq div 2,
+# deterministic in both engines) compared against head state.  On an
+# append-only log every historical snapshot is a FILTER ahead of the
+# same one-shuffle dedup -- the reference gets the identical semantics
+# by stopping load_file's sequential apply after S records
+# (p3/server/my_storage.cc:573-702).  Tombstone analog: a user whose
+# latest event at the snapshot is 'error' is absent from it, exactly
+# changelog_replay's rule.  Output is the per-key drift census between
+# the snapshot and head: keys created since, keys tombstoned since,
+# keys whose value moved.  S reaches the driver as one 1-row aggregate
+# probe (the established constant-size-collect discipline).
+
+def changelog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"] // 2
+
+    def snapshot(src: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+        return (
+            src.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select(
+                F.col("user_id").alias("key"),
+                F.col("event_type").alias(f"{prefix}_op"),
+                F.col("event_id").alias(f"{prefix}_seq"),
+            )
+        )
+
+    asof = snapshot(ev.filter(F.col("event_id") <= F.lit(s)), "asof")
+    head = snapshot(ev, "head")
+    return (
+        asof.join(head, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("asof_op", F.lit("absent")).alias("asof_op"),
+            F.coalesce("asof_seq", F.lit(-1)).cast("long").alias("asof_seq"),
+            F.coalesce("head_op", F.lit("absent")).alias("head_op"),
+            F.coalesce("head_seq", F.lit(-1)).cast("long").alias("head_seq"),
+            (F.coalesce("asof_seq", F.lit(-1))
+             != F.coalesce("head_seq", F.lit(-1))).cast("long")
+            .alias("changed_since"),
+        )
+        .orderBy("key")
+    )
+
+
+CHANGELOG_ASOF_SQL = """
+WITH s AS (
+  SELECT MAX(event_id) // 2 AS cut FROM events
+), snap AS (
+  -- "asof" is a DuckDB reserved word (ASOF JOIN), hence "snap"
+  SELECT user_id AS key, event_type AS asof_op, event_id AS asof_seq
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id <= (SELECT cut FROM s)
+  ) WHERE rn = 1 AND event_type <> 'error'
+), head AS (
+  SELECT user_id AS key, event_type AS head_op, event_id AS head_seq
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT COALESCE(a.key, h.key) AS key,
+       COALESCE(asof_op, 'absent') AS asof_op,
+       CAST(COALESCE(asof_seq, -1) AS BIGINT) AS asof_seq,
+       COALESCE(head_op, 'absent') AS head_op,
+       CAST(COALESCE(head_seq, -1) AS BIGINT) AS head_seq,
+       CAST(CASE WHEN COALESCE(asof_seq, -1) <> COALESCE(head_seq, -1)
+            THEN 1 ELSE 0 END AS BIGINT) AS changed_since
+FROM snap a FULL OUTER JOIN head h ON a.key = h.key
+ORDER BY key
+"""
+
+
 # --- KVT: MRU top-k (p4/server/my_mru.cc) --------------------------------
 # Recency table -> order by last access desc, limit top_size.  Dedup
 # happens in the max() aggregate; eviction is the LIMIT.
@@ -437,6 +518,7 @@ QUERIES = {
     "kv_insert_guarded": kv_insert_guarded,
     "kv_upsert_classify": kv_upsert_classify,
     "changelog_replay": changelog_replay,
+    "changelog_asof": changelog_asof,
     "kv_top_mru": kv_top_mru,
     "quota_sliding_window": quota_sliding_window,
     "auth_hash_users": auth_hash_users,
@@ -453,6 +535,7 @@ ORACLES = {
     "kv_insert_guarded": KV_INSERT_SQL,
     "kv_upsert_classify": KV_UPSERT_SQL,
     "changelog_replay": CHANGELOG_REPLAY_SQL,
+    "changelog_asof": CHANGELOG_ASOF_SQL,
     "kv_top_mru": KV_TOP_SQL,
     "quota_sliding_window": QUOTA_WINDOW_SQL,
     "auth_hash_users": AUTH_HASH_SQL,

@@ -130,6 +130,24 @@ class ChangeLog:
         distributed: one shuffle on the key column."""
         return self._dedup(self.raw())
 
+    def replay_asof(self, seq: int) -> DataFrame:
+        """Time travel: the state AS OF sequence ``seq`` (inclusive) --
+        what replay() would have returned the moment that record was
+        appended.  The append-only log makes every historical snapshot
+        a FILTER (seq <= S) ahead of the same one-shuffle dedup; the
+        reference gets the same semantics by stopping its sequential
+        load_file replay after S records (my_storage.cc:573-702 applies
+        strictly in file order).  Caveat: compaction (SAV) rewrites the
+        base as a snapshot (records keep their latest seq) and truncates
+        the log, so snapshots OLDER than the last compaction are no
+        longer addressable: asof(S) below the compacted records' seqs
+        sees only the survivors with seq <= S, possibly nothing --
+        exactly the reference's SAV contract, which persists current
+        state, not history.  Exact for every S since the last
+        compaction (pinned in tests/test_binlog.py)."""
+        return self._dedup(
+            self.raw().filter(F.col(self.seq_col) <= F.lit(seq)))
+
     def _read_files(self, files: list[str]) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(*files)
 

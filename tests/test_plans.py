@@ -123,6 +123,7 @@ class TestRegistryWindow:
         "q19_disjunctive_revenue",     # new in round 7 (OR-of-ANDs)
         "q18_large_orders",            # new in round 7 (agg semi-join)
         "stream_novelty_filter",       # new in round 7 (crawl cascade)
+        "changelog_asof",              # new in round 7 (time travel)
     ]
     REDEFINED_IN_R7 = [
         "orders_above_customer_avg",   # epsilon compare
@@ -157,7 +158,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 114
+        assert len(_QUERIES) == len(set(_QUERIES)) == 115
         assert set(oracles) <= set(_QUERIES)
         # the only oracle-less entries are the documented non-SQL ops
         assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
