@@ -49,7 +49,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # by tests/test_oracle_parity.py, which runs ALL entries against the
     # DuckDB oracle locally.
     #
-    # Round 7 (registry 115): the seven new queries lead
+    # Round 7 (registry 116): the eight new queries lead
     # (fuzzy_match_symspell -- the linear SymSpell fuzzy path, now under
     # the hard gate; similarity_ivfpq_trained -- rows-only, no SQL
     # oracle by design; dedup_semantic -- the SemDeDup
@@ -57,14 +57,16 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # OR-of-ANDs pushdown face; q18_large_orders -- semi-join against
     # an aggregated subquery; stream_novelty_filter -- the continuous-
     # crawl admission cascade with a wave-unrolled oracle;
-    # changelog_asof -- time travel over the append-only log); two
-    # r6-green queries re-enter under rule 2:
+    # changelog_asof -- time travel over the append-only log;
+    # skew_salted_join -- the hot-key-proof join proven result-identical
+    # to its unsalted oracle); two r6-green queries re-enter under
+    # rule 2:
     # orders_above_customer_avg (comparison changed to the epsilon
     # margin) and similarity_cosine_topk (exact path re-planned from
     # the n^2 pair join to blocked per-group top-k); then the eight
     # r4-stale queries (exactly at the ceiling -- mr_odd_key_vals
     # first, its last row predates two rounds of confinement/engine
-    # rewrites); then 33 of the 50 r5-green entries oldest-first,
+    # rewrites); then 32 of the 50 r5-green entries oldest-first,
     # including events_gap_fill (plan changed: 168 h clamp) and the
     # reference-semantics-bearing streaming faces
     # stream_quota_admission / stream_mru_types.  Deferred to round 8,
@@ -84,7 +86,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # test_textprep_property.py), events_user_paths (the events
     # sequential family keeps funnel/markov/sessionize in-window),
     # orders_customer_reconcile (changelog_asof keeps a full-outer
-    # drift census in-window).
+    # drift census in-window), events_type_pivot (the unpivot twin is
+    # deferred with it; both lead round 8).
     window = [
         # -- new in round 7 (never driver-checked) --------------------
         "fuzzy_match_symspell",
@@ -94,6 +97,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q18_large_orders",
         "stream_novelty_filter",
         "changelog_asof",
+        "skew_salted_join",
         # -- redefined in round 7 (epsilon compare; blocked exact knn) -
         "orders_above_customer_avg",
         "similarity_cosine_topk",
@@ -106,7 +110,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_ivf_knn",
         "sketch_distinct_tokens",
         "split_assign",
-        # -- r5-aged refresh, oldest-first (39 of 50) -----------------
+        # -- r5-aged refresh, oldest-first (32 of 50) -----------------
         "events_gap_fill",          # plan changed round 7: 168 h clamp
         "stream_quota_admission",
         "stream_mru_types",
@@ -127,7 +131,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "events_funnel",
         "events_markov_transitions",
         "events_retention_cohorts",
-        "events_type_pivot",
         "order_value_deciles",
         "pagerank_neardup",
         "quality_filter_composite",

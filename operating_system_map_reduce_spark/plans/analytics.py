@@ -968,6 +968,42 @@ ORDER BY l_returnflag
 """
 
 
+# --- skew_salted_join: hot-key-proof equi-join, result-identical ------------
+# operators/skew.salted_join under the gate: the build side (customer
+# dim) explodes across n_salts shards and the probe side (events, the
+# side a hot user would skew) picks its shard by row hash, so one hot
+# key's rows spread over n_salts reducers instead of one straggler
+# task.  The salt is an IMPLEMENTATION detail -- the oracle is the
+# plain unsalted join, so the gate proves the salted plan changes the
+# shuffle shape and nothing else.  Output: per (mktsegment, event_type)
+# census of customer-attributable events.
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return (
+        salted_join(ev, cust, "user_id", n_salts=8)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
 # --- repeat_buyer_setops: INTERSECT / EXCEPT over yearly cohorts -----------
 
 def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,6 +1539,7 @@ QUERIES = {
     "brand_supplier_breadth": brand_supplier_breadth,
     "repeat_buyer_setops": repeat_buyer_setops,
     "skew_salted_distinct": skew_salted_distinct,
+    "skew_salted_join": skew_salted_join,
     "nation_rolling_revenue": nation_rolling_revenue,
     "supplier_brand_division": supplier_brand_division,
     "orders_above_customer_avg": orders_above_customer_avg,
@@ -1538,6 +1575,7 @@ ORACLES = {
     "brand_supplier_breadth": BRAND_BREADTH_SQL,
     "repeat_buyer_setops": SETOPS_SQL,
     "skew_salted_distinct": SKEW_DISTINCT_SQL,
+    "skew_salted_join": SKEW_JOIN_SQL,
     "nation_rolling_revenue": NATION_ROLLING_SQL,
     "supplier_brand_division": SUPPLIER_DIVISION_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,

@@ -13,9 +13,11 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-# declared quality baseline: exact top-k does an n^2 non-equi self-join
-# by design; the production paths are similarity_lsh_knn / similarity_ivf_knn
-ALLPAIRS_BY_DESIGN = {"similarity_cosine_topk"}
+# Round 7: empty.  The exact-knn baseline (the one all-pairs-by-design
+# plan through round 6) was re-planned to blocked per-group top-k --
+# quadratic COMPUTE stays, but no CartesianProduct/BNLJ operator
+# remains anywhere in the lazy query surface.
+ALLPAIRS_BY_DESIGN: set = set()
 
 # 1-row aggregate totals attached via crossJoin(broadcast(...)) plan as
 # BroadcastNestedLoopJoin over a CONSTANT single-row side -- the
@@ -124,6 +126,7 @@ class TestRegistryWindow:
         "q18_large_orders",            # new in round 7 (agg semi-join)
         "stream_novelty_filter",       # new in round 7 (crawl cascade)
         "changelog_asof",              # new in round 7 (time travel)
+        "skew_salted_join",            # new in round 7 (salted join)
     ]
     REDEFINED_IN_R7 = [
         "orders_above_customer_avg",   # epsilon compare
@@ -158,7 +161,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 115
+        assert len(_QUERIES) == len(set(_QUERIES)) == 116
         assert set(oracles) <= set(_QUERIES)
         # the only oracle-less entries are the documented non-SQL ops
         assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
