@@ -257,6 +257,26 @@ class TestRound5PlanShapes:
         below = join_split[-1]
         assert "HashAggregate" in below and "sum(l_quantity" in below, plan
 
+    def test_semantic_dedup_shuffles_on_cell_only(self, spark, sf_dir):
+        """SemDeDup's whole point: the only data shuffle keys on the
+        cluster cell (the applyInPandas group); everything after the
+        per-cell scoring is manifest-sized (the final sort's range
+        partitioning)."""
+        plan = _plan(_QUERIES["dedup_semantic"](spark, sf_dir))
+        hash_exchanges = [l for l in plan.splitlines()
+                          if "Exchange hashpartitioning" in l]
+        assert len(hash_exchanges) == 1, plan
+        assert "hashpartitioning(cell" in hash_exchanges[0], plan
+
+    def test_symspell_join_keys_on_deletion_key(self, spark, sf_dir):
+        """The linear fuzzy path must meet candidates via the deletion
+        key EQUI join -- nkey in the join keys, never a theta join over
+        a block."""
+        plan = _plan(_QUERIES["fuzzy_match_symspell"](spark, sf_dir))
+        join_lines = [l for l in plan.splitlines()
+                      if "Join" in l and "nkey" in l]
+        assert join_lines, plan
+
     def test_ppjoin_has_positional_filter(self, spark, sf_dir):
         """The candidate join condition carries the positional bound
         (least of remaining suffix lengths) -- the PPJoin pruning
