@@ -743,16 +743,20 @@ def deletion_neighborhood_pairs(p: DataFrame) -> DataFrame:
     superset of matches and a tiny subset of the block's pairs.
     One explode (L+1 rows/name), one equi-join on (block, key), one
     distinct on the pair: every stage linear in input + true-match
-    density, never block_size^2."""
+    density, never block_size^2.  Duplicate variants ('aab' emits 'ab'
+    twice) dedup MAP-SIDE via array_distinct before the explode -- ids
+    are unique, so per-name key dedup equals the row-level distinct
+    without shuffling the keyed table (round-7 plan fix: the old
+    .distinct() was a full wide exchange)."""
     variants = F.expr(
-        "concat(array(p_name),"
+        "array_distinct(concat(array(p_name),"
         " transform(sequence(1, length(p_name)),"
         "  i -> concat(substring(p_name, 1, i - 1),"
-        "              substring(p_name, i + 1, length(p_name)))))")
+        "              substring(p_name, i + 1, length(p_name))))))")
     keyed = p.select(
         "p_brand", "noun", "p_partkey", "p_name",
         F.explode(variants).alias("nkey"),
-    ).distinct()  # a name can emit duplicate variants ('aab' twice -> 'ab')
+    )
     a = keyed.select("p_brand", "noun", "nkey",
                      F.col("p_partkey").alias("id_a"),
                      F.col("p_name").alias("name_a"))
