@@ -62,11 +62,13 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # to its unsalted oracle); two r6-green queries re-enter under
     # rule 2:
     # orders_above_customer_avg (comparison changed to the epsilon
-    # margin) and similarity_cosine_topk (exact path re-planned from
-    # the n^2 pair join to blocked per-group top-k); then the eight
+    # margin), similarity_cosine_topk (exact path re-planned from
+    # the n^2 pair join to blocked per-group top-k) and
+    # text_tfidf_top_terms (df side re-planned: map-side per-doc term
+    # dedup, vocab broadcast hint dropped); then the eight
     # r4-stale queries (exactly at the ceiling -- mr_odd_key_vals
     # first, its last row predates two rounds of confinement/engine
-    # rewrites); then 32 of the 50 r5-green entries oldest-first,
+    # rewrites); then 31 of the 50 r5-green entries oldest-first,
     # including events_gap_fill (plan changed: 168 h clamp) and the
     # reference-semantics-bearing streaming faces
     # stream_quota_admission / stream_mru_types.  Deferred to round 8,
@@ -87,7 +89,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # sequential family keeps funnel/markov/sessionize in-window),
     # orders_customer_reconcile (changelog_asof keeps a full-outer
     # drift census in-window), events_type_pivot (the unpivot twin is
-    # deferred with it; both lead round 8).
+    # deferred with it; both lead round 8), quality_filter_composite
+    # (randomized rule-cascade differentials in
+    # test_textprep_property.py).
     window = [
         # -- new in round 7 (never driver-checked) --------------------
         "fuzzy_match_symspell",
@@ -98,9 +102,10 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "stream_novelty_filter",
         "changelog_asof",
         "skew_salted_join",
-        # -- redefined in round 7 (epsilon compare; blocked exact knn) -
+        # -- redefined in round 7 (epsilon; blocked knn; tfidf df plan) -
         "orders_above_customer_avg",
         "similarity_cosine_topk",
+        "text_tfidf_top_terms",
         # -- r4-stale (newest driver row: round 4; at the ceiling) ----
         "mr_odd_key_vals",
         "contamination_check",
@@ -110,7 +115,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "similarity_ivf_knn",
         "sketch_distinct_tokens",
         "split_assign",
-        # -- r5-aged refresh, oldest-first (32 of 50) -----------------
+        # -- r5-aged refresh, oldest-first (31 of 50) -----------------
         "events_gap_fill",          # plan changed round 7: 168 h clamp
         "stream_quota_admission",
         "stream_mru_types",
@@ -133,7 +138,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "events_retention_cohorts",
         "order_value_deciles",
         "pagerank_neardup",
-        "quality_filter_composite",
         "similarity_ivf_search",
         "similarity_ivfpq_search",
         "stream_dedup_first_seen",

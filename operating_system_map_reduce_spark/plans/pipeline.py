@@ -1113,9 +1113,15 @@ ORACLES["multimodal_features"] = MULTIMODAL_FEATURES_SQL
 # --- tf-idf top terms per language ------------------------------------------
 # Classic corpus statistics, fully declarative: explode tokens, two
 # hash aggregates (term frequency per lang, document frequency over the
-# corpus), broadcast-join the tiny df table back, window top-k.  Both
-# engines compute ln() on identical doubles; ties (equal tf and df)
-# break on the term itself.
+# corpus), join the df table back, window top-k.  Both engines compute
+# ln() on identical doubles; ties (equal tf and df) break on the term
+# itself.  Round-7 plan fixes: document frequency explodes
+# array_distinct(toks) per doc -- per-doc term dedup is map-side, so
+# the old corpus-wide (doc_id, term) DISTINCT shuffle disappears; and
+# the df side carries NO broadcast hint (it is vocabulary-sized and
+# grows with the corpus -- AQE broadcasts it at test SFs and falls
+# back to a keyed shuffle join at scale, the same rule as the PMI
+# vocabulary tables).
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1126,9 +1132,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select("doc_id", "lang", F.explode(toks).alias("term"))
     n_docs = docs.count()
     tf = exploded.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (exploded.select("doc_id", "term").distinct()
+    dfreq = (docs.select(F.explode(F.array_distinct(toks)).alias("term"))
              .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (tf.join(dfreq, "term")
               .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))

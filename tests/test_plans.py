@@ -132,6 +132,7 @@ class TestRegistryWindow:
         "orders_above_customer_avg",   # epsilon compare
         "events_gap_fill",             # 168 h retention clamp
         "similarity_cosine_topk",      # blocked exact-knn plan
+        "text_tfidf_top_terms",        # map-side df dedup, hint dropped
     ]
     R4_STALE = [
         "mr_odd_key_vals", "contamination_check", "kv_aes_at_rest",
