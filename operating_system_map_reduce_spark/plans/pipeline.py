@@ -1560,11 +1560,19 @@ ORACLES["similarity_ivfpq_search"] = SIMILARITY_IVFPQ_SQL
 # per round.  Training is cached per (sf_dir, iters) within the session:
 # a production job trains once per corpus snapshot and persists the two
 # small matrices, so serving cost -- not training cost -- is the steady
-# state this query times.  NOT SQL-oracled (deliberate: a DuckDB
-# re-implementation of iterative k-means adds no verification value);
-# the driver records the rows-only check, and quality is pinned by the
-# recall-vs-brute-force and distortion-reduction tests in
-# tests/test_mining_ops.py.
+# state this query times.  SQL-oracled since round 8 by UNROLLING the
+# fixed-count Lloyd iterations as a chained CTE (the same
+# finite-deterministic-iteration precedent as pagerank_neardup's
+# unrolled CTE and the novelty cascade's wave unroll): deterministic
+# init (lowest-id rows / their subvectors), ITERS assignment+update
+# stages for both quantizers, float32 codebook snap mirrored with
+# CAST(x AS REAL).  Training means differ cross-engine by summation
+# order only (~1 ulp); the serving folds are the bit-matched
+# left-to-right forms of the untrained oracle, and the visible cosine
+# is ROUND(...,6), so the hash is stable unless an assignment
+# genuinely flips -- verified green at sf0.001 and sf0.01.  Quality is
+# additionally pinned by the recall-vs-brute-force and
+# distortion-reduction tests in tests/test_mining_ops.py.
 
 _TRAINED_CB_CACHE: dict = {}
 
@@ -1581,4 +1589,183 @@ def similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id", "rank"))
 
 
+def _ivfpq_trained_oracle_sql(iters: int = 5, k: int = 5) -> str:
+    """Unrolled deterministic-Lloyd oracle for the trained IVF-PQ stack.
+
+    Training half (new in round 8): ``iters`` chained CTE stages per
+    quantizer.  IVF is spherical k-means over unit vectors -- assignment
+    ranks dot(u, centroid) DESC with cell ASC tie-break (numpy argmax =
+    first max), update is the normalized per-cell mean with empty cells
+    keeping their previous direction.  PQ is per-subspace L2 Lloyd --
+    assignment mirrors the numpy form ``-2*x.c + c.c`` exactly (NOT the
+    algebraically-equal full square: same argmin, different ulp), code
+    ASC tie-break, empty codes keep their previous entry.  The final PQ
+    codebook snaps to float32 via CAST(x AS REAL) to mirror
+    ``CBS.astype(np.float32)``.
+
+    Serving half: identical structure to SIMILARITY_IVFPQ_SQL with the
+    trained CTEs swapped in for the lowest-id codebooks; reconstruction
+    distance uses the full (x-c)^2 form because the serving-side numpy
+    (operators/similarity._ivfpq_search_core) does.  Cross-engine float
+    noise enters only through training-mean summation order (~1 ulp);
+    the visible cosine is ROUND(...,6) so the value hash tolerates it."""
+    dim, m, sub = _sim.DIM, _sim.PQ_M, _sim.PQ_SUB
+    kcb, nlist, nprobe = _sim.PQ_K, _sim.IVF_NLIST, _sim.IVF_NPROBE
+    nrm = (
+        f"sqrt(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    )
+    parts = [f"""
+WITH n AS (
+  SELECT * FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings) WHERE nrm > 0
+), corpus AS (
+  SELECT * FROM n WHERE vec_id % 10 <> 7
+), qset AS (
+  SELECT * FROM n WHERE vec_id % 10 = 7
+), dims AS (
+  SELECT unnest(range(1, {dim + 1})) AS i
+), subdims AS (
+  SELECT unnest(range(1, {sub + 1})) AS i
+), subsp AS (
+  SELECT unnest(range(0, {m})) AS s
+), u AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) / nrm) AS uv
+  FROM corpus
+), c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(range(1, {dim + 1}),
+           i -> CAST(embedding[i] AS DOUBLE)
+                / sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                    j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS cv
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {nlist})
+), pv AS (
+  SELECT v.vec_id, s.s,
+         list_transform(range(1, {sub + 1}),
+           i -> CAST(v.embedding[s.s * {sub} + i] AS DOUBLE)) AS xv
+  FROM corpus v CROSS JOIN subsp s
+), k0 AS (
+  SELECT s.s, ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1 AS code,
+         list_transform(range(1, {sub + 1}),
+           i -> CAST(b.embedding[s.s * {sub} + i] AS DOUBLE)) AS cv
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT {kcb}) b
+  CROSS JOIN subsp s
+)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""", a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                        i -> u.uv[i] * c.cv[i])) DESC, c.cell ASC) AS rn
+    FROM u CROSS JOIN c{p} c
+  ) WHERE rn = 1
+), g{t} AS (
+  SELECT cell, list(sv / cnt ORDER BY i) AS mv
+  FROM (SELECT a.cell, d.i, SUM(u.uv[d.i]) AS sv, COUNT(*) AS cnt
+        FROM a{t} a JOIN u USING (vec_id) CROSS JOIN dims d
+        GROUP BY a.cell, d.i)
+  GROUP BY cell
+), c{t} AS (
+  SELECT p.cell,
+         CASE WHEN g.mv IS NULL THEN p.cv
+              WHEN sqrt(list_sum(list_transform(g.mv, x -> x * x))) = 0 THEN g.mv
+              ELSE list_transform(g.mv,
+                x -> x / sqrt(list_sum(list_transform(g.mv, y -> y * y)))) END AS cv
+  FROM c{p} p LEFT JOIN g{t} g USING (cell)
+), pa{t} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, kb.code,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.s
+             ORDER BY -2.0 * list_sum(list_transform(range(1, {sub + 1}),
+                        i -> p.xv[i] * kb.cv[i]))
+                      + list_sum(list_transform(kb.cv, x -> x * x)) ASC,
+                      kb.code ASC) AS rn
+    FROM pv p JOIN k{p} kb ON p.s = kb.s
+  ) WHERE rn = 1
+), pg{t} AS (
+  SELECT s, code, list(sv / cnt ORDER BY i) AS mv
+  FROM (SELECT a.s, a.code, d.i, SUM(p.xv[d.i]) AS sv, COUNT(*) AS cnt
+        FROM pa{t} a JOIN pv p ON a.vec_id = p.vec_id AND a.s = p.s
+        CROSS JOIN subdims d
+        GROUP BY a.s, a.code, d.i)
+  GROUP BY s, code
+), k{t} AS (
+  SELECT p.s, p.code, COALESCE(g.mv, p.cv) AS cv
+  FROM k{p} p LEFT JOIN pg{t} g ON p.s = g.s AND p.code = g.code
+)""")
+    cdot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i]))"
+    )
+    parts.append(f""", centroids AS (
+  SELECT cell, cv,
+         sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+  FROM c{iters}
+), cb32 AS (
+  SELECT s, code,
+         list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cv
+  FROM k{iters}
+), home AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM corpus v CROSS JOIN centroids c
+  ) WHERE pr = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cdot} / (v.nrm * c.cn) DESC, c.cell ASC) AS pr
+    FROM qset v CROSS JOIN centroids c
+  ) WHERE pr <= {nprobe}
+), assigned AS (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, kb.code,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.s
+             ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                        i -> (p.xv[i] - kb.cv[i]) * (p.xv[i] - kb.cv[i]))) ASC,
+                      kb.code ASC) AS rn
+    FROM pv p JOIN cb32 kb ON p.s = kb.s
+  ) WHERE rn = 1
+), recon AS (
+  SELECT a.vec_id,
+         flatten(list(kb.cv ORDER BY a.s)) AS rv
+  FROM assigned a JOIN cb32 kb ON a.s = kb.s AND a.code = kb.code
+  GROUP BY a.vec_id
+), recon_n AS (
+  SELECT vec_id, rv,
+         sqrt(list_sum(list_transform(range(1, {dim + 1}),
+           i -> rv[i] * rv[i]))) AS rn
+  FROM recon
+), cands AS (
+  SELECT DISTINCT p.vec_id AS qid, h.vec_id AS nid
+  FROM probes p JOIN home h ON p.cell = h.cell
+), scored AS (
+  SELECT qid, nid,
+         list_sum(list_transform(range(1, {dim + 1}),
+           i -> CAST(qn.embedding[i] AS DOUBLE) * r.rv[i]))
+           / (qn.nrm * r.rn) AS cosine
+  FROM cands JOIN n qn ON qid = qn.vec_id
+  JOIN recon_n r ON nid = r.vec_id
+  WHERE r.rn > 0
+)
+SELECT qid AS vec_id, rank, nid AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY vec_id, rank
+""")
+    return "".join(parts)
+
+
+SIMILARITY_IVFPQ_TRAINED_SQL = _ivfpq_trained_oracle_sql()
+
 QUERIES["similarity_ivfpq_trained"] = similarity_ivfpq_trained
+ORACLES["similarity_ivfpq_trained"] = SIMILARITY_IVFPQ_TRAINED_SQL

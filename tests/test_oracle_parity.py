@@ -33,10 +33,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_all_queries_have_oracle_or_reason():
     missing = set(_QUERIES) - set(_ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list
-    # explicit so additions are deliberate.  similarity_ivfpq_trained is
-    # the one deliberate omission (round 7): iterative k-means training
-    # has no DuckDB re-implementation with verification value -- the
-    # driver records its rows-only check, and quality is pinned by the
-    # recall/distortion tests in test_mining_ops.py.
-    allowed_missing: set[str] = {"similarity_ivfpq_trained"}
+    # explicit so additions are deliberate.  Empty since round 8:
+    # similarity_ivfpq_trained (the round-7 omission) gained an
+    # unrolled deterministic-Lloyd oracle -- fixed-count iteration is
+    # SQL-expressible the same way pagerank_neardup's CTE is.
+    allowed_missing: set[str] = set()
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
