@@ -240,6 +240,76 @@ ORDER BY key
 """
 
 
+# --- changelog AUTHDIFF replay: the SET command's data op -------------------
+# SET appends an AUTHDIFF record (username, profile bytes) and replay
+# upserts it last-write-wins (p3/server/my_storage.cc:150-169 writes
+# the record; load_file:573-702 applies it).  Two dispatch-parity rules
+# the round-7 degenerate-file work pinned (engine.py:363-447) are the
+# interesting semantics: duplicate REG inserts are FIRST-value-wins,
+# and an AUTHDIFF for a user with no REG record still creates the
+# entry (empty-credential upsert), so the user exists with an
+# "implicit" registration.  Modeled on the events log: 'signup' plays
+# REG (first per user wins), 'view' plays AUTHDIFF/SET (last per user
+# wins, its props string is the profile content).  One shuffle on the
+# key; the profile pick rides the same hash aggregate as the seq
+# census via max(struct(seq, props)) -- no second shuffle, no window
+# pass over the full log.
+
+def changelog_authdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    is_reg = F.col("event_type") == "signup"
+    is_set = F.col("event_type") == "view"
+    return (
+        ev.filter(is_reg | is_set)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.min(F.when(is_reg, F.col("event_id"))), F.lit(-1))
+            .cast("long").alias("reg_seq"),
+            F.coalesce(F.max(F.when(is_set, F.col("event_id"))), F.lit(-1))
+            .cast("long").alias("profile_seq"),
+            F.count(F.when(is_set, F.lit(1))).cast("long").alias("n_sets"),
+            # struct max orders by seq first (unique per user), so this
+            # IS the latest-record-wins window dedup fused into the agg
+            F.max(F.when(is_set, F.struct("event_id", "props")))
+            .alias("last_set"),
+        )
+        .select(
+            F.col("user_id").alias("key"),
+            "reg_seq",
+            (F.col("reg_seq") == -1).cast("long").alias("implicit_reg"),
+            "profile_seq",
+            F.coalesce(F.col("last_set.props"), F.lit("")).alias("profile"),
+            "n_sets",
+        )
+        .orderBy("key")
+    )
+
+
+CHANGELOG_AUTHDIFF_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(MIN(CASE WHEN event_type = 'signup' THEN event_id END), -1) AS BIGINT) AS reg_seq,
+         CAST(COALESCE(MAX(CASE WHEN event_type = 'view' THEN event_id END), -1) AS BIGINT) AS profile_seq,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_sets
+  FROM events
+  WHERE event_type IN ('signup', 'view')
+  GROUP BY user_id
+), prof AS (
+  -- the same window dedup as changelog_replay, restricted to AUTHDIFF
+  SELECT user_id, props FROM (
+    SELECT user_id, props,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT p.user_id AS key, reg_seq,
+       CAST(CASE WHEN reg_seq = -1 THEN 1 ELSE 0 END AS BIGINT) AS implicit_reg,
+       profile_seq, COALESCE(pr.props, '') AS profile, n_sets
+FROM per_user p LEFT JOIN prof pr ON p.user_id = pr.user_id
+ORDER BY key
+"""
+
+
 # --- KVT: MRU top-k (p4/server/my_mru.cc) --------------------------------
 # Recency table -> order by last access desc, limit top_size.  Dedup
 # happens in the max() aggregate; eviction is the LIMIT.
@@ -519,6 +589,7 @@ QUERIES = {
     "kv_upsert_classify": kv_upsert_classify,
     "changelog_replay": changelog_replay,
     "changelog_asof": changelog_asof,
+    "changelog_authdiff": changelog_authdiff,
     "kv_top_mru": kv_top_mru,
     "quota_sliding_window": quota_sliding_window,
     "auth_hash_users": auth_hash_users,
@@ -536,6 +607,7 @@ ORACLES = {
     "kv_upsert_classify": KV_UPSERT_SQL,
     "changelog_replay": CHANGELOG_REPLAY_SQL,
     "changelog_asof": CHANGELOG_ASOF_SQL,
+    "changelog_authdiff": CHANGELOG_AUTHDIFF_SQL,
     "kv_top_mru": KV_TOP_SQL,
     "quota_sliding_window": QUOTA_WINDOW_SQL,
     "auth_hash_users": AUTH_HASH_SQL,

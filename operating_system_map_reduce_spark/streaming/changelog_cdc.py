@@ -119,6 +119,11 @@ class ChangelogStreamSink:
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(tmp, name)
+            # Spark's parquet writer does NOT fsync data files, so the
+            # sink fsyncs each completed part file itself (a read-only
+            # fd flushes that file's dirty pages on Linux) BEFORE the
+            # rename publishes it -- the same contents-then-metadata
+            # ordering ChangeLog.append uses.
             with open(src, "rb") as f:
                 os.fsync(f.fileno())
             dst = os.path.join(

@@ -58,7 +58,9 @@ _SEED_CACHE: dict = {}
 
 def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame,
                 ) -> tuple[str, str]:
-    key = (id(spark), os.path.abspath(sf_dir))
+    # applicationId, not id(spark): CPython reuses object ids after GC,
+    # so a new session could silently hit a dead session's cache slot
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     slot = _SEED_CACHE.get("seed")
     if slot is not None and slot[0] == key:
         return slot[1]
@@ -88,7 +90,18 @@ def _wave_col():
     return F.expr(f"(doc_id div 10) % {NOVELTY_WAVES}")
 
 
-def run_novelty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_novelty_stream(spark: SparkSession, sf_dir: str,
+                       out_dir: str | None = None) -> DataFrame:
+    """Returns a LAZY frame over the written admission log.
+
+    The log lands under ``out_dir`` (caller-owned; a fresh session-lived
+    directory when omitted), partitioned by ``wave`` so both the
+    per-wave index-append re-read and any downstream wave filter prune
+    files instead of scanning the whole log.  Only scratch state (the
+    wave source files, the private index copy, the checkpoint) lives in
+    the run's workdir and is deleted on exit -- the result outlives the
+    call, so nothing is collected through the driver (at 100 TB an
+    arriving wave-set is not driver-sized)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_batch = F.col("doc_id") % 10 == 7
     corpus = docs.filter(~is_batch)
@@ -97,7 +110,9 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     bands_dir = os.path.join(work, "index_bands")
     hashes_dir = os.path.join(work, "index_hashes")
-    log_dir = os.path.join(work, "admission_log")
+    # the admission log is the RESULT: it must outlive the workdir
+    log_root = out_dir or tempfile.mkdtemp(prefix="novelty-admissions-")
+    log_dir = os.path.join(log_root, f"log-{uuid.uuid4().hex[:12]}")
     ckpt_dir = os.path.join(work, "checkpoint")
     os.makedirs(src_dir)
 
@@ -176,7 +191,9 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_band_hits") == 0) & (F.col("exact_dup") == 0))
                     .cast("long"))
             )
-            log.write.mode("append").parquet(log_dir)
+            # partitioned by wave: the index-append re-read below and
+            # any downstream wave filter prune to one wave's files
+            log.write.mode("append").partitionBy("wave").parquet(log_dir)
             # drive the index appends from the WRITTEN log, not the
             # in-memory frame: `log` derives from `hashes`/`bands`, and
             # joining a frame back against its own ancestor is the
@@ -208,15 +225,11 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .trigger(availableNow=True).start())
             q.awaitTermination()
 
-        result = (spark.read.parquet(log_dir)
-                  .select("doc_id", "wave", "n_band_hits", "exact_dup",
-                          "admitted")
-                  .orderBy("doc_id"))
-        # materialize the admission LOG (the query's result -- slim,
-        # |arriving-docs|-bounded rows any caller collects anyway)
-        # before the scratch workdir disappears; documents themselves
-        # never reach the driver
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # lazy result over the persisted log -- no driver round-trip;
+        # wave comes back as a partition column, so pin its type
+        return (spark.read.parquet(log_dir)
+                .select("doc_id", F.col("wave").cast("long").alias("wave"),
+                        "n_band_hits", "exact_dup", "admitted")
+                .orderBy("doc_id"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
