@@ -75,10 +75,13 @@ ORDER BY l_returnflag, l_linestatus
 
 
 # --- q3_shipping_priority: selective join chain + top-k --------------------
-# customer(filter) -> orders -> lineitem; customer side broadcasts, the
-# orders-lineitem join shuffles on orderkey (their natural co-partition
-# key -- at scale both sides would be bucketed by orderkey, making this
-# join shuffle-free).
+# customer(filter) -> orders -> lineitem; the orders-lineitem join
+# shuffles on orderkey (their natural co-partition key -- at scale both
+# sides would be bucketed by orderkey, making this join shuffle-free).
+# No broadcast hint on customer: it grows with SF, so the choice
+# belongs to AQE's runtime size estimate (it still broadcasts the
+# filtered segment at small SF), not a hard-coded hint that becomes a
+# driver OOM at 100 TB.
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -86,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -125,8 +128,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # supplier/customer grow with SF -- no hard hints; AQE
+        # broadcasts them while they fit and shuffles when they don't.
+        # nation/region below keep theirs: 25/5 rows at every SF.
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -395,21 +401,23 @@ ORDER BY window_start_us, event_type
 # AFTER their first view, then purchased at or after that first
 # qualifying click.  Sequential dependence makes this a chain of
 # stage-anchored joins (each stage joins the per-user anchor of the
-# previous one -- anchors are |users|-sized, broadcastable at most
-# scales; the fact table is scanned once per stage with the type filter
-# pushed to parquet).  avg lag is an exact integer sum / count.
+# previous one; the fact table is scanned once per stage with the type
+# filter pushed to parquet).  Anchors are |users|-sized -- they GROW
+# with the corpus, so no hard broadcast hint: AQE broadcasts while
+# they fit, else all three joins hash-shuffle on the same user_id key
+# and reuse one partitioning.  avg lag is an exact integer sum / count.
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts_us", "event_type")
     a = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts_us").alias("ta")))
     b = (ev.filter(F.col("event_type") == "click")
-         .join(F.broadcast(a), "user_id")
+         .join(a, "user_id")
          .filter(F.col("ts_us") >= F.col("ta"))
          .groupBy("user_id")
          .agg(F.min("ts_us").alias("tb"), F.min("ta").alias("ta")))
     c = (ev.filter(F.col("event_type") == "purchase")
-         .join(F.broadcast(b), "user_id")
+         .join(b, "user_id")
          .filter(F.col("ts_us") >= F.col("tb"))
          .groupBy("user_id")
          .agg(F.min("ts_us").alias("tc"), F.min("tb").alias("tb")))
@@ -480,7 +488,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = ((F.col("ts_us") - F.col("ts_us") % _COHORT_BUCKET_US)
             - F.col("cohort_us")) / _COHORT_BUCKET_US
     return (
-        ev.join(F.broadcast(anchors), "user_id")
+        # anchors are |users|-sized (corpus-growing): no hard broadcast
+        # hint; both sides key on user_id so the shuffle fallback
+        # co-partitions with the anchor aggregate above
+        ev.join(anchors, "user_id")
         .withColumn("offset_h", offs.cast("long"))
         .filter(F.col("offset_h").between(0, 3))
         .groupBy("cohort_us", "offset_h")
@@ -1447,8 +1458,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .alias("revenue"),
+            # ROUND(...,6) on the visible sum (repo float discipline):
+            # the summands are 4-decimal-aligned, so the 6th-decimal
+            # half-boundary sits >= 5e-6 from any true value -- far
+            # beyond cross-engine summation-order ulp noise
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6).alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -1456,7 +1472,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_SQL = """
 SELECT p_brand, COUNT(*) AS n_items,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 1 AND 20)

@@ -298,7 +298,10 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     logcnt = uni.select("tok", F.log(F.col("cnt")).alias("logcnt"))
     scored = (
-        tokens.join(F.broadcast(logcnt), "tok")
+        # the unigram table is vocab-sized -- it grows with the corpus
+        # (heavy-tailed, but unbounded), so no hard broadcast hint; the
+        # token explode and the vocab join share the tok shuffle key
+        tokens.join(logcnt, "tok")
         .groupBy("doc_id", "lang")
         .agg(F.avg("logcnt").alias("mean_logcnt"),
              F.count(F.lit(1)).alias("n_tokens"))

@@ -62,8 +62,10 @@ class TestPlanShape:
         assert "ReadSchema: struct<p_partkey:bigint,p_name:string>" in plan, plan
 
     def test_small_dims_broadcast_in_q5(self, spark, sf_dir):
-        """region/nation/supplier dims ride broadcast joins; the big
-        fact tables never shuffle for them."""
+        """region/nation (constant 5/25-row dims) ride hinted broadcast
+        joins; supplier/customer grow with SF so their join strategy is
+        AQE's call -- the pin only asserts the constant dims never
+        shuffle the fact tables."""
         plan = _plan(_QUERIES["q5_region_revenue"](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, plan
 
