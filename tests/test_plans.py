@@ -117,57 +117,63 @@ class TestRegistryWindow:
     entries; the rotation policy promises every never-driver-checked
     query a seat inside that window."""
 
-    # Round-7 policy: never-checked first, then changed-definition
-    # re-entries, then oldest-newest-row-first; hard ceiling = newest
-    # green row at most two rounds behind HEAD at judge time.
-    NEVER_CHECKED_THROUGH_R6 = [
-        "fuzzy_match_symspell",        # new in round 7
-        "similarity_ivfpq_trained",    # new in round 7 (rows-only)
-        "dedup_semantic",              # new in round 7 (SemDeDup)
-        "q19_disjunctive_revenue",     # new in round 7 (OR-of-ANDs)
-        "q18_large_orders",            # new in round 7 (agg semi-join)
-        "stream_novelty_filter",       # new in round 7 (crawl cascade)
-        "changelog_asof",              # new in round 7 (time travel)
-        "skew_salted_join",            # new in round 7 (salted join)
+    # Round-8 policy: never-green first, then changed-definition
+    # re-entries, then the r5-stale cohort (ALL of it -- the round-7
+    # verdict's directive #1), then r6 refresh reference-faces-first;
+    # hard ceiling = newest green row at most two rounds behind HEAD
+    # at judge time.
+    NEVER_GREEN_THROUGH_R7 = [
+        "changelog_authdiff",          # new in round 8 (SET/AUTHDIFF)
+        "similarity_ivfpq_trained",    # oracle-less until round 8
     ]
-    REDEFINED_IN_R7 = [
-        "orders_above_customer_avg",   # epsilon compare
-        "events_gap_fill",             # 168 h retention clamp
-        "similarity_cosine_topk",      # blocked exact-knn plan
-        "text_tfidf_top_terms",        # map-side df dedup, hint dropped
+    REDEFINED_IN_R8 = [
+        "q19_disjunctive_revenue",     # revenue ROUND(.,6)
+        "stream_novelty_filter",       # lazy wave-partitioned result
+        "events_funnel",               # anchor broadcast hints dropped
+        "events_retention_cohorts",    # anchor broadcast hint dropped
+        "q3_shipping_priority",        # customer hint dropped
+        "q5_region_revenue",           # supplier/customer hints dropped
     ]
-    R4_STALE = [
-        "mr_odd_key_vals", "contamination_check", "kv_aes_at_rest",
-        "pipeline_corpus_curation", "sample_stratified",
-        "similarity_ivf_knn", "sketch_distinct_tokens", "split_assign",
+    R5_STALE = [
+        "kv_mix_ops", "zorder_cluster_stats", "quality_filter_composite",
+        "dedup_span_exact", "doc_length_quantiles", "embedding_quantize",
+        "events_ohlc", "events_type_pivot", "events_type_unpivot",
+        "events_user_paths", "interval_overlap_errors", "lm_unigram_score",
+        "orders_customer_reconcile", "orders_monthly_growth",
+        "pack_sequences", "profile_orders", "q6_forecast_revenue",
+        "sample_weighted", "token_bpe_pretokenize",
     ]
-    STREAMING_SEMANTICS_FACES = [
-        "stream_quota_admission", "stream_mru_types",
+    REFERENCE_COMMAND_FACES = [
+        "kv_get_point", "kv_all_keys", "kv_insert_guarded",
+        "kv_upsert_classify", "changelog_replay", "kv_top_mru",
+        "quota_sliding_window", "auth_hash_users", "all_users_fold",
+        "fn_registry_doc_stats",
     ]
 
-    def test_never_checked_queries_inside_gate_window(self):
+    def test_never_green_queries_inside_gate_window(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.NEVER_CHECKED_THROUGH_R6
+        missing = [n for n in self.NEVER_GREEN_THROUGH_R7
                    if n not in window]
         assert not missing, f"outside the 50-entry gate window: {missing}"
 
     def test_redefined_queries_reenter_the_window(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.REDEFINED_IN_R7 if n not in window]
+        missing = [n for n in self.REDEFINED_IN_R8 if n not in window]
         assert not missing, f"redefined queries missing a re-check: {missing}"
 
     def test_stalest_queries_lead_the_refresh(self):
         window = list(_QUERIES)[:50]
-        missing = [n for n in self.R4_STALE + self.STREAMING_SEMANTICS_FACES
+        missing = [n for n in self.R5_STALE + self.REFERENCE_COMMAND_FACES
                    if n not in window]
         assert not missing, f"at-ceiling queries missing a refresh seat: {missing}"
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 116
+        assert len(_QUERIES) == len(set(_QUERIES)) == 117
         assert set(oracles) <= set(_QUERIES)
-        # the only oracle-less entries are the documented non-SQL ops
-        assert set(_QUERIES) - set(oracles) == {"similarity_ivfpq_trained"}
+        # every registered query is oracled since round 8 (the trained
+        # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
+        assert set(_QUERIES) - set(oracles) == set()
 
 
 class TestRound5PlanShapes:
