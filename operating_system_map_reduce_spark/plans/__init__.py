@@ -63,37 +63,51 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # window is not ours to choose; alternating halves is, and it
     # degrades gracefully.
     #
-    # Round 8 (registry 117): the two never-green entries lead
+    # Round 8 (registry 124): the nine never-green entries lead
     # (changelog_authdiff -- new, the SET/AUTHDIFF replay face;
     # similarity_ivfpq_trained -- registered r7 but rows-only until its
     # unrolled deterministic-Lloyd oracle landed this round, so it has
-    # never had a green hash row); then the six redefined-in-r8 entries
-    # under rule 2 (q19_disjunctive_revenue -- revenue now ROUND(.,6);
-    # stream_novelty_filter -- result re-planned lazy/storage-backed,
-    # wave-partitioned; events_funnel + events_retention_cohorts +
-    # q3_shipping_priority + q5_region_revenue -- SF-growing broadcast
-    # hints dropped, join strategy now AQE's); then ALL NINETEEN
-    # r5-newest-row queries (exactly at the ceiling -- the round-7
-    # verdict's directive #1); then 23 of the 45 remaining r6-green
-    # entries, chosen reference-semantics-first (the ten KV/changelog/
-    # quota/MRU command faces predate two rounds of engine/changelog
-    # refactors), then core TPC-H, dedup, and temporal-join faces.
-    # Deferred to round 9, where they MUST lead (their newest row r6
-    # hits the ceiling there): orders_rollup, customer_order_coverage,
-    # events_sessionize, events_json_extract,
-    # inactive_customers_by_nation, brand_supplier_breadth,
-    # repeat_buyer_setops, skew_salted_distinct,
-    # supplier_brand_division, token_count, text_lang_id,
-    # doc_fingerprint, text_repetition, similarity_lsh_buckets,
-    # similarity_lsh_knn, dedup_embedding_cosine, multimodal_metadata,
+    # never had a green hash row; the six new TPC-H plan-quality faces
+    # q7/q8/q10/q14/q17/q22 and the BM25 retrieval face); then the six
+    # redefined-in-r8 entries under rule 2 (q19_disjunctive_revenue --
+    # revenue now ROUND(.,6); stream_novelty_filter -- result
+    # re-planned lazy/storage-backed, wave-partitioned; events_funnel +
+    # events_retention_cohorts + q3_shipping_priority +
+    # q5_region_revenue -- SF-growing broadcast hints dropped, join
+    # strategy now AQE's); then ALL NINETEEN r5-newest-row queries
+    # (exactly at the ceiling -- the round-7 verdict's directive #1);
+    # then 16 of the 45 remaining r6-green entries, chosen
+    # reference-semantics-first (the ten KV/changelog/quota/MRU command
+    # faces predate two rounds of engine/changelog refactors), then
+    # core TPC-H and temporal-join faces.  Deferred to round 9, where
+    # they MUST lead (their newest row r6 hits the ceiling there):
+    # orders_rollup, customer_order_coverage, events_sessionize,
+    # events_json_extract, inactive_customers_by_nation,
+    # brand_supplier_breadth, repeat_buyer_setops, skew_salted_distinct,
+    # supplier_brand_division, nation_rolling_revenue,
+    # orders_grouping_sets, dedup_exact, dedup_minhash_lsh,
+    # dedup_simhash, dedup_ngram_jaccard, text_quality, token_count,
+    # text_lang_id, doc_fingerprint, text_repetition,
+    # similarity_lsh_buckets, similarity_lsh_knn,
+    # dedup_embedding_cosine, multimodal_metadata,
     # multimodal_frame_sample, multimodal_resize, multimodal_features,
-    # doc_chunk_windows, bpe_merge_pairs (22 entries; all carry pinned
+    # doc_chunk_windows, bpe_merge_pairs (29 entries; all carry pinned
     # local tests -- the multimodal family has injectable-codec pytest
-    # coverage, the LSH family property differentials).
+    # coverage, the LSH/dedup families property differentials).
     window8 = [
         # -- never green ----------------------------------------------
         "changelog_authdiff",
         "similarity_ivfpq_trained",
+        # -- new in round 8 (never driver-checked): the TPC-H plan-
+        # quality batch (decorrelated Q17, anti-join Q22, dual-nation
+        # Q7, conditional-share Q8/Q14, top-k Q10) + BM25 retrieval
+        "q7_nation_volume",
+        "q8_market_share",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q17_small_quantity",
+        "q22_dormant_value",
+        "text_bm25_topk",
         # -- redefined in round 8 (rule 2) ----------------------------
         "q19_disjunctive_revenue",
         "stream_novelty_filter",
@@ -136,14 +150,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q1_pricing_summary",
         "q4_order_priority",
         "top_customers_window",
-        "nation_rolling_revenue",
-        "orders_grouping_sets",
-        # -- r6 refresh: dedup / text ---------------------------------
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "text_quality",
         # -- r6 refresh: temporal / streaming -------------------------
         "asof_click_attribution",
         "range_join_prior_activity",

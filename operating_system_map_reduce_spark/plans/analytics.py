@@ -1530,6 +1530,292 @@ ORDER BY o_totalprice DESC, o_orderkey
 """
 
 
+# --- q7_nation_volume: dual-nation shipping volume (TPC-H Q7) --------------
+# Revenue shipped between NATION_1 and NATION_2 (both directions) by
+# (supplier nation, customer nation, ship year).  Plan quality face:
+# the nation-pair predicate is applied to the DIM SIDES before any
+# fact join -- customer and supplier shrink to two nations' rows ahead
+# of the shuffle, so the fact tables join against pre-filtered sides
+# instead of filtering post-join (a post-join filter would shuffle
+# ~96% dead rows).  nation is constant (25 rows) and keeps its
+# broadcast; supplier/customer strategy is AQE's.  The reference's
+# engine would express this as chained scan+fold passes (SURVEY.md
+# section 2.5); Spark states the join graph and Catalyst orders it.
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q7_NATIONS))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 6) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN {_Q7_NATIONS} AND cn.n_name IN {_Q7_NATIONS}
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q8_market_share: conditional-share ratio (TPC-H Q8) -------------------
+# Of all PROMO-part revenue sold to EUROPE customers per order year,
+# the share supplied by NATION_3.  Plan quality face: the share is ONE
+# aggregate with a conditional numerator (sum(when)/sum) -- a naive
+# translation computes two aggregates and joins them, doubling the
+# fact scan.  part(PROMO) filters before the fact join; region/nation
+# stay broadcast; the supplier-nation flag is resolved pre-aggregation
+# so the group-by carries (year) only.
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = (nation
+                .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+                .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", (F.col("n_name") == "NATION_3").alias("is_target")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(F.when(F.col("is_target"), vol).otherwise(F.lit(0.0)))
+                     / F.sum(vol), 6).alias("mkt_share"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- q10_returned_items: top-k revenue-at-risk customers (TPC-H Q10) -------
+# Customers ranked by revenue on RETURNED items for one order quarter.
+# Plan quality face: both selective predicates push into their own
+# scans (o_orderdate range -> orders, l_returnflag = 'R' -> lineitem)
+# BEFORE the orderkey join, and the top-20 plans as
+# TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+# partials), never a global sort of the aggregate.
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- q14_promo_revenue: single-pass conditional ratio (TPC-H Q14) ----------
+# PROMO-part share of one ship month's revenue.  The selective range
+# predicate pushes into the lineitem scan, the p_type flag rides the
+# partkey join as a boolean projection, and the ratio is a single
+# aggregate -- numerator and denominator in the same map-side partial,
+# one fact scan total.
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01")))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(F.lit(100.0)
+                     * F.sum(F.when(F.col("is_promo"), vol).otherwise(F.lit(0.0)))
+                     / F.sum(vol), 6).alias("promo_pct"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+"""
+
+
+# --- q17_small_quantity: correlated-avg revenue loss (TPC-H Q17) -----------
+# Average yearly revenue lost if small-quantity orders (below 50% of
+# the part's average quantity) were not taken, for one brand.  Plan
+# quality face: the correlated scalar subquery (avg per part) is
+# DECORRELATED into a window keyed on partkey -- ONE scan of the
+# brand's lineitems and one shuffle, vs the aggregate-then-self-join
+# form (two fact scans) or a correlated re-execution per row (a
+# rescan per part).  The window partitions by l_partkey, so no global
+# sort and no single-partition funnel.
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#22") \
+        .select("p_partkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(part, F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    half_avg = (F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+                * 0.5)
+    return (
+        li.withColumn("half_avg_qty", half_avg)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+             F.count(F.lit(1)).cast("long").alias("n_small"))
+    )
+
+
+Q17_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#22'
+), avg_qty AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM brand_li JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < half_avg_qty
+"""
+
+
+# --- q22_dormant_value: anti-join + scalar subquery (TPC-H Q22 adapted) ----
+# High-balance customers (above the global average POSITIVE balance)
+# with no orders since 1999, by nation.  The testdata has no phone
+# country codes, so the Q22 cntrycode grouping becomes the nation dim.
+# Plan quality face: the global average is a 1-row aggregate attached
+# via broadcast (constant side -- the documented BNLJ_CONSTANT_SIDE
+# pattern), and NOT EXISTS(orders) plans as a LEFT ANTI join on
+# custkey -- never a per-row subquery probe.  The anti-join's build
+# side is pre-filtered to the date range, so its hash table holds only
+# recent buyers.
+
+def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0) \
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.round(F.sum("c_acctbal"), 6).alias("total_bal"))
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+SELECT n_name, COUNT(*) AS n_custs, ROUND(SUM(c_acctbal), 6) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1999-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "events_ohlc": events_ohlc,
@@ -1562,6 +1848,12 @@ QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q18_large_orders": q18_large_orders,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity": q17_small_quantity,
+    "q22_dormant_value": q22_dormant_value,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1598,4 +1890,10 @@ ORACLES = {
     "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q18_large_orders": Q18_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q22_dormant_value": Q22_SQL,
 }

@@ -1175,6 +1175,109 @@ QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
 ORACLES["text_tfidf_top_terms"] = TFIDF_SQL
 
 
+# --- BM25 top-k retrieval ---------------------------------------------------
+# Okapi BM25 (Robertson et al.; the Lucene-default positive idf
+# ln(1 + (N - df + .5)/(df + .5))) scoring the corpus against a fixed
+# query-term set, returning the top-10 documents.  The retrieval face
+# a training-data pipeline needs for quality-targeted sampling and
+# contamination probes.  100 TB stance: with a FIXED query-term set
+# there is no reason to explode the corpus into (doc, term) rows at
+# all -- per-doc tf for each query term and the doc length are ARRAY
+# EXPRESSIONS on the token array (size + size-of-filter, whole-stage
+# codegen, zero shuffle), so the whole query is two corpus scans --
+# one feeding the 1-row stats aggregate (n/avgdl/df per term, attached
+# via broadcast), one scoring -- and a TakeOrderedAndProject for the
+# cut.  Compare the naive explode/groupBy formulation: four corpus
+# scans and a token-stream shuffle of every (doc, term) pair.  Ranking ties break on ROUND(score, 6) then doc_id so
+# cross-engine ulp noise cannot reorder the cut.
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    def tok_eq(term: str):
+        # a one-parameter lambda per term: a default-arg capture would
+        # make pyspark pass the (element, index) pair instead
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, tok_eq(term))).cast("double").alias(f"tf_{i}")
+        for i, term in enumerate(_BM25_TERMS)
+    ]
+    per_doc = docs.select("doc_id", F.size(toks).cast("double").alias("dl"),
+                          *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+          for i in range(len(_BM25_TERMS))])
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+
+    def idf(i: int):
+        return F.log(1.0 + (F.col("n") - F.col(f"df_{i}") + 0.5)
+                     / (F.col(f"df_{i}") + 0.5))
+
+    def w(i: int):
+        tf = F.col(f"tf_{i}")
+        return idf(i) * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+
+    score = sum((w(i) for i in range(1, len(_BM25_TERMS))), w(0))
+    n_terms = sum((F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+                   for i in range(1, len(_BM25_TERMS))),
+                  F.when(F.col("tf_0") > 0, 1).otherwise(0))
+    return (per_doc.crossJoin(F.broadcast(stats))
+            .filter(sum((F.col(f"tf_{i}") for i in range(1, len(_BM25_TERMS))),
+                        F.col("tf_0")) > 0)
+            .select("doc_id", F.round(score, 6).alias("score"),
+                    n_terms.cast("long").alias("n_terms"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(_BM25_TOPK))
+
+
+BM25_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS u(t)
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM exploded GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl FROM dl
+), ndocs AS (
+  SELECT COUNT(*) AS n FROM documents
+), qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM exploded
+  WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df,
+         ln(1.0 + ((SELECT n FROM ndocs) - COUNT(*) + 0.5)
+                  / (COUNT(*) + 0.5)) AS idf
+  FROM qtf GROUP BY term
+)
+SELECT doc_id, ROUND(SUM(w), 6) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM (
+  SELECT qtf.doc_id,
+         dfreq.idf * (qtf.tf * ({_BM25_K1} + 1))
+         / (qtf.tf + {_BM25_K1} * (1 - {_BM25_B}
+            + {_BM25_B} * dl.dl / (SELECT avgdl FROM stats))) AS w
+  FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+ORACLES["text_bm25_topk"] = BM25_SQL
+
+
 # --- IVF approximate knn -----------------------------------------------------
 # The trained-codebook-free IVF: centroids are the NLIST lowest-id
 # vectors, assignment is argmax cosine over the broadcast centroid

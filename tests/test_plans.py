@@ -25,7 +25,9 @@ ALLPAIRS_BY_DESIGN: set = set()
 # all-pairs blowup.  CartesianProduct stays forbidden for these.
 BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
                       "basket_part_pairs", "pagerank_neardup",
-                      "supplier_brand_division"}
+                      "supplier_brand_division",
+                      "q22_dormant_value",   # 1-row global avg balance
+                      "text_bm25_topk"}      # 1-row n/avgdl/df stats
 
 _QUERIES = entrymod.queries()
 
@@ -125,6 +127,13 @@ class TestRegistryWindow:
     NEVER_GREEN_THROUGH_R7 = [
         "changelog_authdiff",          # new in round 8 (SET/AUTHDIFF)
         "similarity_ivfpq_trained",    # oracle-less until round 8
+        "q7_nation_volume",            # new in round 8 (TPC-H batch)
+        "q8_market_share",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q17_small_quantity",
+        "q22_dormant_value",
+        "text_bm25_topk",              # new in round 8 (retrieval)
     ]
     REDEFINED_IN_R8 = [
         "q19_disjunctive_revenue",     # revenue ROUND(.,6)
@@ -169,7 +178,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 117
+        assert len(_QUERIES) == len(set(_QUERIES)) == 124
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
@@ -355,7 +364,62 @@ SINGLE_PARTITION_JUSTIFIED = {
     "q6_forecast_revenue",       # single-row pushdown aggregate
     "pagerank_neardup",          # per-iteration 1-row convergence totals
     "supplier_brand_division",   # 1-row brand-count divisor
+    "q14_promo_revenue",         # 1-row conditional-ratio aggregate
+    "q17_small_quantity",        # 1-row revenue-loss aggregate
+    "q22_dormant_value",         # 1-row global avg-balance subquery
+    "text_bm25_topk",            # 1-row avgdl aggregate
 }
+
+
+class TestRound8PlanShapes:
+    def test_q10_topk_never_global_sorts(self, spark, sf_dir):
+        """The top-20 plans as TakeOrderedAndProject (per-partition
+        heaps + driver merge of 20-row partials), never a full sort of
+        the customer aggregate."""
+        plan = _plan(_QUERIES["q10_returned_items"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_q17_decorrelates_to_one_fact_scan(self, spark, sf_dir):
+        """The correlated per-part average is a window over ONE
+        lineitem scan -- the aggregate-then-self-join form would show
+        two lineitem scans, a correlated re-execution many."""
+        plan = _plan(_QUERIES["q17_small_quantity"](spark, sf_dir))
+        li_scans = [s for s in plan.split("FileScan parquet")[1:]
+                    if "l_quantity" in s.split("ReadSchema:")[1][:300]]
+        assert len(li_scans) == 1, plan
+        assert "l_partkey" in plan.split("Window")[1][:400], plan
+
+    def test_q22_not_exists_plans_as_anti_join(self, spark, sf_dir):
+        """NOT EXISTS(recent orders) must be a hash LeftAnti join on
+        custkey -- never a per-row subquery probe or a nested loop."""
+        plan = _plan(_QUERIES["q22_dormant_value"](spark, sf_dir))
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q7_filters_dims_before_fact_joins(self, spark, sf_dir):
+        """The nation-pair predicate shrinks supplier/customer BEFORE
+        they meet lineitem: the n_name IN filter must sit against the
+        nation scans, not above the fact joins."""
+        plan = _plan(_QUERIES["q7_nation_volume"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # ReadSchema ends the scan line: match within it only, or the
+        # next operator's column list false-positives the filter
+        n_scans = [s for s in plan.split("FileScan parquet")[1:]
+                   if "n_name" in
+                   s.split("ReadSchema:")[1].splitlines()[0]]
+        assert n_scans and all("PushedFilters: [In(n_name" in s[:800]
+                               for s in n_scans), plan
+
+    def test_bm25_never_explodes_or_shuffles_the_corpus(self, spark, sf_dir):
+        """Fixed query terms mean tf/dl are array expressions: the
+        plan must contain NO explode and NO hash-partitioned exchange
+        -- the only exchange is the 1-row stats SinglePartition, the
+        only join its constant broadcast."""
+        plan = _plan(_QUERIES["text_bm25_topk"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Generate explode" not in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert plan.count("CartesianProduct") == 0, plan
 
 
 class TestSinglePartitionCensus:
