@@ -94,8 +94,9 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
                        out_dir: str | None = None) -> DataFrame:
     """Returns a LAZY frame over the written admission log.
 
-    The log lands under ``out_dir`` (caller-owned; a fresh session-lived
-    directory when omitted), partitioned by ``wave`` so both the
+    The log lands under ``out_dir`` (caller-owned; a fresh process-lived
+    temp directory when omitted -- per call, so earlier results stay
+    readable), partitioned by ``wave`` so both the
     per-wave index-append re-read and any downstream wave filter prune
     files instead of scanning the whole log.  Only scratch state (the
     wave source files, the private index copy, the checkpoint) lives in
