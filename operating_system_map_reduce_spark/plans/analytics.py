@@ -1816,6 +1816,428 @@ ORDER BY n_name
 """
 
 
+# --- q2_min_cost_supplier: decorrelated correlated-MIN (TPC-H Q2) ----------
+# For each STANDARD small-size part, the supplier(s) offering it at the
+# minimum observed unit cost (the testdata has no partsupp, so the
+# supply relation is derived from lineitem: unit cost = extendedprice /
+# quantity, MIN'd per (part, supplier)).  Plan quality face: Q2's
+# textbook form is a correlated `= (SELECT MIN(..) .. WHERE partkey =
+# outer.partkey)` scalar subquery; a naive translation scans the supply
+# relation once per outer row.  Here it decorrelates to a window MIN
+# over p_partkey on ONE aggregated supply frame: the part filter cuts
+# the fact scan BEFORE the (part, supplier) aggregate, the aggregate
+# shuffles once on (l_partkey, l_suppkey) with map-side partial MIN,
+# and the window's l_partkey exchange re-partitions the already
+# aggregated ~|part x supplier| frame -- never the fact scan -- so the
+# fact table is read and shuffled exactly once at any SF.  (Forcing the
+# aggregate onto the window's single-key partitioning would merge the
+# two exchanges but forfeit the map-side combine on the full join
+# output -- the wrong trade at 100 TB.)  Equality against the window
+# MIN is IEEE-exact: both sides are the same double from the same rows.
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"))
+    # part shrinks with the filter but still grows with SF: no hard
+    # broadcast hint -- AQE picks the strategy from the runtime size
+    supply = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost"))
+    )
+    best = supply.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey")))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        best.filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"),
+                F.round("unit_cost", 6).alias("unit_cost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+   AND p_type = 'STANDARD' AND p_size <= 15
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost FROM supply
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+       ROUND(unit_cost, 6) AS unit_cost
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE unit_cost = best_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+# --- q9_product_profit: multi-dim star join, derived measure (TPC-H Q9) ----
+# Profit per supplier nation per ship year over one part family.  The
+# testdata has no partsupp, so supply cost is surrogated from the part
+# dim (0.6 * p_retailprice per unit).  Plan quality face: the profit
+# expression mixes columns of three tables but is resolved BEFORE the
+# aggregate, so the group-by shuffle carries (nation, year, partial
+# sums) only; the name-pattern filter prunes part before any fact join.
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 6).alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 6) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+"""
+
+
+# --- q11_important_parts: HAVING vs a global scalar (TPC-H Q11) ------------
+# Parts whose demand (total quantity via positive-balance suppliers)
+# exceeds 1.1x the mean part demand.  Q11's absolute-fraction threshold
+# goes empty as SF grows (every part's share shrinks ~1/|part|); the
+# fair-share multiple is the form that scales.  Plan quality face: the
+# scalar threshold re-aggregates the 1-row-per-part frame -- NOT the
+# fact table -- so the fact is scanned once and the identical pv
+# subtree on both sides of the crossJoin resolves to a ReusedExchange;
+# the threshold itself joins as a broadcast 1-row frame.  Demand sums
+# integral doubles, so the comparison is exact in both engines.
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 0.0).select("s_suppkey")
+    pv = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("demand"))
+    )
+    thr = pv.agg(
+        (1.1 * F.sum("demand") / F.count(F.lit(1))).alias("cutoff"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("demand") > F.col("cutoff"))
+        .select("l_partkey", F.col("demand").cast("long").alias("demand"))
+        .orderBy(F.desc("demand"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey, SUM(l_quantity) AS demand
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal > 0.0
+  GROUP BY l_partkey
+), thr AS (SELECT 1.1 * SUM(demand) / COUNT(*) AS cutoff FROM pv)
+SELECT l_partkey, CAST(demand AS BIGINT) AS demand
+FROM pv, thr WHERE demand > cutoff
+ORDER BY demand DESC, l_partkey
+"""
+
+
+# --- q12_priority_shipping: dual conditional counts (TPC-H Q12) ------------
+# High- vs low-priority line counts per linestatus for one ship year
+# (the testdata has no l_shipmode; linestatus is the grouping
+# surrogate).  Plan quality face: both counts are CASE-sums inside ONE
+# aggregate over one orderkey join -- a naive translation runs two
+# filtered aggregates and joins them, doubling the fact scan; the
+# shipdate range pushes into the lineitem scan before the join.
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# --- q13_order_distribution: outer join through two agg levels (Q13) -------
+# Distribution of customers by order count, excluding one priority
+# class (the comment-pattern surrogate).  Plan quality face: the
+# priority predicate lives in the JOIN CONDITION, not a WHERE -- a
+# WHERE after a left join silently turns it inner and drops the
+# zero-order customers that Q13 exists to count; COUNT(o_orderkey)
+# (not COUNT(*)) keeps the null-extended rows at zero.
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q15_top_supplier: scalar MAX over a reused aggregate (TPC-H Q15) ------
+# The supplier(s) with maximum revenue in one ship quarter.  Plan
+# quality face: the revenue view is aggregated ONCE from the fact scan;
+# the MAX re-aggregates that ~|supplier|-row frame (ReusedExchange, not
+# a second fact scan) and joins back as a broadcast 1-row frame.  The
+# equality is same-engine-exact on both sides; cross-engine agreement
+# needs only that no two suppliers' revenues tie within summation-order
+# noise (~1e-9 relative -- revenues differ by orders of magnitude more).
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 6).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- q16_part_supplier_census: anti-join exclusion + distinct agg (Q16) ----
+# Distinct-supplier counts per (brand, type, size) for selected sizes,
+# excluding non-PROMO parts and suppliers with negative balances (the
+# complaint surrogate).  Plan quality face: the NOT IN is a hash
+# LeftAnti BEFORE the distinct aggregate -- excluded suppliers never
+# reach the shuffle -- and there is no pre-distinct of (part, supplier)
+# pairs: COUNT(DISTINCT) already dedups, so an explicit DISTINCT would
+# only add a second exchange.
+
+def q16_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q20_dominant_suppliers: aggregate -> share -> semi-join chain (Q20) ---
+# Per supplier, how many 'small *' parts they near-dominated in 1997
+# (shipped >= half of the part's single-supplier maximum; the testdata
+# has no partsupp availqty, so dominance is relative to the observed
+# per-part max).  Plan quality face: Q20's nested IN-subquery chain
+# flattens to aggregate -> window share filter -> join; the part-name
+# filter prunes the fact scan first, and the share threshold compares
+# exact integral-double quantity sums (0.5 * max is an exact halving),
+# so the filter is deterministic cross-engine.
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sp = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    dom = sp.withColumn(
+        "max_qty", F.max("qty").over(Window.partitionBy("l_partkey")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.filter(F.col("qty") >= 0.5 * F.col("max_qty"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant"))
+        .orderBy(F.desc("n_dominant"), "s_name")
+    )
+
+
+Q20_SQL = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small %'
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), dom AS (
+  SELECT *, MAX(qty) OVER (PARTITION BY l_partkey) AS max_qty FROM sp
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty >= 0.5 * max_qty
+GROUP BY s_name ORDER BY n_dominant DESC, s_name
+"""
+
+
+# --- q21_blocking_suppliers: EXISTS/NOT EXISTS census (TPC-H Q21) ----------
+# Suppliers who were the SOLE returned-line supplier on multi-supplier
+# finalized orders (the testdata has no commit/receipt dates, so the
+# 'kept waiting' predicate is surrogated by l_returnflag = 'R').  Plan
+# quality face: Q21's correlated EXISTS (another supplier on the order)
+# + NOT EXISTS (another supplier with a returned line) -- the oracle
+# keeps that textbook correlated form -- decorrelates here into ONE
+# per-order census: both window counts share the l_orderkey partition,
+# so the whole exists/not-exists pair costs a single exchange instead
+# of two self-joins of the fact table.  Top-20 plans as
+# TakeOrderedAndProject with the unique (numwait, s_name) key.
+
+def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    flagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    census = (flagged
+              .withColumn("n_supp", F.count(F.lit(1)).over(w))
+              .withColumn("n_r", F.sum("has_r").over(w)))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        census.filter((F.col("has_r") == 1) & (F.col("n_supp") >= 2)
+                      & (F.col("n_r") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flagged f1 JOIN supplier ON f1.l_suppkey = s_suppkey
+WHERE f1.has_r = 1
+  AND EXISTS (SELECT 1 FROM flagged f2
+              WHERE f2.l_orderkey = f1.l_orderkey
+                AND f2.l_suppkey <> f1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM flagged f3
+                  WHERE f3.l_orderkey = f1.l_orderkey
+                    AND f3.l_suppkey <> f1.l_suppkey AND f3.has_r = 1)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "events_ohlc": events_ohlc,
@@ -1854,6 +2276,15 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity": q17_small_quantity,
     "q22_dormant_value": q22_dormant_value,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_census": q16_part_supplier_census,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_blocking_suppliers": q21_blocking_suppliers,
     "bucketed_segment_revenue": bucketed_segment_revenue,
 }
 
@@ -1896,4 +2327,13 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity": Q17_SQL,
     "q22_dormant_value": Q22_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_part_supplier_census": Q16_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
+    "q21_blocking_suppliers": Q21_SQL,
 }
