@@ -63,15 +63,18 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # window is not ours to choose; alternating halves is, and it
     # degrades gracefully.
     #
-    # Round 8 (registry 133): the eighteen never-green entries lead
+    # Round 8 (registry 135): the twenty never-green entries lead
     # (changelog_authdiff -- new, the SET/AUTHDIFF replay face;
     # similarity_ivfpq_trained -- registered r7 but rows-only until its
     # unrolled deterministic-Lloyd oracle landed this round, so it has
     # never had a green hash row; the six new TPC-H plan-quality faces
-    # q7/q8/q10/q14/q17/q22, the BM25 retrieval face, and the
+    # q7/q8/q10/q14/q17/q22, the BM25 retrieval face, the
     # TPC-H-completion batch q2/q9/q11/q12/q13/q15/q16/q20/q21 -- with
     # these all 22 TPC-H queries are implemented, each adapted to the
-    # testdata schema with its plan-quality point preserved); then the
+    # testdata schema with its plan-quality point preserved -- and the
+    # two training-order faces shuffle_epoch_shards +
+    # domain_temperature_weights, closing the curated-corpus ->
+    # training-mix last mile); then the
     # six redefined-in-r8 entries under rule 2 (q19_disjunctive_revenue
     # -- revenue now ROUND(.,6); stream_novelty_filter -- result
     # re-planned lazy/storage-backed, wave-partitioned; events_funnel +
@@ -79,9 +82,12 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # q5_region_revenue -- SF-growing broadcast hints dropped, join
     # strategy now AQE's); then ALL NINETEEN r5-newest-row queries
     # (exactly at the ceiling -- the round-7 verdict's directive #1);
-    # then 7 of the 45 remaining r6-green entries, chosen
+    # then 5 of the 45 remaining r6-green entries, chosen
     # reference-semantics-first (the KV/changelog/quota command faces
-    # predate two rounds of engine/changelog refactors).  Deferred to
+    # predate two rounds of engine/changelog refactors; kv_get_point
+    # and auth_hash_users -- the two simplest plans of that family,
+    # untouched for rounds -- yield their seats to the training-order
+    # faces, which rule 1 forces into the window).  Deferred to
     # round 9, where they MUST lead (their newest row r6 hits the
     # ceiling there):
     # orders_rollup, customer_order_coverage, events_sessionize,
@@ -94,15 +100,16 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # similarity_lsh_buckets, similarity_lsh_knn,
     # dedup_embedding_cosine, multimodal_metadata,
     # multimodal_frame_sample, multimodal_resize, multimodal_features,
-    # doc_chunk_windows, bpe_merge_pairs, plus the nine displaced by the
-    # TPC-H completion batch: kv_all_keys, all_users_fold,
-    # fn_registry_doc_stats, q1_pricing_summary, q4_order_priority,
-    # top_customers_window, asof_click_attribution,
-    # range_join_prior_activity, stream_click_purchase_join (38
+    # doc_chunk_windows, bpe_merge_pairs, plus the eleven displaced by
+    # the TPC-H completion batch and the training-order faces:
+    # kv_all_keys, all_users_fold, fn_registry_doc_stats,
+    # q1_pricing_summary, q4_order_priority, top_customers_window,
+    # asof_click_attribution, range_join_prior_activity,
+    # stream_click_purchase_join, kv_get_point, auth_hash_users (40
     # entries; all carry pinned local tests -- the multimodal family
     # has injectable-codec pytest coverage, the LSH/dedup families
     # property differentials, the KV/KMR faces full-engine pytest
-    # paths; 38 mandatory + up to 12 new fits the 50-slot r9 window).
+    # paths; 40 mandatory + up to 10 new fits the 50-slot r9 window).
     window8 = [
         # -- never green ----------------------------------------------
         "changelog_authdiff",
@@ -127,6 +134,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "q16_part_supplier_census",
         "q20_dominant_suppliers",
         "q21_blocking_suppliers",
+        # -- new in round 8: training-order faces ---------------------
+        "shuffle_epoch_shards",
+        "domain_temperature_weights",
         # -- redefined in round 8 (rule 2) ----------------------------
         "q19_disjunctive_revenue",
         "stream_novelty_filter",
@@ -155,13 +165,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "sample_weighted",
         "token_bpe_pretokenize",
         # -- r6 refresh: reference-command faces first ----------------
-        "kv_get_point",
         "kv_insert_guarded",
         "kv_upsert_classify",
         "changelog_replay",
         "kv_top_mru",
         "quota_sliding_window",
-        "auth_hash_users",
     ]
     assert len(window8) == 50, len(window8)
     ordered = {n: queries[n] for n in window8}

@@ -483,6 +483,73 @@ ORDER BY smp_rank
 """
 
 
+# --- shuffle_epoch_shards: deterministic training-order shuffle ------------
+# The last mile of the pipeline: turning a curated corpus into a
+# training order.  At 100 TB a global sort per epoch is the wrong
+# plan; the scale-honest shuffle derives BOTH the shard assignment and
+# the within-shard order from one seeded md5 key, so materializing an
+# epoch is a single hash shuffle (repartition on shard) plus
+# sortWithinPartitions(key) -- no global coordination, and a new epoch
+# is a seed change, not a data move.  This face emits the per-(epoch,
+# shard) manifest certifying that order: doc/char counts plus the
+# first and last doc each shard would serve (arg-min/arg-max by key --
+# an aggregate, never a sort).  Two epochs are unrolled to pin that
+# reshuffling changes the order (boundary docs) while the shard
+# histogram stays hash-balanced.  Keys are full 32-hex md5 strings:
+# collision-free in practice and string-ordered identically by both
+# engines, so first/last are deterministic cross-engine.
+
+N_EPOCH_SHARDS = 8
+SHUFFLE_EPOCHS = (1, 2)
+
+
+def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = (
+        docs.withColumn(
+            "epoch",
+            F.explode(F.array(*[F.lit(e).cast("long")
+                                for e in SHUFFLE_EPOCHS])))
+        .withColumn(
+            "k",
+            F.md5(F.concat(F.lit("epoch"), F.col("epoch").cast("string"),
+                           F.lit("|"), F.col("doc_id").cast("string"))))
+        .withColumn(
+            "shard",
+            F.expr(_dd.hexval_spark_sql("k")) % N_EPOCH_SHARDS)
+    )
+    return (
+        keyed.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min_by("doc_id", "k").alias("first_doc"),
+             F.max_by("doc_id", "k").alias("last_doc"))
+        .select("epoch", "shard", "n_docs",
+                F.col("total_chars").cast("long").alias("total_chars"),
+                "first_doc", "last_doc")
+        .orderBy("epoch", "shard")
+    )
+
+
+SHUFFLE_EPOCH_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id, d.n_chars,
+         md5('epoch' || CAST(e.epoch AS VARCHAR) || '|'
+             || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d
+  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS e(epoch)
+), sharded AS (
+  SELECT epoch, doc_id, n_chars, k,
+         ({_dd.hexval_sql("k")}) % {N_EPOCH_SHARDS} AS shard
+  FROM keyed
+)
+SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
+FROM sharded GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_weighted": sample_weighted,
@@ -492,6 +559,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sketch_distinct_tokens": sketch_distinct_tokens,
     "doc_length_quantiles": doc_length_quantiles,
+    "shuffle_epoch_shards": shuffle_epoch_shards,
 }
 
 ORACLES = {
@@ -503,4 +571,5 @@ ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sketch_distinct_tokens": SKETCH_DISTINCT_SQL,
     "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
+    "shuffle_epoch_shards": SHUFFLE_EPOCH_SQL,
 }

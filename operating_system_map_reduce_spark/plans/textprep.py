@@ -274,6 +274,66 @@ GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled domain-mixture weights: the sampling-weight side
+# of mixture curation (domain_mix_sample is the admission side).  Each
+# source's sampling weight is mass^alpha / sum(mass^alpha) with
+# alpha=0.7 -- the temperature-sampling recipe used to up-weight small
+# high-quality domains when composing a training mix -- and
+# epochs_at_budget converts the weight into passes over the source at
+# a fixed char budget (budget * w_i / mass_i), the number that reveals
+# when a small domain would be repeated too often at the chosen
+# temperature.  Scale shape: one map-side-partial aggregate over the
+# corpus produces the |sources|-row frame; the normalizer is a 1-row
+# aggregate OF THAT FRAME broadcast back (never a second corpus scan).
+# Float discipline: pow/divide run on O(|sources|) values only and both
+# visible floats are ROUND(.,6); char_mass sums are integral doubles
+# (exact, order-independent), so cross-engine drift is sub-ulp.
+
+MIX_ALPHA = 0.7
+MIX_CHAR_BUDGET = 10_000_000
+
+
+def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("char_mass"),
+    )
+    z = per.agg(
+        F.sum(F.pow(F.col("char_mass").cast("double"), F.lit(MIX_ALPHA)))
+        .alias("z"))
+    w = (F.pow(F.col("char_mass").cast("double"), F.lit(MIX_ALPHA))
+         / F.col("z"))
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_docs",
+            F.col("char_mass").cast("long").alias("char_mass"),
+            F.round(w, 6).alias("weight"),
+            F.round(F.lit(MIX_CHAR_BUDGET) * w / F.col("char_mass"), 6)
+            .alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS char_mass
+  FROM documents GROUP BY source
+), z AS (
+  SELECT SUM(POWER(CAST(char_mass AS DOUBLE), {MIX_ALPHA})) AS z FROM per
+)
+SELECT source, n_docs, char_mass,
+       ROUND(POWER(CAST(char_mass AS DOUBLE), {MIX_ALPHA}) / z, 6) AS weight,
+       ROUND({MIX_CHAR_BUDGET} * (POWER(CAST(char_mass AS DOUBLE), {MIX_ALPHA}) / z)
+             / char_mass, 6) AS epochs_at_budget
+FROM per, z ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram LM quality score: the model-based scoring baseline.  Stage 1
 # estimates unigram log-probs over the corpus (one keyed agg); stage 2
 # scores every doc by mean token log-prob (join tokens->probs, one agg
@@ -524,6 +584,7 @@ QUERIES = {
     "dedup_span_exact": dedup_span_exact,
     "quality_filter_composite": quality_filter_composite,
     "domain_mix_sample": domain_mix_sample,
+    "domain_temperature_weights": domain_temperature_weights,
     "lm_unigram_score": lm_unigram_score,
     "embedding_quantize": embedding_quantize,
     "pack_sequences": pack_sequences,
@@ -537,6 +598,7 @@ ORACLES = {
     "dedup_span_exact": DEDUP_SPAN_SQL,
     "quality_filter_composite": QUALITY_FILTER_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
+    "domain_temperature_weights": DOMAIN_TEMPERATURE_SQL,
     "lm_unigram_score": LM_UNIGRAM_SQL,
     "doc_chunk_windows": DOC_CHUNK_SQL,
 }

@@ -29,7 +29,8 @@ BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
                       "q22_dormant_value",   # 1-row global avg balance
                       "text_bm25_topk",      # 1-row n/avgdl/df stats
                       "q11_important_parts", # 1-row fair-share cutoff
-                      "q15_top_supplier"}    # 1-row max-revenue scalar
+                      "q15_top_supplier",    # 1-row max-revenue scalar
+                      "domain_temperature_weights"}  # 1-row normalizer
 
 _QUERIES = entrymod.queries()
 
@@ -145,6 +146,8 @@ class TestRegistryWindow:
         "q16_part_supplier_census",
         "q20_dominant_suppliers",
         "q21_blocking_suppliers",
+        "shuffle_epoch_shards",         # new in round 8: training order
+        "domain_temperature_weights",   #   (mixture weights)
     ]
     REDEFINED_IN_R8 = [
         "q19_disjunctive_revenue",     # revenue ROUND(.,6)
@@ -163,13 +166,15 @@ class TestRegistryWindow:
         "pack_sequences", "profile_orders", "q6_forecast_revenue",
         "sample_weighted", "token_bpe_pretokenize",
     ]
-    # Trimmed to 7 when the TPC-H completion batch took nine window
-    # seats; kv_all_keys / all_users_fold / fn_registry_doc_stats moved
-    # to the round-9 mandatory set (r6-green, at ceiling there).
+    # Trimmed to 5 when the TPC-H completion batch and the two
+    # training-order faces took eleven window seats; kv_all_keys /
+    # all_users_fold / fn_registry_doc_stats / kv_get_point /
+    # auth_hash_users moved to the round-9 mandatory set (r6-green, at
+    # ceiling there).
     REFERENCE_COMMAND_FACES = [
-        "kv_get_point", "kv_insert_guarded",
+        "kv_insert_guarded",
         "kv_upsert_classify", "changelog_replay", "kv_top_mru",
-        "quota_sliding_window", "auth_hash_users",
+        "quota_sliding_window",
     ]
 
     def test_never_green_queries_inside_gate_window(self):
@@ -191,7 +196,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 133
+        assert len(_QUERIES) == len(set(_QUERIES)) == 135
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
@@ -384,6 +389,8 @@ SINGLE_PARTITION_JUSTIFIED = {
     "q11_important_parts",       # 1-row fair-share cutoff over the
                                  #   per-part frame (not the fact scan)
     "q15_top_supplier",          # 1-row MAX over the per-supplier frame
+    "domain_temperature_weights",  # 1-row pow-mass normalizer over the
+                                   #   |sources|-row frame
 }
 
 
@@ -481,6 +488,36 @@ class TestRound8PlanShapes:
         assert 1 <= len(li_scans) <= 2, plan
         assert "ReusedExchange" in plan or len(li_scans) == 1 or \
             "Exchange hashpartitioning(l_partkey" in plan, plan
+
+    def test_shuffle_epoch_orders_by_aggregate_not_sort(self, spark, sf_dir):
+        """Training-order shuffle: one documents scan, ONE hash
+        exchange (the (epoch, shard) aggregate with map-side partials);
+        the within-shard first/last docs come from min_by/max_by
+        aggregates -- no sort of the corpus anywhere (the only Sort is
+        the final 16-row presentation orderBy)."""
+        plan = _plan(_QUERIES["shuffle_epoch_shards"](spark, sf_dir))
+        doc_scans = [s for s in plan.split("FileScan parquet")[1:]
+                     if "doc_id" in s.split("ReadSchema:")[1][:200]]
+        assert len(doc_scans) == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "min_by" in plan and "max_by" in plan, plan
+        assert "partial_min_by" in plan, plan   # map-side combine
+        # no sort below the aggregate: every Sort (if any) sits above
+        # the final HashAggregate in the tree
+        agg_at = plan.find("HashAggregate")
+        assert "Sort " not in plan[agg_at:], plan
+
+    def test_temperature_weights_normalizer_is_broadcast(self, spark, sf_dir):
+        """The pow-mass normalizer is a 1-row aggregate OF the
+        per-source frame joined back as a broadcast constant -- never a
+        second aggregation of the corpus, never a shuffle of the frame
+        against itself."""
+        plan = _plan(_QUERIES["domain_temperature_weights"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        doc_scans = [s for s in plan.split("FileScan parquet")[1:]
+                     if "source" in s.split("ReadSchema:")[1][:200]]
+        assert 1 <= len(doc_scans) <= 2, plan
+        assert plan.count("Exchange hashpartitioning(source") <= 2, plan
 
     def test_bm25_never_explodes_or_shuffles_the_corpus(self, spark, sf_dir):
         """Fixed query terms mean tf/dl are array expressions: the
