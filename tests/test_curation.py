@@ -200,3 +200,73 @@ class TestApproxQuantilesSketch:
                 hi = vals[min(len(vals) - 1,
                               int((p + 1.0 / acc) * (len(vals) - 1)) + 1)]
                 assert lo <= row[col] <= hi, (lang, col, row[col], lo, hi)
+
+
+class TestShuffleEpochShards:
+    def test_manifest_is_total_and_balanced(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        rows = curation.shuffle_epoch_shards(spark, sf_dir).collect()
+        total = load_table(spark, sf_dir, "documents").count()
+        for epoch in (1, 2):
+            per = [r for r in rows if r["epoch"] == epoch]
+            assert sum(r["n_docs"] for r in per) == total
+            assert {r["shard"] for r in per} == set(range(curation.N_EPOCH_SHARDS))
+            # md5 sharding is hash-balanced: no shard more than 2x the mean
+            mean = total / curation.N_EPOCH_SHARDS
+            assert all(r["n_docs"] < 2 * mean for r in per), per
+
+    def test_epochs_reshuffle_without_moving_data(self, spark, sf_dir):
+        """A new epoch is a seed change: the shard histogram stays
+        hash-balanced but the serving order (boundary docs) changes."""
+        rows = curation.shuffle_epoch_shards(spark, sf_dir).collect()
+        e1 = {r["shard"]: (r["first_doc"], r["last_doc"])
+              for r in rows if r["epoch"] == 1}
+        e2 = {r["shard"]: (r["first_doc"], r["last_doc"])
+              for r in rows if r["epoch"] == 2}
+        assert e1 != e2, "independent epoch seeds must permute the order"
+
+    def test_boundary_docs_match_sequential_replay(self, spark, sf_dir):
+        """first/last per shard equal a pandas replay of the same keyed
+        order -- the manifest certifies the order a reader would see."""
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        got = {(r["epoch"], r["shard"]): r for r in
+               curation.shuffle_epoch_shards(spark, sf_dir).collect()}
+        for epoch in (1, 2):
+            keyed = sorted(
+                (hashlib.md5(f"epoch{epoch}|{d}".encode()).hexdigest(), d)
+                for d in docs["doc_id"])
+            by_shard: dict[int, list[int]] = {}
+            for k, d in keyed:
+                shard = int(k[:12], 16) % curation.N_EPOCH_SHARDS
+                by_shard.setdefault(shard, []).append(d)
+            for shard, order in by_shard.items():
+                row = got[(epoch, shard)]
+                assert row["first_doc"] == order[0]
+                assert row["last_doc"] == order[-1]
+                assert row["n_docs"] == len(order)
+
+
+class TestDomainTemperatureWeights:
+    def test_weights_normalize_and_flatten_the_mix(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.plans import textprep
+
+        rows = textprep.domain_temperature_weights(spark, sf_dir).collect()
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        # alpha < 1 flattens: the largest source's weight is below its
+        # mass share, the smallest's above
+        total = sum(r["char_mass"] for r in rows)
+        big = max(rows, key=lambda r: r["char_mass"])
+        small = min(rows, key=lambda r: r["char_mass"])
+        assert big["weight"] < big["char_mass"] / total
+        assert small["weight"] > small["char_mass"] / total
+        # epochs_at_budget is budget * w / mass, so sum(epochs * mass)
+        # recovers the budget
+        got_budget = sum(r["epochs_at_budget"] * r["char_mass"] for r in rows)
+        assert abs(got_budget - textprep.MIX_CHAR_BUDGET) < \
+            0.01 * textprep.MIX_CHAR_BUDGET
