@@ -34,7 +34,11 @@ BUILTIN_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "osmr_cosine": (
         "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE",
-        "osmr_dot(a, b) / (osmr_norm(a) * osmr_norm(b))",
+        # NULL on zero-norm input: cosine is undefined there, and the
+        # unguarded division is a DIVIDE_BY_ZERO under ANSI mode the
+        # moment a real corpus ships an all-zero embedding
+        "CASE WHEN osmr_norm(a) > 0 AND osmr_norm(b) > 0 "
+        "THEN osmr_dot(a, b) / (osmr_norm(a) * osmr_norm(b)) END",
         "osmr_cosine(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)))",
     ),
     # text pipeline scalars

@@ -444,7 +444,11 @@ _U_DENOM = float(1 << 48)
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     hx = F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string")))
-    d = docs.select("doc_id", "lang", "n_chars", hx.alias("hx"))
+    # weight-0 (empty) docs can never be drawn in Efraimidis-Spirakis
+    # sampling (their key would be +inf); filtering them is the defined
+    # semantics AND keeps the key division ANSI-safe
+    d = (docs.filter(F.col("n_chars") > 0)
+         .select("doc_id", "lang", "n_chars", hx.alias("hx")))
     u = (F.expr(_dd.hexval_spark_sql("hx")) + 1) / F.lit(_U_DENOM)
     key = -F.log(u) / F.col("n_chars")
     salt = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 16")
@@ -474,7 +478,7 @@ FROM (
     FROM (
       SELECT doc_id, lang, n_chars,
              md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hx
-      FROM documents
+      FROM documents WHERE n_chars > 0
     )
   )
 )

@@ -649,7 +649,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("val") * F.col("c")).alias("dot"),
              F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"))
     )
-    cos = F.col("dot") / (F.col("vn") * F.col("cn"))
+    # NULL for zero-norm vectors (cosine undefined; avg/min skip NULLs)
+    cos = F.when(F.col("vn") > 0,
+                 F.col("dot") / (F.col("vn") * F.col("cn")))
     return (
         per_vec.join(cnorm, "label")
         .groupBy("label")
@@ -678,8 +680,8 @@ WITH d AS (
   GROUP BY d.label, d.vec_id
 )
 SELECT p.label, COUNT(*) AS n_vecs,
-       ROUND(AVG(p.dot / (p.vn * c.cn)), 6) AS avg_cos,
-       ROUND(MIN(p.dot / (p.vn * c.cn)), 6) AS min_cos,
+       ROUND(AVG(CASE WHEN p.vn > 0 THEN p.dot / (p.vn * c.cn) END), 6) AS avg_cos,
+       ROUND(MIN(CASE WHEN p.vn > 0 THEN p.dot / (p.vn * c.cn) END), 6) AS min_cos,
        ROUND(MAX(c.cn), 6) AS centroid_norm
 FROM per_vec p JOIN cnorm c ON p.label = c.label
 GROUP BY p.label ORDER BY p.label

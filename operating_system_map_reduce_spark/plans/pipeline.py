@@ -66,14 +66,20 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    # ratios are undefined (NULL) for empty/whitespace-only docs --
+    # under ANSI mode the bare division would abort the whole scan on
+    # the first degenerate row a real corpus ships
     return (
         docs.select(
             F.col("doc_id"),
             n_chars.alias("n_chars_m"),
             n_tok.alias("n_tokens"),
-            F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
-            F.round(n_digit / n_chars, 6).alias("digit_ratio"),
-            F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+            F.when(n_chars > 0,
+                   F.round(n_alpha / n_chars, 6)).alias("alpha_ratio"),
+            F.when(n_chars > 0,
+                   F.round(n_digit / n_chars, 6)).alias("digit_ratio"),
+            F.when(n_tok > 0,
+                   F.round(stop_hits / n_tok, 6)).alias("stopword_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -83,10 +89,16 @@ TEXT_QUALITY_SQL = f"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_m,
        len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
-       ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS alpha_ratio,
-       ROUND(CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS digit_ratio,
-       ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN {_STOPWORDS})) AS DOUBLE)
-             / len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')), 6) AS stopword_ratio
+       CASE WHEN LENGTH(text) > 0 THEN
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 6)
+       END AS alpha_ratio,
+       CASE WHEN LENGTH(text) > 0 THEN
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text), 6)
+       END AS digit_ratio,
+       CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) > 0 THEN
+         ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN {_STOPWORDS})) AS DOUBLE)
+               / len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')), 6)
+       END AS stopword_ratio
 FROM documents
 ORDER BY doc_id
 """
@@ -965,14 +977,16 @@ SELECT d.doc_id,
            list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), t -> t <> ''),
            w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT), 0) AS bpe_est_tokens,
        md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
-       ROUND(
+       CASE WHEN list_sum(list_transform(range(1, {_sim.DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0
+       THEN ROUND(
          list_sum(list_transform(range(1, {_sim.DIM + 1}),
              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(list_reverse(e.embedding)[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
             sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}),
              i -> CAST(list_reverse(e.embedding)[i] AS DOUBLE) * CAST(list_reverse(e.embedding)[i] AS DOUBLE))))),
-         6) AS rev_cosine
+         6) END AS rev_cosine
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ORDER BY d.doc_id
 """
@@ -1246,7 +1260,14 @@ WITH exploded AS (
        UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                           x -> x <> '')) AS u(t)
 ), dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM exploded GROUP BY doc_id
+  -- LEFT JOIN from documents: zero-token docs keep dl = 0 so avgdl is
+  -- the COLLECTION average (the BM25 convention and what the Spark
+  -- side computes); deriving dl from exploded alone silently drops
+  -- empty docs and shifts every score
+  SELECT d.doc_id, COALESCE(e.cnt, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS cnt FROM exploded GROUP BY doc_id
+  ) e USING (doc_id)
 ), stats AS (
   SELECT AVG(dl) AS avgdl FROM dl
 ), ndocs AS (
@@ -1438,7 +1459,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .filter((F.col("n_alpha") / F.col("n_chars") >= 0.80)
+        # n_chars > 0 guards the ratio against empty docs (which could
+        # never pass the 20-token floor anyway) -- ANSI mode would
+        # otherwise abort on the division, not filter the row
+        .filter((F.col("n_chars") > 0)
+                & (F.col("n_alpha") / F.col("n_chars") >= 0.80)
                 & F.col("n_tokens").between(20, 95))
     )
     return (
@@ -1468,7 +1493,8 @@ dedup AS (
 ),
 kept AS (
   SELECT * FROM dedup
-  WHERE n_alpha * 1.0 / n_chars >= 0.80 AND n_tokens BETWEEN 20 AND 95
+  WHERE n_chars > 0 AND n_alpha * 1.0 / n_chars >= 0.80
+    AND n_tokens BETWEEN 20 AND 95
 )
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,

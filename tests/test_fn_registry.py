@@ -14,6 +14,11 @@ from operating_system_map_reduce_spark.functions.registry import (
 
 class TestSqlFunctionRegistry:
     def test_builtins_register_ok(self, spark):
+        # order-independence: a prior query in the shared session may
+        # have ensure_builtins()'d the same names (CREATE OR REPLACE);
+        # clear them so the no-replace KVF path is what's under test
+        for name in BUILTIN_FUNCTIONS:
+            spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         reg = SqlFunctionRegistry(spark)
         results = reg.register_builtins()
         assert set(results) == set(BUILTIN_FUNCTIONS)
