@@ -39,6 +39,11 @@ EVENT_QUERIES = [
     "interval_overlap_errors", "quota_sliding_window",
     "events_sessionize", "events_cube_summary", "events_json_extract",
     "events_gap_fill", "events_markov_transitions", "events_anomaly_mad",
+    # kv/changelog/temporal faces that derive their op streams from
+    # events -- the duplicate-ts rows stress as-of tie-breaks and
+    # last-write-wins replay ordering
+    "changelog_authdiff", "changelog_replay", "changelog_asof",
+    "kv_top_mru", "asof_click_attribution", "range_join_prior_activity",
 ]
 
 N_EVENTS = 800
