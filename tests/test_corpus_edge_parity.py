@@ -61,7 +61,7 @@ N_DOCS, N_VECS = 300, 200
 
 @pytest.fixture(scope="session")
 def corpus_edge_dir(tmp_path_factory):
-    rng = np.random.RandomState(303)
+    rng = np.random.RandomState(int(os.environ.get("SPARK_GRAFT_EDGE_SEED", "303")))
     out = str(tmp_path_factory.mktemp("corpus_edge"))
     docs = pd.read_parquet(os.path.join(SRC, "documents.parquet"))
     vecs = pd.read_parquet(os.path.join(SRC, "embeddings.parquet"))

@@ -51,7 +51,7 @@ N_EVENTS = 800
 
 @pytest.fixture(scope="session")
 def events_edge_dir(tmp_path_factory):
-    rng = np.random.RandomState(88)
+    rng = np.random.RandomState(int(os.environ.get("SPARK_GRAFT_EDGE_SEED", "88")))
     out = str(tmp_path_factory.mktemp("events_edge"))
     real = pd.read_parquet(os.path.join(SRC, "events.parquet"))
 

@@ -68,7 +68,7 @@ def _write(dirname: str, name: str, df: pd.DataFrame) -> None:
 
 @pytest.fixture(scope="session")
 def edge_dir(tmp_path_factory):
-    rng = np.random.RandomState(8)
+    rng = np.random.RandomState(int(os.environ.get("SPARK_GRAFT_EDGE_SEED", "8")))
     out = str(tmp_path_factory.mktemp("tpch_edge"))
     real = {t: pd.read_parquet(os.path.join(SRC, f"{t}.parquet"))
             for t in ("part", "supplier", "customer", "orders",
