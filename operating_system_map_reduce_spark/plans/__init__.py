@@ -63,7 +63,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # window is not ours to choose; alternating halves is, and it
     # degrades gracefully.
     #
-    # Round 8 (registry 135): the twenty never-green entries lead
+    # Round 8 (registry 136): the twenty-one never-green entries lead
     # (changelog_authdiff -- new, the SET/AUTHDIFF replay face;
     # similarity_ivfpq_trained -- registered r7 but rows-only until its
     # unrolled deterministic-Lloyd oracle landed this round, so it has
@@ -74,7 +74,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # testdata schema with its plan-quality point preserved -- and the
     # two training-order faces shuffle_epoch_shards +
     # domain_temperature_weights, closing the curated-corpus ->
-    # training-mix last mile); then the
+    # training-mix last mile, and scd2_profile_versions -- the SCD
+    # Type 2 validity-interval history, the third changelog face after
+    # replay and asof); then the
     # six redefined-in-r8 entries under rule 2 (q19_disjunctive_revenue
     # -- revenue now ROUND(.,6); stream_novelty_filter -- result
     # re-planned lazy/storage-backed, wave-partitioned; events_funnel +
@@ -82,12 +84,14 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # q5_region_revenue -- SF-growing broadcast hints dropped, join
     # strategy now AQE's); then ALL NINETEEN r5-newest-row queries
     # (exactly at the ceiling -- the round-7 verdict's directive #1);
-    # then 5 of the 45 remaining r6-green entries, chosen
+    # then 4 of the 45 remaining r6-green entries, chosen
     # reference-semantics-first (the KV/changelog/quota command faces
     # predate two rounds of engine/changelog refactors; kv_get_point
     # and auth_hash_users -- the two simplest plans of that family,
     # untouched for rounds -- yield their seats to the training-order
-    # faces, which rule 1 forces into the window).  Deferred to
+    # faces, and kv_top_mru -- whose MRU semantics are independently
+    # r7-green via stream_mru_types -- to the SCD2 face, all forced
+    # into the window by rule 1).  Deferred to
     # round 9, where they MUST lead (their newest row r6 hits the
     # ceiling there):
     # orders_rollup, customer_order_coverage, events_sessionize,
@@ -100,16 +104,17 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # similarity_lsh_buckets, similarity_lsh_knn,
     # dedup_embedding_cosine, multimodal_metadata,
     # multimodal_frame_sample, multimodal_resize, multimodal_features,
-    # doc_chunk_windows, bpe_merge_pairs, plus the eleven displaced by
-    # the TPC-H completion batch and the training-order faces:
+    # doc_chunk_windows, bpe_merge_pairs, plus the twelve displaced by
+    # the TPC-H completion batch and the round-8 additions:
     # kv_all_keys, all_users_fold, fn_registry_doc_stats,
     # q1_pricing_summary, q4_order_priority, top_customers_window,
     # asof_click_attribution, range_join_prior_activity,
-    # stream_click_purchase_join, kv_get_point, auth_hash_users (40
+    # stream_click_purchase_join, kv_get_point, auth_hash_users,
+    # kv_top_mru (41
     # entries; all carry pinned local tests -- the multimodal family
     # has injectable-codec pytest coverage, the LSH/dedup families
     # property differentials, the KV/KMR faces full-engine pytest
-    # paths; 40 mandatory + up to 10 new fits the 50-slot r9 window).
+    # paths; 41 mandatory + up to 9 new fits the 50-slot r9 window).
     window8 = [
         # -- never green ----------------------------------------------
         "changelog_authdiff",
@@ -137,6 +142,8 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         # -- new in round 8: training-order faces ---------------------
         "shuffle_epoch_shards",
         "domain_temperature_weights",
+        # -- new in round 8: SCD Type 2 (third changelog face) --------
+        "scd2_profile_versions",
         # -- redefined in round 8 (rule 2) ----------------------------
         "q19_disjunctive_revenue",
         "stream_novelty_filter",
@@ -168,7 +175,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "kv_insert_guarded",
         "kv_upsert_classify",
         "changelog_replay",
-        "kv_top_mru",
         "quota_sliding_window",
     ]
     assert len(window8) == 50, len(window8)

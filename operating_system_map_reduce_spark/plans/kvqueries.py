@@ -582,6 +582,84 @@ GROUP BY outcome ORDER BY outcome
 """
 
 
+# --- scd2_profile_versions: slowly-changing-dimension history --------------
+# The third face of the changelog family: changelog_replay materializes
+# the LATEST state, changelog_asof a snapshot AT a time -- SCD Type 2
+# materializes the whole validity-interval history (the warehouse
+# pattern for dimension versioning, cf. Kimball SCD2): per user, each
+# run of consecutive events with the SAME profile value collapses into
+# one version [valid_from, valid_to), closed by the next CHANGE and
+# left open (NULL valid_to) for the current version.  The profile value
+# is props.k (the same JSON field events_json_extract reads; a missing
+# key is a legitimate NULL version, compared null-safely).  Scale
+# shape: one user-keyed shuffle feeds the lag (change detection), the
+# lead (interval close) AND the final aggregate -- the three window
+# passes share the partitioning, and nothing but per-user sequential
+# semantics ever leaves the executor.  Output is the per-user version
+# census (integer micros arithmetic, exact cross-engine).
+
+def scd2_profile_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("val"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        ev.withColumn("prev", F.lag("val").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        # version boundary: the first event, or a null-safe value change
+        .filter((F.col("rn") == 1) | ~F.col("val").eqNullSafe(F.col("prev")))
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id"))
+    iv = (chg.withColumn("valid_to", F.lead("ts_us").over(w))
+          # current version's value: positional first in DESC order
+          # (NULL is a legitimate value, so no max_by -- it skips nulls)
+          .withColumn("cur", F.first("val").over(wd)))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.min("ts_us").alias("first_us"),
+            F.max("cur").alias("current_value"),
+            F.count("valid_to").alias("n_closed"),
+            F.max(F.col("valid_to") - F.col("ts_us"))
+            .alias("longest_closed_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+  FROM events
+), chg AS (
+  SELECT * FROM (
+    SELECT user_id, ts_us, event_id, val,
+           LAG(val) OVER w AS prev,
+           ROW_NUMBER() OVER w AS rn
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  ) WHERE rn = 1 OR val IS DISTINCT FROM prev
+), iv AS (
+  SELECT *,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS valid_to,
+         FIRST_VALUE(val) OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS cur
+  FROM chg
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+       MIN(ts_us) AS first_us,
+       MAX(cur) AS current_value,
+       CAST(COUNT(valid_to) AS BIGINT) AS n_closed,
+       MAX(valid_to - ts_us) AS longest_closed_us
+FROM iv GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "kv_get_point": kv_get_point,
     "kv_all_keys": kv_all_keys,
@@ -589,6 +667,7 @@ QUERIES = {
     "kv_upsert_classify": kv_upsert_classify,
     "changelog_replay": changelog_replay,
     "changelog_asof": changelog_asof,
+    "scd2_profile_versions": scd2_profile_versions,
     "changelog_authdiff": changelog_authdiff,
     "kv_top_mru": kv_top_mru,
     "quota_sliding_window": quota_sliding_window,
@@ -607,6 +686,7 @@ ORACLES = {
     "kv_upsert_classify": KV_UPSERT_SQL,
     "changelog_replay": CHANGELOG_REPLAY_SQL,
     "changelog_asof": CHANGELOG_ASOF_SQL,
+    "scd2_profile_versions": SCD2_SQL,
     "changelog_authdiff": CHANGELOG_AUTHDIFF_SQL,
     "kv_top_mru": KV_TOP_SQL,
     "quota_sliding_window": QUOTA_WINDOW_SQL,

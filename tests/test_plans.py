@@ -148,6 +148,7 @@ class TestRegistryWindow:
         "q21_blocking_suppliers",
         "shuffle_epoch_shards",         # new in round 8: training order
         "domain_temperature_weights",   #   (mixture weights)
+        "scd2_profile_versions",        # new in round 8: SCD2 history
     ]
     REDEFINED_IN_R8 = [
         "q19_disjunctive_revenue",     # revenue ROUND(.,6)
@@ -173,7 +174,7 @@ class TestRegistryWindow:
     # ceiling there).
     REFERENCE_COMMAND_FACES = [
         "kv_insert_guarded",
-        "kv_upsert_classify", "changelog_replay", "kv_top_mru",
+        "kv_upsert_classify", "changelog_replay",
         "quota_sliding_window",
     ]
 
@@ -196,7 +197,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 135
+        assert len(_QUERIES) == len(set(_QUERIES)) == 136
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
@@ -518,6 +519,17 @@ class TestRound8PlanShapes:
                      if "source" in s.split("ReadSchema:")[1][:200]]
         assert 1 <= len(doc_scans) <= 2, plan
         assert plan.count("Exchange hashpartitioning(source") <= 2, plan
+
+    def test_scd2_three_windows_share_one_exchange(self, spark, sf_dir):
+        """lag (change detect), lead (interval close) and the DESC
+        first_value (current version) all partition by user_id: one
+        hash exchange total -- the opposite-direction window re-SORTS
+        within partitions but must never re-shuffle."""
+        plan = _plan(_QUERIES["scd2_profile_versions"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+        ev_scans = [s for s in plan.split("FileScan parquet")[1:]
+                    if "props" in s.split("ReadSchema:")[1][:200]]
+        assert len(ev_scans) == 1, plan
 
     def test_bm25_never_explodes_or_shuffles_the_corpus(self, spark, sf_dir):
         """Fixed query terms mean tf/dl are array expressions: the
