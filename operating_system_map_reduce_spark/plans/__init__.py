@@ -63,7 +63,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # window is not ours to choose; alternating halves is, and it
     # degrades gracefully.
     #
-    # Round 8 (registry 136): the twenty-one never-green entries lead
+    # Round 8 (registry 138): the twenty-three never-green entries lead
     # (changelog_authdiff -- new, the SET/AUTHDIFF replay face;
     # similarity_ivfpq_trained -- registered r7 but rows-only until its
     # unrolled deterministic-Lloyd oracle landed this round, so it has
@@ -76,7 +76,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # domain_temperature_weights, closing the curated-corpus ->
     # training-mix last mile, and scd2_profile_versions -- the SCD
     # Type 2 validity-interval history, the third changelog face after
-    # replay and asof); then the
+    # replay and asof, and the late-round pair
+    # changelog_incremental_agg -- incremental materialized-view
+    # maintenance, merge-vs-recompute proven by the from-scratch
+    # oracle -- and split_group_holdout -- the leakage-safe group
+    # split with its doc-level leakage census); then the
     # six redefined-in-r8 entries under rule 2 (q19_disjunctive_revenue
     # -- revenue now ROUND(.,6); stream_novelty_filter -- result
     # re-planned lazy/storage-backed, wave-partitioned; events_funnel +
@@ -89,9 +93,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # predate two rounds of engine/changelog refactors; kv_get_point
     # and auth_hash_users -- the two simplest plans of that family,
     # untouched for rounds -- yield their seats to the training-order
-    # faces, and kv_top_mru -- whose MRU semantics are independently
-    # r7-green via stream_mru_types -- to the SCD2 face, all forced
-    # into the window by rule 1).  Deferred to
+    # faces, kv_top_mru -- whose MRU semantics are independently
+    # r7-green via stream_mru_types -- to the SCD2 face, and
+    # kv_insert_guarded + kv_upsert_classify -- both with full-engine
+    # pytest paths in test_kv_engine.py -- to the late-round pair,
+    # all forced into the window by rule 1).  Deferred to
     # round 9, where they MUST lead (their newest row r6 hits the
     # ceiling there):
     # orders_rollup, customer_order_coverage, events_sessionize,
@@ -110,11 +116,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # q1_pricing_summary, q4_order_priority, top_customers_window,
     # asof_click_attribution, range_join_prior_activity,
     # stream_click_purchase_join, kv_get_point, auth_hash_users,
-    # kv_top_mru (41
+    # kv_top_mru, kv_insert_guarded, kv_upsert_classify (43
     # entries; all carry pinned local tests -- the multimodal family
     # has injectable-codec pytest coverage, the LSH/dedup families
     # property differentials, the KV/KMR faces full-engine pytest
-    # paths; 41 mandatory + up to 9 new fits the 50-slot r9 window).
+    # paths; 43 mandatory + up to 7 new fits the 50-slot r9 window).
     window8 = [
         # -- never green ----------------------------------------------
         "changelog_authdiff",
@@ -144,6 +150,9 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "domain_temperature_weights",
         # -- new in round 8: SCD Type 2 (third changelog face) --------
         "scd2_profile_versions",
+        # -- new in round 8 (late): incremental MV + group holdout ----
+        "changelog_incremental_agg",
+        "split_group_holdout",
         # -- redefined in round 8 (rule 2) ----------------------------
         "q19_disjunctive_revenue",
         "stream_novelty_filter",
@@ -172,8 +181,6 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "sample_weighted",
         "token_bpe_pretokenize",
         # -- r6 refresh: reference-command faces first ----------------
-        "kv_insert_guarded",
-        "kv_upsert_classify",
         "changelog_replay",
         "quota_sliding_window",
     ]

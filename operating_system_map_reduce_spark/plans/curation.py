@@ -554,11 +554,81 @@ FROM sharded GROUP BY epoch, shard ORDER BY epoch, shard
 """
 
 
+# --- group-holdout split: leakage-safe train/val/test ----------------------
+# split_assign buckets per DOCUMENT; for eval integrity the unit of
+# assignment must often be the GROUP (a web domain, a repository, a
+# book) so near-duplicate siblings cannot straddle the train/test
+# boundary.  Group holdout = the same coordination-free md5 bucket
+# computed on the group key instead of the row key: every doc of a
+# source inherits its source's split, still pure map-side (the split
+# is a scalar function of a column -- no per-group shuffle to decide
+# it, so adding docs OR whole new sources never reassigns anything).
+# The face emits the per-split census (sources, docs, chars) plus a
+# LEAKAGE CENSUS computed from the doc-level data -- sources observed
+# in more than one split (structurally zero here, but the census is
+# the audit a pipeline runs over ANY claimed group-safe split column,
+# and it rides one extra hash aggregate + a broadcast 1-row join, the
+# repo's constant-side crossJoin discipline).
+
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d = docs.withColumn(
+        "hx", F.md5(F.concat(F.lit("holdout|"), F.col("source"))))
+    bucket = F.expr(f"({_dd.hexval_spark_sql('hx')}) % 10")
+    d = d.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+    leak = (
+        d.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.sum((F.col("ns") > 1).cast("long")).alias("leaked_sources"))
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+SPLIT_GROUP_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN b < 8 THEN 'train'
+              WHEN b < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, source, n_chars, (({_dd.hexval_sql('hx')}) % 10) AS b
+    FROM (SELECT doc_id, source, n_chars,
+                 md5('holdout|' || source) AS hx
+          FROM documents)
+  )
+), leak AS (
+  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_sources
+  FROM (SELECT source, COUNT(DISTINCT split) AS ns FROM s GROUP BY source)
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       leaked_sources
+FROM s CROSS JOIN leak
+GROUP BY split, leaked_sources
+ORDER BY split
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "sample_weighted": sample_weighted,
     "dedup_purge_canonical": dedup_purge_canonical,
     "split_assign": split_assign,
+    "split_group_holdout": split_group_holdout,
     "contamination_check": contamination_check,
     "sample_stratified": sample_stratified,
     "sketch_distinct_tokens": sketch_distinct_tokens,
@@ -571,6 +641,7 @@ ORACLES = {
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "dedup_purge_canonical": DEDUP_PURGE_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
+    "split_group_holdout": SPLIT_GROUP_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sketch_distinct_tokens": SKETCH_DISTINCT_SQL,

@@ -202,6 +202,49 @@ class TestApproxQuantilesSketch:
                 assert lo <= row[col] <= hi, (lang, col, row[col], lo, hi)
 
 
+class TestSplitGroupHoldout:
+    def test_splits_partition_sources_with_zero_leakage(self, spark, sf_dir):
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        rows = curation.split_group_holdout(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        # n_sources summing to the global distinct count proves the
+        # splits PARTITION the source set (no source double-counted)
+        assert (sum(r["n_sources"] for r in rows)
+                == docs.select("source").distinct().count())
+        assert all(r["leaked_sources"] == 0 for r in rows)
+
+    def test_assignment_is_a_pure_function_of_the_group(self, spark, sf_dir):
+        """Pandas replay of the md5 bucket (first 12 hex digits, mod 10
+        -- the engine-shared hexval template): every doc of a source
+        inherits the source's split, and the replayed per-split census
+        equals the Spark one exactly."""
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source"])
+
+        def split_of(source: str) -> str:
+            hx = hashlib.md5(f"holdout|{source}".encode()).hexdigest()
+            b = int(hx[:12], 16) % 10
+            return "train" if b < 8 else ("val" if b < 9 else "test")
+
+        pdf["split"] = pdf["source"].map(split_of)
+        want = {
+            s: (g["source"].nunique(), len(g))
+            for s, g in pdf.groupby("split")
+        }
+        rows = curation.split_group_holdout(spark, sf_dir).collect()
+        got = {r["split"]: (r["n_sources"], r["n_docs"]) for r in rows}
+        assert got == want
+        # group-level assignment spreads sources across >= 2 splits
+        assert len(got) >= 2, got
+
+
 class TestShuffleEpochShards:
     def test_manifest_is_total_and_balanced(self, spark, sf_dir):
         from operating_system_map_reduce_spark.sources.tables import load_table

@@ -44,7 +44,7 @@ EVENT_QUERIES = [
     # last-write-wins replay ordering
     "changelog_authdiff", "changelog_replay", "changelog_asof",
     "kv_top_mru", "asof_click_attribution", "range_join_prior_activity",
-    "scd2_profile_versions",
+    "scd2_profile_versions", "changelog_incremental_agg",
 ]
 
 N_EVENTS = 800

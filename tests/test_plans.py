@@ -149,6 +149,8 @@ class TestRegistryWindow:
         "shuffle_epoch_shards",         # new in round 8: training order
         "domain_temperature_weights",   #   (mixture weights)
         "scd2_profile_versions",        # new in round 8: SCD2 history
+        "changelog_incremental_agg",    # new in round 8: incremental MV
+        "split_group_holdout",          # new in round 8: group split
     ]
     REDEFINED_IN_R8 = [
         "q19_disjunctive_revenue",     # revenue ROUND(.,6)
@@ -167,14 +169,13 @@ class TestRegistryWindow:
         "pack_sequences", "profile_orders", "q6_forecast_revenue",
         "sample_weighted", "token_bpe_pretokenize",
     ]
-    # Trimmed to 5 when the TPC-H completion batch and the two
-    # training-order faces took eleven window seats; kv_all_keys /
+    # Trimmed as new faces took window seats; kv_all_keys /
     # all_users_fold / fn_registry_doc_stats / kv_get_point /
-    # auth_hash_users moved to the round-9 mandatory set (r6-green, at
-    # ceiling there).
+    # auth_hash_users / kv_insert_guarded / kv_upsert_classify moved
+    # to the round-9 mandatory set (r6-green, at ceiling there; the
+    # latter two carry full-engine pytest paths in test_kv_engine.py).
     REFERENCE_COMMAND_FACES = [
-        "kv_insert_guarded",
-        "kv_upsert_classify", "changelog_replay",
+        "changelog_replay",
         "quota_sliding_window",
     ]
 
@@ -197,7 +198,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 136
+        assert len(_QUERIES) == len(set(_QUERIES)) == 138
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
@@ -530,6 +531,42 @@ class TestRound8PlanShapes:
         ev_scans = [s for s in plan.split("FileScan parquet")[1:]
                     if "props" in s.split("ReadSchema:")[1][:200]]
         assert len(ev_scans) == 1, plan
+
+    def test_incremental_agg_merge_equals_single_pass(self, spark, sf_dir):
+        """The MV-maintenance contract: base(<=S) merged with
+        delta(>S) reproduces the from-scratch single-pass aggregate
+        exactly (counts/seqs integer-exact, the double sum within the
+        repo's 1e-9 rel tol for summation regrouping)."""
+        from pyspark.sql import functions as F
+
+        from operating_system_map_reduce_spark.plans import kvqueries
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        got = {r["key"]: r for r in
+               _QUERIES["changelog_incremental_agg"](spark, sf_dir).collect()}
+        exp = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"),
+                 F.max("event_id").alias("s"))
+            .collect()
+        )
+        assert len(got) == len(exp)
+        for r in exp:
+            g = got[r["user_id"]]
+            assert g["n_events"] == r["n"]
+            assert g["last_seq"] == r["s"]
+            assert abs(g["total_value"] - r["v"]) <= 1e-9 * max(1.0, abs(r["v"]))
+
+    def test_incremental_agg_shuffles_once_per_side(self, spark, sf_dir):
+        """Both the base and delta aggregates hash-partition on
+        user_id and the full-outer merge reuses that partitioning: two
+        aggregate exchanges (one per side), no cartesian, no
+        single-partition funnel."""
+        plan = _plan(_QUERIES["changelog_incremental_agg"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0], plan
 
     def test_bm25_never_explodes_or_shuffles_the_corpus(self, spark, sf_dir):
         """Fixed query terms mean tf/dl are array expressions: the
