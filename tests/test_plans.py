@@ -30,7 +30,8 @@ BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
                       "text_bm25_topk",      # 1-row n/avgdl/df stats
                       "q11_important_parts", # 1-row fair-share cutoff
                       "q15_top_supplier",    # 1-row max-revenue scalar
-                      "domain_temperature_weights"}  # 1-row normalizer
+                      "domain_temperature_weights",  # 1-row normalizer
+                      "split_group_holdout"}  # 1-row leakage census
 
 _QUERIES = entrymod.queries()
 
@@ -392,6 +393,8 @@ SINGLE_PARTITION_JUSTIFIED = {
                                  #   per-part frame (not the fact scan)
     "q15_top_supplier",          # 1-row MAX over the per-supplier frame
     "domain_temperature_weights",  # 1-row pow-mass normalizer over the
+                                   #   |sources|-row frame
+    "split_group_holdout",         # 1-row leakage census over the
                                    #   |sources|-row frame
 }
 
