@@ -1626,8 +1626,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(F.when(F.col("is_target"), vol).otherwise(F.lit(0.0)))
-                     / F.sum(vol), 6).alias("mkt_share"),
+        # RAW ratio, not ROUND(.,6): a ratio of float sums carries
+        # ~1e-9 relative summation noise, and rounding flips discretely
+        # at a half-boundary while the compare's relative tolerance
+        # absorbs raw noise (round-8 ADVICE; same rule as raw sums).
+        .agg((F.sum(F.when(F.col("is_target"), vol).otherwise(F.lit(0.0)))
+              / F.sum(vol)).alias("mkt_share"),
              F.count(F.lit(1)).alias("n_items"))
         .orderBy("o_year")
     )
@@ -1635,10 +1639,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN l_extendedprice * (1 - l_discount)
+                ELSE 0.0 END)
+       / SUM(l_extendedprice * (1 - l_discount)) AS mkt_share,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
@@ -1711,18 +1715,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .agg(F.round(F.lit(100.0)
-                     * F.sum(F.when(F.col("is_promo"), vol).otherwise(F.lit(0.0)))
-                     / F.sum(vol), 6).alias("promo_pct"),
+        # RAW ratio, not ROUND(.,6) -- see q8_market_share's note
+        # (round-8 ADVICE: rounding a float-sum ratio can flip a
+        # half-boundary; the raw value rides the compare tolerance).
+        .agg((F.lit(100.0)
+              * F.sum(F.when(F.col("is_promo"), vol).otherwise(F.lit(0.0)))
+              / F.sum(vol)).alias("promo_pct"),
              F.count(F.lit(1)).cast("long").alias("n_items"))
     )
 
 
 Q14_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) AS promo_pct,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'

@@ -177,7 +177,7 @@ def changelog_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
-    s = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"] // 2
+    s = ev.agg(F.coalesce(F.max("event_id"), F.lit(0)).alias("m")).collect()[0]["m"] // 2  # coalesce: empty log => snapshot at 0
 
     def snapshot(src: DataFrame, prefix: str) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
@@ -682,7 +682,7 @@ FROM iv GROUP BY user_id ORDER BY user_id
 
 def changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    s = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"] // 2
+    s = ev.agg(F.coalesce(F.max("event_id"), F.lit(0)).alias("m")).collect()[0]["m"] // 2  # coalesce: empty log => snapshot at 0
 
     def mv(src: DataFrame, p: str) -> DataFrame:
         return src.groupBy("user_id").agg(

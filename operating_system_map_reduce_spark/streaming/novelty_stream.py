@@ -27,6 +27,7 @@ verdicts are hash-checked end-to-end through the driver gate.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -54,6 +55,22 @@ _DOC_SCHEMA = StructType([
 # index-build cost; each run COPIES the seed files into its private
 # workdir because the run mutates its index with admissions.
 _SEED_CACHE: dict = {}
+
+# Default admission-log root: ONE process-lived directory, removed at
+# interpreter exit.  Each run still gets a unique log-<uuid> subdir
+# (earlier results stay readable for the life of the process), but
+# repeated invocations (bench steady state) no longer accumulate
+# never-cleaned mkdtemp roots in /tmp (round-8 ADVICE).  Callers who
+# need the log to OUTLIVE the process pass out_dir explicitly.
+_DEFAULT_LOG_ROOT: list = []
+
+
+def _default_log_root() -> str:
+    if not _DEFAULT_LOG_ROOT:
+        root = tempfile.mkdtemp(prefix="novelty-admissions-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _DEFAULT_LOG_ROOT.append(root)
+    return _DEFAULT_LOG_ROOT[0]
 
 
 def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame,
@@ -94,9 +111,10 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
                        out_dir: str | None = None) -> DataFrame:
     """Returns a LAZY frame over the written admission log.
 
-    The log lands under ``out_dir`` (caller-owned; a fresh process-lived
-    temp directory when omitted -- per call, so earlier results stay
-    readable), partitioned by ``wave`` so both the
+    The log lands under ``out_dir`` (caller-owned; when omitted, a
+    unique subdir of ONE process-lived temp root that is removed at
+    interpreter exit -- earlier results stay readable for the life of
+    the process), partitioned by ``wave`` so both the
     per-wave index-append re-read and any downstream wave filter prune
     files instead of scanning the whole log.  Only scratch state (the
     wave source files, the private index copy, the checkpoint) lives in
@@ -112,7 +130,7 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
     bands_dir = os.path.join(work, "index_bands")
     hashes_dir = os.path.join(work, "index_hashes")
     # the admission log is the RESULT: it must outlive the workdir
-    log_root = out_dir or tempfile.mkdtemp(prefix="novelty-admissions-")
+    log_root = out_dir or _default_log_root()
     log_dir = os.path.join(log_root, f"log-{uuid.uuid4().hex[:12]}")
     ckpt_dir = os.path.join(work, "checkpoint")
     os.makedirs(src_dir)
@@ -125,36 +143,30 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
         _copy_parquet_dir(seed_bands, bands_dir)
         _copy_parquet_dir(seed_hashes, hashes_dir)
 
-        # materialize the arriving stream in ONE job (partitionBy on
-        # wave), then flatten: one file per wave, mtimes ascending so
-        # the file source replays waves in arrival order
-        waves = docs.filter(is_batch).withColumn("wave", _wave_col())
+        # materialize the arriving stream: one SINGLE-FILE Spark write
+        # per wave (repartition(1) on the wave's docs -- a wave is
+        # micro-batch sized by definition, and the file source's
+        # one-file-per-trigger contract wants exactly one file), mtimes
+        # ascending so the source replays waves in arrival order.  No
+        # wave content ever transits driver memory (the round-8 pyarrow
+        # re-pack path is gone); this is fixture STAGING of the
+        # synthetic stream source -- a production crawler's waves
+        # arrive as directories and need no staging at all.
+        waves = (docs.filter(is_batch).withColumn("wave", _wave_col())
+                 .persist())
         stage = os.path.join(work, "stage")
-        # __wp duplicates wave because partitionBy removes its column
-        # from the data files, and the probe needs wave IN the rows
-        (waves.withColumn("__wp", F.col("wave")).repartition("__wp")
-         .write.partitionBy("__wp").parquet(stage))
         for w in range(NOVELTY_WAVES):
-            wdir = os.path.join(stage, f"__wp={w}")
-            dst = os.path.join(src_dir, f"wave-{w}.parquet")
-            parts = ([f for f in sorted(os.listdir(wdir))
-                      if f.endswith(".parquet")]
-                     if os.path.isdir(wdir) else [])
+            wdir = os.path.join(stage, f"w{w}")
+            (waves.filter(F.col("wave") == w).repartition(1)
+             .write.parquet(wdir))
+            parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
             if not parts:
                 continue  # no docs in this wave at this SF
-            if len(parts) == 1:
-                shutil.move(os.path.join(wdir, parts[0]), dst)
-            else:
-                # partitionBy wrote >1 file for the wave: re-pack via
-                # pyarrow (wave files are arriving-batch sized)
-                import pyarrow.parquet as _pq
-
-                tables = [_pq.read_table(os.path.join(wdir, p))
-                          for p in parts]
-                import pyarrow as _pa
-
-                _pq.write_table(_pa.concat_tables(tables), dst)
+            assert len(parts) == 1, parts  # repartition(1) contract
+            dst = os.path.join(src_dir, f"wave-{w}.parquet")
+            shutil.move(os.path.join(wdir, parts[0]), dst)
             os.utime(dst, (1_000_000 + w, 1_000_000 + w))
+        waves.unpersist()
         shutil.rmtree(stage)
 
         def probe_wave(batch: DataFrame, batch_id: int) -> None:
