@@ -19,6 +19,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     from operating_system_map_reduce_spark.plans import (
         analytics, curation, kvqueries, mining, pipeline, streamqueries, textprep,
     )
+    from operating_system_map_reduce_spark.plans import window as _win
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -27,42 +28,69 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
-    # Rotation policy (codified round 7 -- the window has a CLOCK, not
-    # just an ordering).  The driver's correctness gate checks the FIRST
-    # 50 entries in insertion order; the registry holds more.  Window
-    # selection each round, in priority order:
-    #   1. queries that have NEVER had a driver correctness row (new
-    #      additions) take the front of the window;
-    #   2. queries whose PLAN OR ORACLE CHANGED since their newest green
-    #      row re-enter regardless of age (a green row for old semantics
-    #      verifies nothing);
-    #   3. remaining slots refresh OLDEST-newest-row-first.
-    # Hard ceiling: no registered query's newest green driver row may be
-    # more than TWO rounds behind HEAD at judge time (round-3 incident:
-    # local-green and driver-green can diverge after refactors).  A
-    # query whose newest row is exactly two rounds old MUST therefore be
-    # in the CURRENT window.  Clock arithmetic: with N registered
-    # queries and a 50-slot window the refresh cycle is ceil(N/50)
-    # rounds, so the ceiling is satisfiable while N <= 150; growing the
-    # registry past 150 requires widening the window or splitting the
-    # gate.  Entries outside the window stay registered and stay covered
-    # by tests/test_oracle_parity.py, which runs ALL entries against the
-    # DuckDB oracle locally.
+    # Rotation policy (codified round 7; made MECHANICAL round 10 after
+    # round 9 skipped its rotation and 43 entries blew past the
+    # ceiling).  The driver's correctness gate checks the FIRST 50
+    # entries in insertion order; the registry holds more.  The window
+    # is now COMPUTED by plans/window.py from the committed
+    # CORRECTNESS_r*.json ledger plus the REDEFINED rule-2 declaration
+    # there -- the clock ticks by itself when each round's correctness
+    # file lands.  Selection rules, priority order (unchanged since
+    # round 7): 1. never-driver-green entries lead; 2. entries whose
+    # plan/oracle changed since their newest green row re-enter
+    # (append the query to window.REDEFINED in the SAME commit as the
+    # plan change); 3. remaining seats refresh oldest-newest-row-first,
+    # alternating registry halves by round parity once N > 150 (the
+    # round-8 growth plan, now implemented).  Hard ceiling: no entry's
+    # newest green row more than TWO rounds behind HEAD at judge time;
+    # tests/test_plans.py::TestRegistryWindow pins both mechanism
+    # compliance and the ceiling, so a skipped rotation now fails
+    # pytest instead of failing the policy.  WINDOW ROTATION IS COMMIT
+    # #1 OF EVERY ROUND (round-9 verdict directive #7): verify the
+    # computed window (python -c "from operating_system_map_reduce_spark
+    # .plans.window import *; ..."), append any rule-2 entries, commit
+    # -- before hygiene, before features.  Entries outside the window
+    # stay covered by tests/test_oracle_parity.py (ALL entries vs the
+    # DuckDB oracle locally).
     #
-    # Growth plan past 150 (decided round 8, before it is needed): the
-    # window stays 50 wide -- the driver contract fixes that -- so at
-    # N > 150 the refresh cycle exceeds the 2-round ceiling.  The
-    # decision is to SPLIT THE GATE INTO ALTERNATING HALVES of the
-    # registry at N = 150: even rounds window the first half's due
-    # queries, odd rounds the second half's, with never-checked and
-    # changed-definition entries always jumping the alternation.  That
-    # keeps the per-query ceiling at 2 rounds up to N = 200.  Past 200
-    # the registry must stop growing and new faces replace retired
-    # ones (a face retires only if a strictly more general face covers
-    # its semantics AND its plan shape).  Rationale: widening the
-    # window is not ours to choose; alternating halves is, and it
-    # degrades gracefully.
-    #
+    # Round 10 (registry 138 -- FROZEN this round, directive #3: the
+    # 88-entry due backlog spends every seat; zero new faces).  The
+    # computed window10: rule-2 re-entries changelog_asof (plan changed
+    # r9, missed re-entry) + stream_novelty_filter (staging re-planned
+    # r10), then the 43-entry r6-green mandatory cohort, then the 5
+    # name-first r7-green entries (basket_part_pairs,
+    # bucketed_segment_revenue, contamination_check,
+    # corpus_novelty_filter, dedup_clusters).  RECOVERY NOTE -- the 39
+    # r7-green entries deferred to round 11, where the mechanism seats
+    # them first (oldest cohort): dedup_containment,
+    # dedup_graph_triangles, dedup_jaccard_ppjoin,
+    # dedup_purge_canonical, dedup_semantic, domain_mix_sample,
+    # embedding_label_centroids, embedding_pq_codes, events_anomaly_mad,
+    # events_cube_summary, events_gap_fill, events_markov_transitions,
+    # fuzzy_match_symspell, fuzzy_part_match, kv_aes_at_rest,
+    # mr_odd_key_vals, order_value_deciles, orders_above_customer_avg,
+    # pagerank_neardup, pipeline_corpus_curation, q18_large_orders,
+    # sample_stratified, similarity_cosine_topk, similarity_ivf_knn,
+    # similarity_ivf_search, similarity_ivfpq_search,
+    # sketch_distinct_tokens, skew_salted_join, split_assign,
+    # stream_dedup_first_seen, stream_enrich_revenue, stream_mru_types,
+    # stream_quota_admission, stream_session_counts,
+    # stream_topk_trending, stream_windowed_counts, text_pii_scrub,
+    # text_tfidf_top_terms, tokens_pmi_bigrams -- after which the
+    # ceiling is restored and steady-state oldest-first holds it.
+    # New-face queue for round 11 (after the 39, rule 1 seats them):
+    # the trained-BPE tokenizer face (N unrolled merge rounds with a
+    # CTE oracle; reference anchor p5/server/my_storage.cc:269-415) and
+    # the multimodal-text joint face.
+    window10 = _win.build_window(list(queries), _win.load_ledger())
+    assert len(window10) == min(len(queries), _win.WINDOW_SIZE)
+    ordered = {n: queries[n] for n in window10}
+    ordered.update({n: queries[n] for n in queries if n not in ordered})
+    return ordered, oracles
+
+
+def _window8_history() -> list[str]:
+    """Rounds 8-9 window, kept for the rotation-clock audit trail."""
     # Round 8 (registry 138): the twenty-three never-green entries lead
     # (changelog_authdiff -- new, the SET/AUTHDIFF replay face;
     # similarity_ivfpq_trained -- registered r7 but rows-only until its
@@ -185,9 +213,7 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
         "quota_sliding_window",
     ]
     assert len(window8) == 50, len(window8)
-    ordered = {n: queries[n] for n in window8}
-    ordered.update({n: queries[n] for n in queries if n not in ordered})
-    return ordered, oracles
+    return window8
 
 
 def _window7_history() -> list[str]:

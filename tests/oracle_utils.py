@@ -14,7 +14,10 @@ Strictness matches the driver's typed value-hash (round-1 lesson):
   driver accepts sub-ulp summation-order noise (events_sessionize passed
   round 1 with a 3e-16 relative diff), so exact-bit float compare would
   be STRICTER than the driver; the kind check above is what it actually
-  enforces.  Still: ROUND(...,6) visible float outputs on both engines.
+  enforces.  Leave float sums AND float-sum ratios RAW on both engines
+  (the rel-tol compare absorbs summation noise); do NOT ROUND(...,6)
+  them — rounding is what flips half-boundary values when the engines'
+  sub-ulp sums land on opposite sides (the round-9 q8/q14 lesson).
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from operating_system_map_reduce_spark.plans import window as _win
 
 # Round 7: empty.  The exact-knn baseline (the one all-pairs-by-design
 # plan through round 6) was re-planned to blocked per-group top-k --
@@ -120,82 +121,94 @@ class TestPlanShape:
 
 class TestRegistryWindow:
     """The driver's correctness gate reads only the first 50 queries()
-    entries; the rotation policy promises every never-driver-checked
-    query a seat inside that window."""
+    entries.  Round 10 made the window MECHANICAL (plans/window.py):
+    it is computed from the committed CORRECTNESS_r*.json ledger, so
+    these pins assert (a) collect_registry obeys the mechanism, (b)
+    the staleness ceiling is enforced by the mechanism's output, and
+    (c) the round-10 recovery mandate (the 43-entry r6 cohort skipped
+    in round 9, plus the two rule-2 re-entries) holds concretely."""
 
-    # Round-8 policy: never-green first, then changed-definition
-    # re-entries, then the r5-stale cohort (ALL of it -- the round-7
-    # verdict's directive #1), then r6 refresh reference-faces-first;
-    # hard ceiling = newest green row at most two rounds behind HEAD
-    # at judge time.
-    NEVER_GREEN_THROUGH_R7 = [
-        "changelog_authdiff",          # new in round 8 (SET/AUTHDIFF)
-        "similarity_ivfpq_trained",    # oracle-less until round 8
-        "q7_nation_volume",            # new in round 8 (TPC-H batch)
-        "q8_market_share",
-        "q10_returned_items",
-        "q14_promo_revenue",
-        "q17_small_quantity",
-        "q22_dormant_value",
-        "text_bm25_topk",              # new in round 8 (retrieval)
-        "q2_min_cost_supplier",        # new in round 8: TPC-H completion
-        "q9_product_profit",           #   (22/22 queries implemented)
-        "q11_important_parts",
-        "q12_priority_shipping",
-        "q13_order_distribution",
-        "q15_top_supplier",
-        "q16_part_supplier_census",
-        "q20_dominant_suppliers",
-        "q21_blocking_suppliers",
-        "shuffle_epoch_shards",         # new in round 8: training order
-        "domain_temperature_weights",   #   (mixture weights)
-        "scd2_profile_versions",        # new in round 8: SCD2 history
-        "changelog_incremental_agg",    # new in round 8: incremental MV
-        "split_group_holdout",          # new in round 8: group split
-    ]
-    REDEFINED_IN_R8 = [
-        "q19_disjunctive_revenue",     # revenue ROUND(.,6)
-        "stream_novelty_filter",       # lazy wave-partitioned result
-        "events_funnel",               # anchor broadcast hints dropped
-        "events_retention_cohorts",    # anchor broadcast hint dropped
-        "q3_shipping_priority",        # customer hint dropped
-        "q5_region_revenue",           # supplier/customer hints dropped
-    ]
-    R5_STALE = [
-        "kv_mix_ops", "zorder_cluster_stats", "quality_filter_composite",
-        "dedup_span_exact", "doc_length_quantiles", "embedding_quantize",
-        "events_ohlc", "events_type_pivot", "events_type_unpivot",
-        "events_user_paths", "interval_overlap_errors", "lm_unigram_score",
-        "orders_customer_reconcile", "orders_monthly_growth",
-        "pack_sequences", "profile_orders", "q6_forecast_revenue",
-        "sample_weighted", "token_bpe_pretokenize",
-    ]
-    # Trimmed as new faces took window seats; kv_all_keys /
-    # all_users_fold / fn_registry_doc_stats / kv_get_point /
-    # auth_hash_users / kv_insert_guarded / kv_upsert_classify moved
-    # to the round-9 mandatory set (r6-green, at ceiling there; the
-    # latter two carry full-engine pytest paths in test_kv_engine.py).
-    REFERENCE_COMMAND_FACES = [
-        "changelog_replay",
-        "quota_sliding_window",
-    ]
+    WINDOW = list(_QUERIES)[: _win.WINDOW_SIZE]
+    LEDGER = _win.load_ledger()
 
-    def test_never_green_queries_inside_gate_window(self):
-        window = list(_QUERIES)[:50]
-        missing = [n for n in self.NEVER_GREEN_THROUGH_R7
-                   if n not in window]
-        assert not missing, f"outside the 50-entry gate window: {missing}"
+    def test_window_is_the_mechanisms_output(self):
+        expect = _win.build_window(list(_QUERIES), self.LEDGER)
+        assert self.WINDOW == expect, \
+            "queries() front-50 diverged from the computed gate window"
 
-    def test_redefined_queries_reenter_the_window(self):
-        window = list(_QUERIES)[:50]
-        missing = [n for n in self.REDEFINED_IN_R8 if n not in window]
-        assert not missing, f"redefined queries missing a re-check: {missing}"
+    def test_rule2_reentries_are_declared_and_seated(self):
+        # a plan/oracle change MUST land with a REDEFINED bump in the
+        # same commit; these two are round 10's mandate (r9 verdict
+        # directive #2 and #4)
+        assert _win.REDEFINED["changelog_asof"] == 9
+        assert _win.REDEFINED["stream_novelty_filter"] == 10
+        assert "changelog_asof" in self.WINDOW
+        assert "stream_novelty_filter" in self.WINDOW
 
-    def test_stalest_queries_lead_the_refresh(self):
-        window = list(_QUERIES)[:50]
-        missing = [n for n in self.R5_STALE + self.REFERENCE_COMMAND_FACES
-                   if n not in window]
-        assert not missing, f"at-ceiling queries missing a refresh seat: {missing}"
+    def test_staleness_ceiling_or_saturated_recovery(self):
+        """No entry's newest green row may be more than
+        STALENESS_CEILING rounds behind HEAD at this round's judge
+        time.  An entry in the current window gets a fresh row this
+        round, so only entries OUTSIDE the window can violate -- and a
+        violation is tolerable only while the window is saturated with
+        due entries (paying down a skipped rotation, round-9 debt)."""
+        head = max(self.LEDGER.values(), default=0)
+        current = head + 1
+        due = set(_win.due_entries(list(_QUERIES), self.LEDGER))
+        window = set(self.WINDOW)
+        violators = [
+            n for n in _QUERIES
+            if n not in window
+            and current - self.LEDGER.get(n, -10**9) > _win.STALENESS_CEILING
+        ]
+        if violators:
+            # recovery mode: every seat must be spent on a due entry,
+            # and no deferred entry may be older than a seated rule-3
+            # entry (oldest-first is the schedule)
+            assert window <= due, \
+                f"stale entries deferred while non-due entries hold seats: {sorted(violators)[:5]}"
+            oldest_deferred = min(self.LEDGER.get(n, -1) for n in violators)
+            seated_r3 = [n for n in self.WINDOW
+                         if n in self.LEDGER
+                         and _win.REDEFINED.get(n, -1) <= self.LEDGER[n]]
+            assert all(self.LEDGER[n] <= oldest_deferred for n in seated_r3), \
+                "a younger entry holds a seat while an older one is deferred"
+
+    def test_never_green_entries_lead_the_window(self):
+        never = [n for n in _QUERIES if n not in self.LEDGER]
+        missing = [n for n in never if n not in self.WINDOW]
+        assert not missing, f"never-driver-checked, outside the gate: {missing}"
+
+    def test_alternating_halves_past_threshold(self):
+        """Unit-test the round-8 growth plan now implemented: past
+        HALVES_THRESHOLD registered queries, rule-3 seats prefer the
+        round-parity half; rules 1-2 jump the alternation."""
+        n = _win.HALVES_THRESHOLD + 10
+        registry = [f"q{i:03d}" for i in range(n)]
+        halves = sorted(registry)
+        first, second = set(halves[: n // 2]), set(halves[n // 2:])
+        # head=9 -> current round 10 (even): first half preferred
+        ledger = {name: 9 - (i % 3) for i, name in enumerate(registry)}
+        ledger.pop("q000")                      # rule 1: never green
+        redefined = {"q159": 10}                # rule 2: jumps parity
+        win = _win.build_window(registry, ledger, redefined, size=50)
+        assert win[0] == "q000" and "q159" in win[:2]
+        rule3 = [x for x in win if x not in ("q000", "q159")]
+        assert all(x in first for x in rule3), \
+            "even round must spend rule-3 seats on the first half"
+        # head=10 -> odd round: second half preferred
+        ledger2 = {name: 10 - (i % 3) for i, name in enumerate(registry)}
+        win2 = _win.build_window(registry, ledger2, {}, size=50)
+        assert all(x in second for x in win2), \
+            "odd round must spend rule-3 seats on the second half"
+
+    def test_ledger_reader_matches_driver_semantics(self):
+        """Rows-only faces (hash_match=None) count as green; an err or
+        a failed compare never does."""
+        led = self.LEDGER
+        assert led, "CORRECTNESS ledger files missing from repo root"
+        # every registered query has had at least one green row by now
+        assert not [n for n in _QUERIES if n not in led]
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
