@@ -549,6 +549,159 @@ LIMIT 20
 """
 
 
+# --- token_bpe_trained: N full BPE training merge rounds --------------------
+# bpe_merge_pairs above is ONE census (the inner loop); this face TRAINS:
+# N_BPE_MERGES rounds of census -> argmax pair -> apply-merge-to-vocab,
+# the loop a tokenizer trainer actually runs (reference anchor: the KMR
+# iterate-all-pairs / fold-globally pattern, p5/server/my_storage.cc:
+# 269-415; algorithm: Sennrich et al. 2016, arXiv:1508.07909).  The
+# deterministic-Lloyd precedent (trained IVF-PQ, commit 8223c65) applies:
+# a FIXED-iteration training loop is SQL-expressible, so the DuckDB
+# oracle replays the identical N rounds and the driver hash-checks the
+# learned merge table end-to-end.
+#
+# Scale shape (100 TB): corpus size enters ONLY through the first
+# word-count aggregate (one hash agg over the token stream, map-side
+# partial).  Every merge round then runs on the DISTINCT VOCABULARY
+# (|V| rows): a map-side pair explode (bounded by word length), a
+# vocab-sized hash agg, a 1-row argmax attached by broadcast, and a
+# map-side fold that rewrites each word's symbol string.  No round
+# shuffles anything corpus-sized; the vocab table is localCheckpointed
+# once so the N unioned merge branches do not re-run the corpus scan.
+#
+# Apply-merge semantics (both engines, same recurrence): left-to-right
+# non-overlapping -- fold symbols with a string accumulator; merge when
+# the accumulator's LAST symbol == a and the next symbol == b, else
+# append.  The merged token ab can never equal a (b is non-empty), so a
+# token created by this round's merge never chains as the left operand
+# within the same round -- exactly the classic i+=2 scan.  Ties in the
+# census argmax break by (count DESC, a ASC, b ASC) on both engines.
+
+N_BPE_MERGES = 5
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    ).alias("w"))
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+
+
+def _bpe_pair_census(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair census over (f, s) where s is the word's
+    space-joined symbol string -- map-side explode, vocab-sized agg.
+    Single-symbol words (fully merged, or 1-char to begin with) have no
+    pairs and MUST be filtered before the sequence: sequence(1, 0)
+    DESCENDS in Spark ([1, 0]), driving element_at out of bounds."""
+    pairs = vocab.filter(F.size(F.split("s", " ")) >= 2).select(
+        "f",
+        F.explode(F.expr(
+            "transform(sequence(1, size(split(s, ' ')) - 1),"
+            " i -> struct(element_at(split(s, ' '), i) AS a,"
+            "             element_at(split(s, ' '), i + 1) AS b))"
+        )).alias("p"),
+    ).select("f", "p.a", "p.b")
+    return pairs.groupBy("a", "b").agg(F.sum("f").alias("n_merge"))
+
+
+def _bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol string under the 1-row merge (a, b):
+    broadcast-attach the pair, fold left-to-right non-overlapping."""
+    folded = F.expr(
+        "aggregate(split(s, ' '), '', (acc, x) ->"
+        " CASE WHEN acc != '' AND regexp_extract(acc, '[^ ]+$', 0) = a"
+        "           AND x = b"
+        "      THEN concat(regexp_replace(acc, '[^ ]+$', ''), a, b)"
+        "      WHEN acc = '' THEN x"
+        "      ELSE concat(acc, ' ', x) END)")
+    return (vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select("w", "f", folded.alias("s")))
+
+
+def token_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (_bpe_word_counts(spark, sf_dir)
+             .select(
+                 "w", "f",
+                 F.expr("array_join(filter(split(w, ''), c -> c <> ''), ' ')")
+                 .alias("s"))
+             # vocab-sized; checkpoint so the N merge branches below do
+             # not each re-run the corpus word-count aggregate
+             .localCheckpoint(eager=False))
+    merges = []
+    for rank in range(1, N_BPE_MERGES + 1):
+        best = (_bpe_pair_census(vocab)
+                .orderBy(F.desc("n_merge"), "a", "b").limit(1)
+                .localCheckpoint(eager=False))
+        merges.append(best.select(
+            F.lit(rank).cast("long").alias("merge_rank"), "a", "b",
+            F.concat("a", "b").alias("merged"), "n_merge"))
+        if rank < N_BPE_MERGES:
+            vocab = _bpe_apply_merge(vocab, best).localCheckpoint(eager=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_trained_sql() -> str:
+    """Unrolled N-round oracle: census_r -> best_r (argmax) -> v_r
+    (fold-applied vocab), same recurrence as the Spark fold."""
+    parts = ["""
+wc AS (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+v0 AS (
+  SELECT w, f,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substring(w, CAST(i AS INTEGER), 1)),
+                         ' ') AS s
+  FROM wc
+)"""]
+    for r in range(1, N_BPE_MERGES + 1):
+        prev = f"v{r - 1}"
+        parts.append(f"""
+c{r} AS (
+  SELECT a, b, CAST(SUM(f) AS BIGINT) AS n_merge FROM (
+    SELECT f, p.a AS a, p.b AS b FROM (
+      SELECT f, unnest(list_transform(range(1, len(string_split(s, ' '))),
+                       i -> {{'a': string_split(s, ' ')[CAST(i AS INTEGER)],
+                              'b': string_split(s, ' ')[CAST(i AS INTEGER) + 1]}})) AS p
+      FROM {prev}
+    )
+  ) GROUP BY a, b
+),
+b{r} AS (SELECT a, b, n_merge FROM c{r} ORDER BY n_merge DESC, a, b LIMIT 1)""")
+        if r < N_BPE_MERGES:
+            parts.append(f"""
+v{r} AS (
+  SELECT w, f, list_reduce(string_split(s, ' '), (acc, x) ->
+    CASE WHEN regexp_extract(acc, '[^ ]+$') = b{r}.a AND x = b{r}.b
+         THEN regexp_replace(acc, '[^ ]+$', '') || b{r}.a || b{r}.b
+         ELSE acc || ' ' || x END) AS s
+  FROM {prev}, b{r}
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, a || b AS merged,"
+        f" n_merge FROM b{r}" for r in range(1, N_BPE_MERGES + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT * FROM (\n{arms}\n) ORDER BY merge_rank")
+
+
+BPE_TRAINED_SQL = _bpe_trained_sql()
+
+# Round-11 queue (registry FROZEN at 138 for round 10 -- the recovery
+# round spends every gate seat on the stale cohort).  collect_registry
+# ignores this dict; round 11 moves the entries into QUERIES/ORACLES,
+# where the mechanical window seats them via rule 1 (never green).
+PENDING_R11_QUERIES = {"token_bpe_trained": token_bpe_trained}
+PENDING_R11_ORACLES = {"token_bpe_trained": BPE_TRAINED_SQL}
+
+
 # --- profile_orders: one-pass data-profiling operator ----------------------
 # The schema-quality census every ingestion pipeline runs: per column
 # the row count, null count, and exact distinct count -- computed in

@@ -1124,6 +1124,77 @@ QUERIES["multimodal_features"] = multimodal_features
 ORACLES["multimodal_features"] = MULTIMODAL_FEATURES_SQL
 
 
+# --- multimodal_text_curation: the joint-modality admission pipeline -------
+# The face the four single-modality queries above build toward: ONE
+# per-document curation verdict combining (a) the REAL mapInPandas
+# decode path (media metadata via the deterministic codec), (b) the
+# JVM-side text expression pipeline (whitespace token count), and (c)
+# the embedding table (left-joined norm via the bit-parity fold of
+# operators/similarity.py -- docs without a vector stay, norm NULL).
+# Keep rule: decodable raster formats at thumbnail size or better with
+# a mid-length text.  At 100 TB: decode is Arrow-batched per partition,
+# both joins are doc_id-keyed (the embedding side is the smaller table
+# at every SF -- AQE picks broadcast or shuffle), nothing collects.
+#
+# PENDING_R11: registry is FROZEN at 138 for round 10 (the recovery
+# round); collect_registry ignores these dicts until round 11 registers
+# them (mechanical window rule 1 then seats the face as never-green).
+
+def multimodal_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = (_mm.decode_media(_mm.attach_binary(docs), fake=True)
+               .select("doc_id", "format", "width", "height"))
+    ws_toks = F.size(F.filter(F.split(F.col("text"), "\\s+"),
+                              lambda t: t != ""))
+    text_side = docs.select("doc_id", "lang", ws_toks.alias("ws_tokens"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.expr(_sim.norm_sql("embedding")), 6).alias("emb_norm"))
+    keep = (F.col("format").isin("jpeg", "png")
+            & (F.col("width") >= 32) & (F.col("height") >= 32)
+            & F.col("ws_tokens").between(10, 1000))
+    return (decoded.join(text_side, "doc_id")
+            .join(emb, "doc_id", "left")
+            .select("doc_id", "format", "lang", "ws_tokens",
+                    "width", "height", "emb_norm",
+                    keep.cast("long").alias("keep"))
+            .orderBy("doc_id"))
+
+
+def _mm_text_curation_sql() -> str:
+    c = [f"substr(md5(text), {i}, 1)" for i in range(1, 9)]
+    fmt_idx = f"({_hv(c[1])} % 4)"
+    byte1 = f"({_hv(c[2])} * 16 + {_hv(c[3])})"
+    byte2 = f"({_hv(c[4])} * 16 + {_hv(c[5])})"
+    return f"""
+WITH decoded AS (
+  SELECT doc_id,
+         (['jpeg', 'png', 'wav', 'mp4'])[1 + {fmt_idx}] AS format,
+         16 + ({byte1} % 240) AS width,
+         16 + ({byte2} % 240) AS height,
+         lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '')) AS ws_tokens
+  FROM documents
+)
+SELECT d.doc_id, d.format, d.lang, d.ws_tokens, d.width, d.height,
+       ROUND(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm,
+       CAST(CASE WHEN d.format IN ('jpeg', 'png')
+                  AND d.width >= 32 AND d.height >= 32
+                  AND d.ws_tokens BETWEEN 10 AND 1000
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM decoded d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+
+MULTIMODAL_TEXT_CURATION_SQL = _mm_text_curation_sql()
+
+PENDING_R11_QUERIES = {"multimodal_text_curation": multimodal_text_curation}
+PENDING_R11_ORACLES = {"multimodal_text_curation": MULTIMODAL_TEXT_CURATION_SQL}
+
+
 # --- tf-idf top terms per language ------------------------------------------
 # Classic corpus statistics, fully declarative: explode tokens, two
 # hash aggregates (term frequency per lang, document frequency over the

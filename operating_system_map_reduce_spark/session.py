@@ -33,6 +33,25 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Loose shuffle-partition floor; AQE coalesces down as needed.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Shuffle-width HEADROOM, not width: AQE coalesces oversized
+    # partition counts down to target size but can never split a
+    # non-skew shuffle up, so the INITIAL count must exceed what the
+    # largest shuffle needs and coalescing handles the rest.  The sf1
+    # spot-run measured the failure mode: pagerank_neardup at 10x data
+    # on the bare 32-partition floor swung 7-43 s (sort spill + GC
+    # pressure at ~10x rows per partition) vs a stable ~9 s with 256
+    # initial partitions -- and at 100 TB a fixed small count is fatal.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+        os.environ.get("SPARK_GRAFT_INIT_PARTS", "256"),
+    # local[N] runs all N task slots inside the driver JVM, so the
+    # driver heap IS the executor heap: Spark's 1g default leaves
+    # ~30 MB of working memory per slot at N=32 and OOMed the sf1
+    # scaling spot-run (round 10).  8g keeps per-slot memory at the
+    # level a real executor would get; on a cluster this setting is
+    # irrelevant (executors are sized by spark-submit).  Only effective
+    # when this factory launches the JVM -- getOrCreate on a live
+    # session cannot resize the heap.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""sf1 scaling spot-run (round-9 verdict directive #5).
+
+SCALING.md's 100 TB claims rested on sf0.01 -> sf0.1 pairs (one
+decade).  This adds the sf0.1 -> sf1 decade for the five most
+expensive bench queries.  The driver ships no sf1 testdata, so sf1 is
+SYNTHESIZED deterministically from sf0.1 as ten REPLICA-DISJOINT
+copies -- the honest 10x scale-up for these workloads:
+
+* documents (x10 -> 50,000 rows): replica k offsets doc_id by k*5000
+  (a multiple of 10, preserving the %10 batch-membership and div-10
+  wave semantics) and suffixes every WORD with k (k=0 unchanged).
+  Word-suffixing is a bijective vocabulary rename per replica: every
+  within-replica shingle/minhash/Jaccard relation of sf0.1 is
+  preserved EXACTLY, and cross-replica shingle overlap is exactly
+  zero.  The near-dup pair graph, LSH bucket census, and novelty
+  admission cascade therefore scale exactly 10x in rows/edges with
+  unchanged per-row density -- naive text tiling would instead square
+  the dup cliques (10 copies of every near-pair => 190 edges where
+  sf0.1 has 1), measuring a DIFFERENT workload, not a bigger one.
+* events (x10 -> 1,000,000 rows): replica k offsets user_id by k*1500
+  and event_id by k*100000; timestamps unchanged.  Same per-user event
+  density over 10x users -- the natural scale-up for the keyed
+  stateful streams (quota admission, MRU), whose state grows with
+  keys, not with per-key history.
+
+Timing mirrors bench.py's steady-state rule -- untimed warm-up at the
+TARGET SF (AQE re-plans per data size), memoized stat caches cleared
+between runs -- hardened two ways for cross-SF comparability: each
+(query, SF) pair runs MEDIAN-OF-3 in its OWN fresh JVM (see _measure),
+and the session gets a 24g heap.  Output: one JSON line with per-query
+sf0.1 / sf1 medians and the ratio; record the table in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01_DIR = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")
+REPLICAS = 10
+
+SPOT_QUERIES = [
+    "stream_novelty_filter",
+    "stream_mru_types",
+    "pagerank_neardup",
+    "dedup_purge_canonical",
+    "stream_quota_admission",
+]
+
+
+def make_sf1() -> None:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    docs_t = pq.read_table(os.path.join(SF01_DIR, "documents.parquet"))
+    docs = docs_t.to_pandas()
+    n_docs = len(docs)
+    reps = []
+    for k in range(REPLICAS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * n_docs
+        if k:
+            suf = str(k)
+            d["text"] = d["text"].map(
+                lambda t, s=suf: " ".join(w + s for w in t.split(" ")))
+        d["n_chars"] = d["text"].str.len().astype("int64")
+        reps.append(d)
+    out = pd.concat(reps, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out, schema=docs_t.schema,
+                                        preserve_index=False),
+                   os.path.join(SF1_DIR, "documents.parquet"))
+
+    ev_t = pq.read_table(os.path.join(SF01_DIR, "events.parquet"))
+    ev = ev_t.to_pandas()
+    n_users = int(ev["user_id"].max()) + 1
+    n_events = int(ev["event_id"].max()) + 1
+    reps = []
+    for k in range(REPLICAS):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + k * n_events
+        e["user_id"] = e["user_id"] + k * n_users
+        reps.append(e)
+    out = pd.concat(reps, ignore_index=True)
+    schema = pa.schema([f.remove_metadata() for f in ev_t.schema])
+    pq.write_table(pa.Table.from_pandas(out, schema=schema,
+                                        preserve_index=False),
+                   os.path.join(SF1_DIR, "events.parquet"))
+
+
+def _measure(name: str, sf_dir: str) -> dict:
+    """Median-of-3 for ONE (query, SF) in THIS process's fresh session.
+
+    One JVM per (query, SF): a shared session carries the previous
+    pair's persisted blocks and heap state across measurements -- the
+    first mixed-SF attempt read dedup_purge_canonical FASTER at sf1
+    than at sf0.1 on exactly that pollution.  bench.py's single-session
+    design is fine there because every query runs at ONE SF."""
+    import __spark_entry__ as entry
+    from bench import _clear_stat_caches
+    from operating_system_map_reduce_spark.session import get_spark
+
+    qs = entry.queries()
+    # 24g heap: local[32] holds all task slots in the driver JVM and
+    # sf1's widest stage OOMed Spark's 1g default (the session factory
+    # now defaults to 8g; sf1 gets explicit extra room).
+    spark = get_spark(app_name=f"osmr-sf1-{name}",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "24g"})
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(3):
+        _clear_stat_caches()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"median": sorted(runs)[1], "runs": runs}
+
+
+def main() -> None:
+    if len(sys.argv) == 3:          # subprocess mode: one (query, SF)
+        print("MEASURE " + json.dumps(_measure(sys.argv[1], sys.argv[2])))
+        return
+
+    if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+        make_sf1()
+
+    import subprocess
+    result: dict[str, dict] = {}
+    for name in SPOT_QUERIES:
+        row: dict = {}
+        for label, sf_dir in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name, sf_dir],
+                capture_output=True, text=True, cwd=REPO, timeout=1200)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("MEASURE ")]
+            assert line, (name, label, out.stdout[-500:], out.stderr[-500:])
+            row[label] = json.loads(line[-1][8:])
+        row["ratio"] = round(row["sf1"]["median"] / row["sf0.1"]["median"], 2)
+        result[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps({"metric": "sf1_spot", "replicas": REPLICAS,
+                      "queries": result}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Round-11 queue faces: implemented and oracle-gated LOCALLY in round
+10 while the registry is frozen at 138 (the recovery round spends every
+gate seat on the stale cohort -- round-9 verdict directive #3).  Round
+11 moves these from PENDING_R11_* into QUERIES/ORACLES; the mechanical
+window (plans/window.py) then seats them via rule 1 as never-green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from operating_system_map_reduce_spark.plans import mining, pipeline
+from tests.oracle_utils import compare, run_oracle
+
+PENDING = {
+    **{n: (fn, mining.PENDING_R11_ORACLES[n])
+       for n, fn in mining.PENDING_R11_QUERIES.items()},
+    **{n: (fn, pipeline.PENDING_R11_ORACLES[n])
+       for n, fn in pipeline.PENDING_R11_QUERIES.items()},
+}
+
+
+class TestPendingFacesParity:
+    @pytest.mark.parametrize("name", sorted(PENDING))
+    def test_oracle_parity_sf001(self, spark, oracle_sf_dir, name):
+        fn, sql = PENDING[name]
+        problems = compare(fn(spark, oracle_sf_dir),
+                           run_oracle(sql, oracle_sf_dir))
+        assert not problems, problems
+
+    @pytest.mark.parametrize("name", sorted(PENDING))
+    def test_no_scale_killers_in_plan(self, spark, sf_dir, name):
+        fn, _ = PENDING[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_pending_not_registered_in_round10(self):
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        assert len(qs) == 138
+        for name in PENDING:
+            assert name not in qs
+
+
+class TestBpeTrainedSemantics:
+    def test_fold_is_left_to_right_non_overlapping(self, spark):
+        """The aaaa/(a,a) case: exactly [aa, aa], never aaa-chaining."""
+        from pyspark.sql import functions as F
+        vocab = spark.createDataFrame(
+            [("aaaa", 1, "a a a a"), ("abb", 1, "a b b")], "w string, f long, s string")
+        best = spark.createDataFrame([("a", "a")], "a string, b string")
+        got = {r["w"]: r["s"]
+               for r in mining._bpe_apply_merge(vocab, best).collect()}
+        assert got == {"aaaa": "aa aa", "abb": "a b b"}
+        best2 = spark.createDataFrame([("a", "b")], "a string, b string")
+        got2 = {r["w"]: r["s"]
+                for r in mining._bpe_apply_merge(vocab, best2).collect()}
+        assert got2["abb"] == "ab b"
+
+    def test_merges_are_distinct_and_ranked(self, spark, oracle_sf_dir):
+        rows = mining.token_bpe_trained(spark, oracle_sf_dir).collect()
+        assert [r["merge_rank"] for r in rows] == list(
+            range(1, mining.N_BPE_MERGES + 1))
+        pairs = {(r["a"], r["b"]) for r in rows}
+        assert len(pairs) == mining.N_BPE_MERGES  # a pair merges once
+        assert all(r["merged"] == r["a"] + r["b"] for r in rows)
