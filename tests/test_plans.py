@@ -32,7 +32,10 @@ BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
                       "q11_important_parts", # 1-row fair-share cutoff
                       "q15_top_supplier",    # 1-row max-revenue scalar
                       "domain_temperature_weights",  # 1-row normalizer
-                      "split_group_holdout"}  # 1-row leakage census
+                      "split_group_holdout",  # 1-row leakage census
+                      # pending r11 registration (test_pending_r11.py):
+                      # each merge round attaches a 1-row argmax pair
+                      "token_bpe_trained"}
 
 _QUERIES = entrymod.queries()
 
@@ -201,6 +204,35 @@ class TestRegistryWindow:
         win2 = _win.build_window(registry, ledger2, {}, size=50)
         assert all(x in second for x in win2), \
             "odd round must spend rule-3 seats on the second half"
+
+    def test_recovery_schedule_completes_by_r11(self):
+        """Simulate the mechanism forward: if the driver greens this
+        round's window, round 11's computed window seats ALL 39
+        deferred r7 entries (the recovery note in plans/__init__.py),
+        and after round 11 greens, no entry anywhere is past the
+        ceiling -- the round-9 debt is fully paid on the promised
+        schedule."""
+        registry = list(_QUERIES)
+        window10 = self.WINDOW
+        deferred = _win.deferred_due(registry, self.LEDGER)
+        assert len(deferred) == 39
+
+        ledger11 = dict(self.LEDGER)
+        ledger11.update({n: 10 for n in window10})
+        window11 = _win.build_window(registry, ledger11)
+        missing = [n for n in deferred if n not in window11]
+        assert not missing, f"deferred entries without an r11 seat: {missing}"
+        assert not _win.deferred_due(registry, ledger11), \
+            "r11 window leaves due entries deferred -- recovery slipped"
+
+        ledger12 = dict(ledger11)
+        ledger12.update({n: 11 for n in window11})
+        head = 11
+        stalest = min(ledger12.values())
+        assert head - stalest <= _win.STALENESS_CEILING, \
+            "an entry would still be past the ceiling after round 11"
+        # and steady state holds: every entry due at r12 fits its window
+        assert not _win.deferred_due(registry, ledger12)
 
     def test_ledger_reader_matches_driver_semantics(self):
         """Rows-only faces (hash_match=None) count as green; an err or
