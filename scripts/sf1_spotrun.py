@@ -23,6 +23,12 @@ copies -- the honest 10x scale-up for these workloads:
   density over 10x users -- the natural scale-up for the keyed
   stateful streams (quota admission, MRU), whose state grows with
   keys, not with per-key history.
+* lineitem / orders (x10 -> 6,000,000 / 1,500,000 rows): replica k
+  offsets l_orderkey / o_orderkey by k*150000 (order->lineitem join
+  consistency preserved); part/supplier/customer keys unchanged, so
+  dimensions stay sf0.1-sized against a 10x fact -- dims grow slower
+  than facts in every real warehouse.  Covers the scan+aggregate tier
+  (q1, q6) alongside the dedup/graph/stream tiers above.
 
 Timing mirrors bench.py's steady-state rule -- untimed warm-up at the
 TARGET SF (AQE re-plans per data size), memoized stat caches cleared
@@ -52,6 +58,12 @@ SPOT_QUERIES = [
     "pagerank_neardup",
     "dedup_purge_canonical",
     "stream_quota_admission",
+    # scan+aggregate / window tier (round-10 extension): the TPC-H
+    # pricing summary (one fact scan, map-side partials), the pushdown
+    # face, and the sessionization window over 10x event keys
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "events_sessionize",
 ]
 
 
@@ -96,6 +108,22 @@ def make_sf1() -> None:
                                         preserve_index=False),
                    os.path.join(SF1_DIR, "events.parquet"))
 
+    for table, keycol in (("lineitem", "l_orderkey"),
+                          ("orders", "o_orderkey")):
+        t = pq.read_table(os.path.join(SF01_DIR, f"{table}.parquet"))
+        pdf = t.to_pandas()
+        n_keys = int(pdf[keycol].max()) + 1
+        reps = []
+        for k in range(REPLICAS):
+            r = pdf.copy()
+            r[keycol] = r[keycol] + k * n_keys
+            reps.append(r)
+        out = pd.concat(reps, ignore_index=True)
+        schema = pa.schema([f.remove_metadata() for f in t.schema])
+        pq.write_table(pa.Table.from_pandas(out, schema=schema,
+                                            preserve_index=False),
+                       os.path.join(SF1_DIR, f"{table}.parquet"))
+
 
 def _measure(name: str, sf_dir: str) -> dict:
     """Median-of-3 for ONE (query, SF) in THIS process's fresh session.
@@ -131,12 +159,15 @@ def main() -> None:
         print("MEASURE " + json.dumps(_measure(sys.argv[1], sys.argv[2])))
         return
 
-    if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
-        make_sf1()
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        make_sf1()        # lineitem landed last in the generator
 
     import subprocess
+    only = os.environ.get("SPARK_GRAFT_SPOT_ONLY")
+    targets = ([n for n in SPOT_QUERIES if n in only.split(",")]
+               if only else SPOT_QUERIES)
     result: dict[str, dict] = {}
-    for name in SPOT_QUERIES:
+    for name in targets:
         row: dict = {}
         for label, sf_dir in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
             out = subprocess.run(
