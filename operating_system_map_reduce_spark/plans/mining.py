@@ -619,29 +619,37 @@ def _bpe_apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
             .select("w", "f", folded.alias("s")))
 
 
-def token_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = (_bpe_word_counts(spark, sf_dir)
-             .select(
-                 "w", "f",
-                 F.expr("array_join(filter(split(w, ''), c -> c <> ''), ' ')")
-                 .alias("s"))
-             # vocab-sized; checkpoint so the N merge branches below do
-             # not each re-run the corpus word-count aggregate
-             .localCheckpoint(eager=False))
+def bpe_train(vocab: DataFrame, n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """The trainer core over a (w, f, s) vocabulary frame: n_merges
+    rounds of census -> argmax -> apply, returning the ranked merge
+    table.  Differentially tested against a pure-Python reference BPE
+    in tests/test_mining_property.py; the documents face below and its
+    unrolled DuckDB oracle ride the same recurrence."""
+    vocab = vocab.localCheckpoint(eager=False)
     merges = []
-    for rank in range(1, N_BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         best = (_bpe_pair_census(vocab)
                 .orderBy(F.desc("n_merge"), "a", "b").limit(1)
                 .localCheckpoint(eager=False))
         merges.append(best.select(
             F.lit(rank).cast("long").alias("merge_rank"), "a", "b",
             F.concat("a", "b").alias("merged"), "n_merge"))
-        if rank < N_BPE_MERGES:
+        if rank < n_merges:
             vocab = _bpe_apply_merge(vocab, best).localCheckpoint(eager=False)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("merge_rank")
+
+
+def token_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocab-sized after the first aggregate; bpe_train checkpoints it so
+    # the N merge branches do not each re-run the corpus word-count
+    vocab = _bpe_word_counts(spark, sf_dir).select(
+        "w", "f",
+        F.expr("array_join(filter(split(w, ''), c -> c <> ''), ' ')")
+        .alias("s"))
+    return bpe_train(vocab, N_BPE_MERGES)
 
 
 def _bpe_trained_sql() -> str:
