@@ -29,6 +29,14 @@ copies -- the honest 10x scale-up for these workloads:
   dimensions stay sf0.1-sized against a 10x fact -- dims grow slower
   than facts in every real warehouse.  Covers the scan+aggregate tier
   (q1, q6) alongside the dedup/graph/stream tiers above.
+* embeddings (x10 -> 20,000 vectors): replica k offsets vec_id by
+  k*2000 and applies a seeded ORTHOGONAL ROTATION to every vector
+  (labels unchanged).  Rotation preserves norms and all within-replica
+  pairwise cosines exactly, while cross-replica cosines become
+  pseudo-random (~N(0, 1/sqrt(64)) -- far below match thresholds), so
+  the ANN workload scales 10x at unchanged per-vector match density;
+  naive tiling would instead plant a cosine-1.0 duplicate of every
+  vector in every replica.
 
 Timing mirrors bench.py's steady-state rule -- untimed warm-up at the
 TARGET SF (AQE re-plans per data size), memoized stat caches cleared
@@ -64,6 +72,10 @@ SPOT_QUERIES = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "events_sessionize",
+    # ANN tier (round-10 extension): bucketed IVF search and the
+    # embedding near-dup join over 10x rotated-replica vectors
+    "similarity_ivf_search",
+    "dedup_embedding_cosine",
 ]
 
 
@@ -107,6 +119,28 @@ def make_sf1() -> None:
     pq.write_table(pa.Table.from_pandas(out, schema=schema,
                                         preserve_index=False),
                    os.path.join(SF1_DIR, "events.parquet"))
+
+    import numpy as np
+    emb_t = pq.read_table(os.path.join(SF01_DIR, "embeddings.parquet"))
+    emb = emb_t.to_pandas()
+    n_vecs = int(emb["vec_id"].max()) + 1
+    E = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    dim = E.shape[1]
+    reps = []
+    for k in range(REPLICAS):
+        r = emb.copy()
+        r["vec_id"] = r["vec_id"] + k * n_vecs
+        if k:
+            rng = np.random.default_rng(1000 + k)
+            q_rot, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            rotated = (E @ q_rot).astype("float32")
+            r["embedding"] = list(rotated)
+        reps.append(r)
+    out = pd.concat(reps, ignore_index=True)
+    schema = pa.schema([f.remove_metadata() for f in emb_t.schema])
+    pq.write_table(pa.Table.from_pandas(out, schema=schema,
+                                        preserve_index=False),
+                   os.path.join(SF1_DIR, "embeddings.parquet"))
 
     for table, keycol in (("lineitem", "l_orderkey"),
                           ("orders", "o_orderkey")):
@@ -160,7 +194,7 @@ def main() -> None:
         return
 
     if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
-        make_sf1()        # lineitem landed last in the generator
+        make_sf1()        # lineitem lands last in the generator
 
     import subprocess
     only = os.environ.get("SPARK_GRAFT_SPOT_ONLY")
