@@ -42,6 +42,47 @@ class TestPendingFacesParity:
         for name in PENDING:
             assert name not in qs
 
+    def test_r11_registration_keeps_recovery_feasible(self):
+        """Registering both faces at r11 must not cost the 39 deferred
+        r7 entries their seats: with a 140-entry registry and a fully
+        green window10 ledger, the computed window11 seats the two
+        never-green faces (rule 1) AND every deferred entry."""
+        import __spark_entry__ as entrymod
+        from operating_system_map_reduce_spark.plans import window as _win
+        registry10 = list(entrymod.queries())
+        ledger = _win.load_ledger()
+        deferred = _win.deferred_due(registry10, ledger)
+        ledger11 = dict(ledger)
+        ledger11.update({n: 10 for n in registry10[:_win.WINDOW_SIZE]})
+        registry11 = registry10 + sorted(PENDING)
+        window11 = _win.build_window(registry11, ledger11)
+        assert all(n in window11 for n in PENDING)
+        missing = [n for n in deferred if n not in window11]
+        assert not missing, f"registration would defer: {missing}"
+
+    def test_bpe_census_aggregates_partially_mapside(self, spark, sf_dir):
+        """Pin the per-round stage (the outer trained plan only shows
+        checkpointed 1-row RDDs): the word-count and pair census both
+        combine map-side, and the argmax rides TakeOrderedAndProject --
+        no global sort of the census ever ships."""
+        from pyspark.sql import functions as F
+        vocab = mining._bpe_word_counts(spark, sf_dir).select(
+            "w", "f",
+            F.expr("array_join(filter(split(w, ''), c -> c <> ''), ' ')")
+            .alias("s"))
+        stage = (mining._bpe_pair_census(vocab)
+                 .orderBy(F.desc("n_merge"), "a", "b").limit(1))
+        plan = stage._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_curation_joins_are_keyed_on_doc_id(self, spark, sf_dir):
+        plan = (pipeline.multimodal_text_curation(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
 
 class TestBpeTrainedSemantics:
     def test_fold_is_left_to_right_non_overlapping(self, spark):
