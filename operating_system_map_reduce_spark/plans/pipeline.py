@@ -1147,9 +1147,14 @@ def multimodal_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws_toks = F.size(F.filter(F.split(F.col("text"), "\\s+"),
                               lambda t: t != ""))
     text_side = docs.select("doc_id", "lang", ws_toks.alias("ws_tokens"))
+    # emb_norm stays RAW (the float-sum discipline, round 10): the
+    # Spark fold and DuckDB's list_sum are sequentially-associated and
+    # bit-identical today, and the tolerance compare absorbs any future
+    # sub-ulp divergence -- ROUND(...,6) is what would turn such a
+    # divergence into a half-boundary flip (the r9 q8/q14 lesson)
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
-        F.round(F.expr(_sim.norm_sql("embedding")), 6).alias("emb_norm"))
+        F.expr(_sim.norm_sql("embedding")).alias("emb_norm"))
     keep = (F.col("format").isin("jpeg", "png")
             & (F.col("width") >= 32) & (F.col("height") >= 32)
             & F.col("ws_tokens").between(10, 1000))
@@ -1178,8 +1183,8 @@ WITH decoded AS (
   FROM documents
 )
 SELECT d.doc_id, d.format, d.lang, d.ws_tokens, d.width, d.height,
-       ROUND(sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm,
+       sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS emb_norm,
        CAST(CASE WHEN d.format IN ('jpeg', 'png')
                   AND d.width >= 32 AND d.height >= 32
                   AND d.ws_tokens BETWEEN 10 AND 1000

@@ -142,21 +142,32 @@ def make_sf1() -> None:
                                         preserve_index=False),
                    os.path.join(SF1_DIR, "embeddings.parquet"))
 
+    # ONE shared orderkey offset for both fact tables, taken from
+    # orders (the key's defining table): per-table max() offsets would
+    # silently break order->lineitem join consistency the day the
+    # testdata gains an order with no lineitems.
+    orders_t = pq.read_table(os.path.join(SF01_DIR, "orders.parquet"))
+    n_orderkeys = int(orders_t.to_pandas()["o_orderkey"].max()) + 1
     for table, keycol in (("lineitem", "l_orderkey"),
                           ("orders", "o_orderkey")):
         t = pq.read_table(os.path.join(SF01_DIR, f"{table}.parquet"))
         pdf = t.to_pandas()
-        n_keys = int(pdf[keycol].max()) + 1
         reps = []
         for k in range(REPLICAS):
             r = pdf.copy()
-            r[keycol] = r[keycol] + k * n_keys
+            r[keycol] = r[keycol] + k * n_orderkeys
             reps.append(r)
         out = pd.concat(reps, ignore_index=True)
         schema = pa.schema([f.remove_metadata() for f in t.schema])
         pq.write_table(pa.Table.from_pandas(out, schema=schema,
                                             preserve_index=False),
                        os.path.join(SF1_DIR, f"{table}.parquet"))
+
+    # completion marker: the skip-sentinel in main() must witness a
+    # FINISHED generation, not whichever table happened to land first
+    # before an interruption
+    with open(os.path.join(SF1_DIR, "_COMPLETE"), "w") as fh:
+        fh.write(f"replicas={REPLICAS}\n")
 
 
 def _measure(name: str, sf_dir: str) -> dict:
@@ -193,8 +204,8 @@ def main() -> None:
         print("MEASURE " + json.dumps(_measure(sys.argv[1], sys.argv[2])))
         return
 
-    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
-        make_sf1()        # lineitem lands last in the generator
+    if not os.path.exists(os.path.join(SF1_DIR, "_COMPLETE")):
+        make_sf1()        # marker written after every table lands
 
     import subprocess
     only = os.environ.get("SPARK_GRAFT_SPOT_ONLY")

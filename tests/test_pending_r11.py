@@ -51,9 +51,11 @@ class TestPendingFacesParity:
         from operating_system_map_reduce_spark.plans import window as _win
         registry10 = list(entrymod.queries())
         ledger = _win.load_ledger()
+        head = max(ledger.values(), default=0)
         deferred = _win.deferred_due(registry10, ledger)
         ledger11 = dict(ledger)
-        ledger11.update({n: 10 for n in registry10[:_win.WINDOW_SIZE]})
+        ledger11.update({n: head + 1
+                         for n in registry10[:_win.WINDOW_SIZE]})
         registry11 = registry10 + sorted(PENDING)
         window11 = _win.build_window(registry11, ledger11)
         assert all(n in window11 for n in PENDING)

@@ -140,13 +140,18 @@ class TestRegistryWindow:
             "queries() front-50 diverged from the computed gate window"
 
     def test_rule2_reentries_are_declared_and_seated(self):
-        # a plan/oracle change MUST land with a REDEFINED bump in the
-        # same commit; these two are round 10's mandate (r9 verdict
-        # directive #2 and #4)
+        """A plan/oracle change MUST land with a REDEFINED bump in the
+        same commit; changelog_asof and stream_novelty_filter are round
+        10's mandate (r9 verdict directives #2 and #4).  Membership is
+        asserted only while an entry is still DUE under rule 2 -- once
+        the driver greens it, the clock rotates it out on its own (the
+        pin must not go red when CORRECTNESS_r10.json lands)."""
         assert _win.REDEFINED["changelog_asof"] == 9
         assert _win.REDEFINED["stream_novelty_filter"] == 10
-        assert "changelog_asof" in self.WINDOW
-        assert "stream_novelty_filter" in self.WINDOW
+        for name, declared in _win.REDEFINED.items():
+            if declared > self.LEDGER.get(name, -1):
+                assert name in self.WINDOW, \
+                    f"rule-2 due entry {name} missing its re-check seat"
 
     def test_staleness_ceiling_or_saturated_recovery(self):
         """No entry's newest green row may be more than
@@ -205,34 +210,37 @@ class TestRegistryWindow:
         assert all(x in second for x in win2), \
             "odd round must spend rule-3 seats on the second half"
 
-    def test_recovery_schedule_completes_by_r11(self):
-        """Simulate the mechanism forward: if the driver greens this
-        round's window, round 11's computed window seats ALL 39
-        deferred r7 entries (the recovery note in plans/__init__.py),
-        and after round 11 greens, no entry anywhere is past the
-        ceiling -- the round-9 debt is fully paid on the promised
-        schedule."""
+    def test_recovery_schedule_completes_within_two_rounds(self):
+        """Simulate the mechanism two ticks forward FROM WHATEVER the
+        ledger says now (the pin must keep passing after each new
+        CORRECTNESS file lands, so it derives everything from the
+        mechanism instead of hard-coding round numbers): greening the
+        current window must seat every currently-deferred entry next
+        round, and after that round greens, no entry anywhere sits past
+        the ceiling and steady state holds.  At round 10 this is
+        exactly the r9-debt recovery promise (39 deferred r7 entries,
+        asserted while the ledger head is still round 9)."""
         registry = list(_QUERIES)
-        window10 = self.WINDOW
+        head = max(self.LEDGER.values(), default=0)
         deferred = _win.deferred_due(registry, self.LEDGER)
-        assert len(deferred) == 39
+        if head == 9:
+            assert len(deferred) == 39   # the round-9 skip's exact debt
 
-        ledger11 = dict(self.LEDGER)
-        ledger11.update({n: 10 for n in window10})
-        window11 = _win.build_window(registry, ledger11)
-        missing = [n for n in deferred if n not in window11]
-        assert not missing, f"deferred entries without an r11 seat: {missing}"
-        assert not _win.deferred_due(registry, ledger11), \
-            "r11 window leaves due entries deferred -- recovery slipped"
+        ledger_next = dict(self.LEDGER)
+        ledger_next.update({n: head + 1 for n in self.WINDOW})
+        window_next = _win.build_window(registry, ledger_next)
+        missing = [n for n in deferred if n not in window_next]
+        assert not missing, f"deferred entries without a next-round seat: {missing}"
+        assert not _win.deferred_due(registry, ledger_next), \
+            "next round's window leaves due entries deferred -- recovery slipped"
 
-        ledger12 = dict(ledger11)
-        ledger12.update({n: 11 for n in window11})
-        head = 11
-        stalest = min(ledger12.values())
-        assert head - stalest <= _win.STALENESS_CEILING, \
-            "an entry would still be past the ceiling after round 11"
-        # and steady state holds: every entry due at r12 fits its window
-        assert not _win.deferred_due(registry, ledger12)
+        ledger_after = dict(ledger_next)
+        ledger_after.update({n: head + 2 for n in window_next})
+        stalest = min(ledger_after.values())
+        assert (head + 2) - stalest <= _win.STALENESS_CEILING, \
+            "an entry would still be past the ceiling two ticks out"
+        # and steady state holds: every entry then due fits its window
+        assert not _win.deferred_due(registry, ledger_after)
 
     def test_ledger_reader_matches_driver_semantics(self):
         """Rows-only faces (hash_match=None) count as green; an err or
