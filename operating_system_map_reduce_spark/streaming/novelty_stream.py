@@ -73,8 +73,31 @@ def _default_log_root() -> str:
     return _DEFAULT_LOG_ROOT[0]
 
 
-def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame,
-                ) -> tuple[str, str]:
+def _as_index_rows(bands: DataFrame | None = None,
+                   hashes: DataFrame | None = None) -> DataFrame:
+    """Band and exact-hash rows share ONE index table partitioned by
+    ``kind`` (kind=band / kind=hash directories): the standing index is
+    a single table at 100 TB, and merging the two appends means ONE
+    write job -- one table commit -- per wave instead of two.  Reads
+    filter on the partition column, so each probe still scans only its
+    kind's files."""
+    parts = []
+    if bands is not None:
+        parts.append(bands.select(
+            F.lit("band").alias("kind"), "band_idx", "band_hash",
+            F.lit(None).cast("string").alias("h")))
+    if hashes is not None:
+        parts.append(hashes.select(
+            F.lit("hash").alias("kind"),
+            F.lit(None).cast("int").alias("band_idx"),
+            F.lit(None).cast("string").alias("band_hash"), "h"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
     # applicationId, not id(spark): CPython reuses object ids after GC,
     # so a new session could silently hit a dead session's cache slot
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -82,24 +105,16 @@ def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame,
     if slot is not None and slot[0] == key:
         return slot[1]
     seed_root = tempfile.mkdtemp(prefix="novelty-seed-")
-    bands_dir = os.path.join(seed_root, "bands")
-    hashes_dir = os.path.join(seed_root, "hashes")
-    (_dd.lsh_bands(_dd.minhash_signature(corpus))
-     .select("band_idx", "band_hash").distinct()
-     .write.parquet(bands_dir))
-    (corpus.select(F.md5("text").alias("h")).distinct()
-     .write.parquet(hashes_dir))
+    index_dir = os.path.join(seed_root, "index")
+    seed_bands = (_dd.lsh_bands(_dd.minhash_signature(corpus))
+                  .select("band_idx", "band_hash").distinct())
+    seed_hashes = corpus.select(F.md5("text").alias("h")).distinct()
+    (_as_index_rows(seed_bands, seed_hashes)
+     .write.partitionBy("kind").parquet(index_dir))
     if slot is not None:
-        shutil.rmtree(os.path.dirname(slot[1][0]), ignore_errors=True)
-    _SEED_CACHE["seed"] = (key, (bands_dir, hashes_dir))
-    return bands_dir, hashes_dir
-
-
-def _copy_parquet_dir(src: str, dst: str) -> None:
-    os.makedirs(dst)
-    for name in os.listdir(src):
-        if name.endswith(".parquet"):
-            shutil.copy(os.path.join(src, name), os.path.join(dst, name))
+        shutil.rmtree(os.path.dirname(slot[1]), ignore_errors=True)
+    _SEED_CACHE["seed"] = (key, index_dir)
+    return index_dir
 
 
 def _wave_col():
@@ -127,8 +142,7 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
 
     work = tempfile.mkdtemp(prefix="novelty-stream-")
     src_dir = os.path.join(work, "src")
-    bands_dir = os.path.join(work, "index_bands")
-    hashes_dir = os.path.join(work, "index_hashes")
+    index_dir = os.path.join(work, "index")
     # the admission log is the RESULT: it must outlive the workdir
     log_root = out_dir or _default_log_root()
     log_dir = os.path.join(log_root, f"log-{uuid.uuid4().hex[:12]}")
@@ -137,11 +151,9 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
 
     try:
         # seed the standing index with the corpus (bands + exact
-        # hashes) -- session-cached; this run gets a private mutable
-        # copy because admissions append to it
-        seed_bands, seed_hashes = _seed_index(spark, sf_dir, corpus)
-        _copy_parquet_dir(seed_bands, bands_dir)
-        _copy_parquet_dir(seed_hashes, hashes_dir)
+        # hashes, one kind-partitioned table) -- session-cached; this
+        # run gets a private mutable copy because admissions append
+        shutil.copytree(_seed_index(spark, sf_dir, corpus), index_dir)
 
         # materialize the arriving stream in ONE Spark write job
         # (round-9 verdict directive #4: the r9 persist + per-wave
@@ -184,8 +196,12 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
                      .select("doc_id", "band_idx", "band_hash").persist())
             hashes = batch.select(
                 "doc_id", "wave", F.md5("text").alias("h")).persist()
-            idx_b = s.read.parquet(bands_dir)
-            idx_h = s.read.parquet(hashes_dir)
+            # kind is the partition column: each filter prunes to its
+            # kind's files, so the two probes scan disjoint file sets
+            idx = s.read.parquet(index_dir)
+            idx_b = (idx.filter(F.col("kind") == "band")
+                     .select("band_idx", "band_hash"))
+            idx_h = idx.filter(F.col("kind") == "hash").select("h")
             band_hits = (bands.join(idx_b, ["band_idx", "band_hash"])
                          .groupBy("doc_id")
                          .agg(F.count(F.lit(1)).cast("long")
@@ -223,11 +239,12 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
                        .filter((F.col("wave") == wave_val)
                                & (F.col("admitted") == 1))
                        .select("doc_id"))
-            (bands.join(adm_ids, "doc_id")
-             .select("band_idx", "band_hash").distinct()
-             .write.mode("append").parquet(bands_dir))
-            (hashes.join(adm_ids, "doc_id").select("h").distinct()
-             .write.mode("append").parquet(hashes_dir))
+            adm_bands = (bands.join(adm_ids, "doc_id")
+                         .select("band_idx", "band_hash").distinct())
+            adm_hashes = hashes.join(adm_ids, "doc_id").select("h").distinct()
+            # ONE append job -- one index-table commit per wave
+            (_as_index_rows(adm_bands, adm_hashes)
+             .write.mode("append").partitionBy("kind").parquet(index_dir))
             bands.unpersist()
             hashes.unpersist()
 
