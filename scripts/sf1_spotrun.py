@@ -58,6 +58,7 @@ sys.path.insert(0, REPO)
 
 SF01_DIR = "/root/testdata/sf0.1"
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark-graft-sf1")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark-graft-sf10")
 REPLICAS = 10
 
 SPOT_QUERIES = [
@@ -170,6 +171,45 @@ def make_sf1() -> None:
         fh.write(f"replicas={REPLICAS}\n")
 
 
+def make_sf10() -> None:
+    """Third decade for the scan/window tier, generated SPARK-SIDE (60M
+    lineitem rows do not belong in a pandas concat): 100 key-offset
+    replicas of sf0.1's lineitem/orders/events via one explode+project
+    per table.  Same replica-disjointness argument as make_sf1; one
+    shared orderkey stride keeps order->lineitem joins consistent."""
+    from pyspark.sql import functions as F
+
+    from operating_system_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="osmr-make-sf10",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "24g"})
+    orders = spark.read.parquet(os.path.join(SF01_DIR, "orders.parquet"))
+    order_stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    events = spark.read.parquet(os.path.join(SF01_DIR, "events.parquet"))
+    strides = {
+        "lineitem": {"l_orderkey": order_stride},
+        "orders": {"o_orderkey": order_stride},
+        "events": {
+            "event_id": events.agg(F.max("event_id")).first()[0] + 1,
+            "user_id": events.agg(F.max("user_id")).first()[0] + 1,
+        },
+    }
+    reps = 100
+    for table, offs in strides.items():
+        df = (spark.read.parquet(os.path.join(SF01_DIR, f"{table}.parquet"))
+              .withColumn("__k", F.explode(F.sequence(F.lit(0),
+                                                      F.lit(reps - 1)))))
+        for col, stride in offs.items():
+            df = df.withColumn(col, F.col(col) + F.col("__k") * stride)
+        (df.drop("__k")
+         .write.mode("overwrite")
+         .parquet(os.path.join(SF10_DIR, f"{table}.parquet")))
+    with open(os.path.join(SF10_DIR, "_COMPLETE"), "w") as fh:
+        fh.write("replicas=100\n")
+    spark.stop()
+
+
 def _measure(name: str, sf_dir: str) -> dict:
     """Median-of-3 for ONE (query, SF) in THIS process's fresh session.
 
@@ -199,6 +239,32 @@ def _measure(name: str, sf_dir: str) -> dict:
     return {"median": sorted(runs)[1], "runs": runs}
 
 
+def _third_decade() -> None:
+    """sf1 -> sf10 for the scan/window tier (lineitem 6M -> 60M rows,
+    events 1M -> 10M): same fresh-JVM median-of-3 method, one more
+    decade where extrapolation was doing the work."""
+    import subprocess
+    if not os.path.exists(os.path.join(SF10_DIR, "_COMPLETE")):
+        make_sf10()
+    result: dict[str, dict] = {}
+    for name in ("q1_pricing_summary", "q6_forecast_revenue",
+                 "events_sessionize"):
+        row: dict = {}
+        for label, sf_dir in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name, sf_dir],
+                capture_output=True, text=True, cwd=REPO, timeout=1800)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("MEASURE ")]
+            assert line, (name, label, out.stdout[-500:], out.stderr[-500:])
+            row[label] = json.loads(line[-1][8:])
+        row["ratio"] = round(row["sf10"]["median"] / row["sf1"]["median"], 2)
+        result[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps({"metric": "sf10_scan_probe", "replicas": 100,
+                      "queries": result}))
+
+
 def main() -> None:
     if len(sys.argv) == 3:          # subprocess mode: one (query, SF)
         print("MEASURE " + json.dumps(_measure(sys.argv[1], sys.argv[2])))
@@ -206,6 +272,10 @@ def main() -> None:
 
     if not os.path.exists(os.path.join(SF1_DIR, "_COMPLETE")):
         make_sf1()        # marker written after every table lands
+
+    if "--third-decade" in sys.argv:
+        _third_decade()
+        return
 
     import subprocess
     only = os.environ.get("SPARK_GRAFT_SPOT_ONLY")
