@@ -82,9 +82,19 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # the trained-BPE tokenizer face (N unrolled merge rounds with a
     # CTE oracle; reference anchor p5/server/my_storage.cc:269-415) and
     # the multimodal-text joint face.
-    window10 = _win.build_window(list(queries), _win.load_ledger())
-    assert len(window10) == min(len(queries), _win.WINDOW_SIZE)
-    ordered = {n: queries[n] for n in window10}
+    #
+    # Round 11 (registry 140): the two queue faces registered --
+    # token_bpe_trained (plans/mining.py) + multimodal_text_curation
+    # (plans/pipeline.py) -- seated by rule 1 as never-driver-green.
+    # The computed window11: those 2, then the full 39-entry r7-green
+    # deferred cohort named above (the second half of the r9-debt
+    # payoff -- deferred_due() is empty again once this round greens),
+    # then the 9 name-first r9-green entries.  No rule-2 re-entries:
+    # no registered query's plan or oracle changed since its newest
+    # green row at rotation time.
+    window = _win.build_window(list(queries), _win.load_ledger())
+    assert len(window) == min(len(queries), _win.WINDOW_SIZE)
+    ordered = {n: queries[n] for n in window}
     ordered.update({n: queries[n] for n in queries if n not in ordered})
     return ordered, oracles
 

@@ -702,12 +702,10 @@ v{r} AS (
 
 BPE_TRAINED_SQL = _bpe_trained_sql()
 
-# Round-11 queue (registry FROZEN at 138 for round 10 -- the recovery
-# round spends every gate seat on the stale cohort).  collect_registry
-# ignores this dict; round 11 moves the entries into QUERIES/ORACLES,
-# where the mechanical window seats them via rule 1 (never green).
-PENDING_R11_QUERIES = {"token_bpe_trained": token_bpe_trained}
-PENDING_R11_ORACLES = {"token_bpe_trained": BPE_TRAINED_SQL}
+# Registered round 11 (was the round-10 PENDING_R11 queue while the
+# registry sat frozen at 138 for the recovery round): the entry lives
+# in QUERIES/ORACLES below; the mechanical window seats it via rule 1
+# (never driver-green) until its first CORRECTNESS row lands.
 
 
 # --- profile_orders: one-pass data-profiling operator ----------------------
@@ -1394,6 +1392,7 @@ QUERIES = {
     "events_user_paths": events_user_paths,
     "dedup_containment": dedup_containment,
     "tokens_pmi_bigrams": tokens_pmi_bigrams,
+    "token_bpe_trained": token_bpe_trained,
 }
 
 ORACLES = {
@@ -1415,4 +1414,5 @@ ORACLES = {
     "events_user_paths": EVENTS_USER_PATHS_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "tokens_pmi_bigrams": TOKENS_PMI_SQL,
+    "token_bpe_trained": BPE_TRAINED_SQL,
 }

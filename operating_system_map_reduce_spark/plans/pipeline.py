@@ -1136,9 +1136,9 @@ ORACLES["multimodal_features"] = MULTIMODAL_FEATURES_SQL
 # both joins are doc_id-keyed (the embedding side is the smaller table
 # at every SF -- AQE picks broadcast or shuffle), nothing collects.
 #
-# PENDING_R11: registry is FROZEN at 138 for round 10 (the recovery
-# round); collect_registry ignores these dicts until round 11 registers
-# them (mechanical window rule 1 then seats the face as never-green).
+# Registered round 11 (was the round-10 PENDING_R11 queue while the
+# registry sat frozen at 138 for the recovery round); the mechanical
+# window seats the face via rule 1 until its first driver row lands.
 
 def multimodal_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1196,8 +1196,8 @@ ORDER BY d.doc_id
 
 MULTIMODAL_TEXT_CURATION_SQL = _mm_text_curation_sql()
 
-PENDING_R11_QUERIES = {"multimodal_text_curation": multimodal_text_curation}
-PENDING_R11_ORACLES = {"multimodal_text_curation": MULTIMODAL_TEXT_CURATION_SQL}
+QUERIES["multimodal_text_curation"] = multimodal_text_curation
+ORACLES["multimodal_text_curation"] = MULTIMODAL_TEXT_CURATION_SQL
 
 
 # --- tf-idf top terms per language ------------------------------------------

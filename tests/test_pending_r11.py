@@ -1,8 +1,9 @@
-"""Round-11 queue faces: implemented and oracle-gated LOCALLY in round
-10 while the registry is frozen at 138 (the recovery round spends every
-gate seat on the stale cohort -- round-9 verdict directive #3).  Round
-11 moves these from PENDING_R11_* into QUERIES/ORACLES; the mechanical
-window (plans/window.py) then seats them via rule 1 as never-green.
+"""Round-11 faces: implemented and oracle-gated LOCALLY in round 10
+while the registry sat frozen at 138 (the recovery round spent every
+gate seat on the stale cohort -- round-9 verdict directive #3), then
+registered into QUERIES/ORACLES in round 11, where the mechanical
+window (plans/window.py) seats them via rule 1 as never-driver-green.
+The local parity gates stay: they are the faces' pre-driver evidence.
 """
 
 from __future__ import annotations
@@ -12,55 +13,46 @@ import pytest
 from operating_system_map_reduce_spark.plans import mining, pipeline
 from tests.oracle_utils import compare, run_oracle
 
-PENDING = {
-    **{n: (fn, mining.PENDING_R11_ORACLES[n])
-       for n, fn in mining.PENDING_R11_QUERIES.items()},
-    **{n: (fn, pipeline.PENDING_R11_ORACLES[n])
-       for n, fn in pipeline.PENDING_R11_QUERIES.items()},
+R11_FACES = {
+    "token_bpe_trained": (mining.QUERIES["token_bpe_trained"],
+                          mining.ORACLES["token_bpe_trained"]),
+    "multimodal_text_curation": (pipeline.QUERIES["multimodal_text_curation"],
+                                 pipeline.ORACLES["multimodal_text_curation"]),
 }
 
 
-class TestPendingFacesParity:
-    @pytest.mark.parametrize("name", sorted(PENDING))
+class TestR11FacesParity:
+    @pytest.mark.parametrize("name", sorted(R11_FACES))
     def test_oracle_parity_sf001(self, spark, oracle_sf_dir, name):
-        fn, sql = PENDING[name]
+        fn, sql = R11_FACES[name]
         problems = compare(fn(spark, oracle_sf_dir),
                            run_oracle(sql, oracle_sf_dir))
         assert not problems, problems
 
-    @pytest.mark.parametrize("name", sorted(PENDING))
+    @pytest.mark.parametrize("name", sorted(R11_FACES))
     def test_no_scale_killers_in_plan(self, spark, sf_dir, name):
-        fn, _ = PENDING[name]
+        fn, _ = R11_FACES[name]
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
 
-    def test_pending_not_registered_in_round10(self):
-        import __spark_entry__ as entrymod
-        qs = entrymod.queries()
-        assert len(qs) == 138
-        for name in PENDING:
-            assert name not in qs
-
-    def test_r11_registration_keeps_recovery_feasible(self):
-        """Registering both faces at r11 must not cost the 39 deferred
-        r7 entries their seats: with a 140-entry registry and a fully
-        green window10 ledger, the computed window11 seats the two
-        never-green faces (rule 1) AND every deferred entry."""
+    def test_registered_and_seated_in_round11(self):
+        """Both faces are in the live registry, and while they have no
+        driver row the mechanical window seats them (rule 1) WITHOUT
+        costing the 39 deferred r7 entries their recovery seats."""
         import __spark_entry__ as entrymod
         from operating_system_map_reduce_spark.plans import window as _win
-        registry10 = list(entrymod.queries())
+        qs = entrymod.queries()
+        assert len(qs) == 140
+        registry = list(qs)
         ledger = _win.load_ledger()
-        head = max(ledger.values(), default=0)
-        deferred = _win.deferred_due(registry10, ledger)
-        ledger11 = dict(ledger)
-        ledger11.update({n: head + 1
-                         for n in registry10[:_win.WINDOW_SIZE]})
-        registry11 = registry10 + sorted(PENDING)
-        window11 = _win.build_window(registry11, ledger11)
-        assert all(n in window11 for n in PENDING)
-        missing = [n for n in deferred if n not in window11]
-        assert not missing, f"registration would defer: {missing}"
+        window = _win.build_window(registry, ledger)
+        for name in R11_FACES:
+            assert name in qs
+            if name not in ledger:          # no driver row yet: rule 1
+                assert name in window
+        missing = _win.deferred_due(registry, ledger)
+        assert not missing, f"registration deferred due entries: {missing}"
 
     def test_bpe_census_aggregates_partially_mapside(self, spark, sf_dir):
         """Pin the per-round stage (the outer trained plan only shows

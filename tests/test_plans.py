@@ -247,12 +247,17 @@ class TestRegistryWindow:
         a failed compare never does."""
         led = self.LEDGER
         assert led, "CORRECTNESS ledger files missing from repo root"
-        # every registered query has had at least one green row by now
-        assert not [n for n in _QUERIES if n not in led]
+        # every registered query has had at least one green row, except
+        # faces registered THIS round awaiting their first driver row
+        # -- and those must hold rule-1 seats in the current window
+        never = [n for n in _QUERIES if n not in led]
+        window = set(list(_QUERIES)[:_win.WINDOW_SIZE])
+        assert set(never) <= window, \
+            f"never-green entries outside the gate: {sorted(set(never) - window)}"
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 138
+        assert len(_QUERIES) == len(set(_QUERIES)) == 140
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
