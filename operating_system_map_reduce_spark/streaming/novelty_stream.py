@@ -81,6 +81,8 @@ def _as_index_rows(bands: DataFrame | None = None,
     write job -- one table commit -- per wave instead of two.  Reads
     filter on the partition column, so each probe still scans only its
     kind's files."""
+    if bands is None and hashes is None:
+        raise ValueError("_as_index_rows needs bands and/or hashes")
     parts = []
     if bands is not None:
         parts.append(bands.select(

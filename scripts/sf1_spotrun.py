@@ -90,6 +90,19 @@ def make_sf1() -> None:
     docs_t = pq.read_table(os.path.join(SF01_DIR, "documents.parquet"))
     docs = docs_t.to_pandas()
     n_docs = len(docs)
+    # The replication scheme's load-bearing invariants, asserted so a
+    # testdata regeneration can't silently break them: the k*n_docs
+    # offset preserves %10 batch / div-10 wave semantics only if ids
+    # are dense 0..n-1 and n is a multiple of 10, and the word+digit
+    # rename is collision-free (cross-replica shingle overlap exactly
+    # zero) only if the base vocabulary is digit-free -- a digit
+    # suffix is the one rename the [^a-z0-9]+ tokenizer keeps attached
+    # (any non-alphanumeric separator would be split off).
+    assert n_docs % 10 == 0, f"n_docs={n_docs} not a multiple of 10"
+    assert (docs["doc_id"].sort_values().to_numpy()
+            == range(n_docs)).all(), "doc_id not dense 0..n-1"
+    assert not docs["text"].str.contains("[0-9]", regex=True).any(), \
+        "base vocabulary contains digits: word+k rename would collide"
     reps = []
     for k in range(REPLICAS):
         d = docs.copy()

@@ -210,6 +210,40 @@ class TestRegistryWindow:
         assert all(x in second for x in win2), \
             "odd round must spend rule-3 seats on the second half"
 
+    def test_halves_hold_achievable_ceiling(self):
+        """The registry-growth feasibility dry-run (round-10 verdict
+        directive #6, on REAL registry names): forward-simulate the
+        mechanism to steady state at N = 160, 180, 200.  Pigeonhole
+        (50 greens per round) makes judge-time ceiling 2 impossible
+        past N = 150; the mechanism must hold the achievable bound
+        ceil(N/50) - 1 = 3 instead -- which requires at-ceiling
+        entries to jump the parity alternation (a half holding > 50
+        due entries is otherwise served only every other round,
+        stretching worst-case staleness to 4)."""
+        base = list(_QUERIES)
+        for n in (160, 180, 200):
+            registry = base + [f"face_r12_{i:02d}" for i in range(n - len(base))]
+            ceiling = _win.achievable_ceiling(n)
+            assert ceiling == 3
+            ledger = {name: 10 for name in registry}  # worst case: all tied
+            worst = 0
+            for tick in range(12):
+                head = max(ledger.values())
+                window = _win.build_window(registry, ledger)
+                assert len(window) == _win.WINDOW_SIZE
+                ledger.update({name: head + 1 for name in window})
+                if tick >= 6:  # steady state after the tied start drains
+                    worst = max(worst, max(head + 1 - r
+                                           for r in ledger.values()))
+            assert worst <= ceiling, \
+                f"N={n}: steady-state staleness {worst} > achievable {ceiling}"
+
+    def test_ledger_reader_fails_loudly_without_ledger(self, tmp_path):
+        """A package deployed without the committed CORRECTNESS files
+        must fail fast, not silently rotate an all-never-green window."""
+        with pytest.raises(FileNotFoundError):
+            _win.load_ledger(str(tmp_path))
+
     def test_recovery_schedule_completes_within_two_rounds(self):
         """Simulate the mechanism two ticks forward FROM WHATEVER the
         ledger says now (the pin must keep passing after each new
