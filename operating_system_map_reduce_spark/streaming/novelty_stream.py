@@ -124,8 +124,65 @@ def _wave_col():
     return F.expr(f"(doc_id div 10) % {NOVELTY_WAVES}")
 
 
+def compact_novelty_index(spark: SparkSession, index_dir: str,
+                          files_per_kind: int = 4) -> dict:
+    """Compact the standing novelty index table in place.
+
+    A long-running crawl appends ONE commit per wave
+    (run_novelty_stream's probe_wave), which accrues one small parquet
+    file per wave per kind -- the classic small-files problem: at
+    crawl timescales the per-wave file count, not the row count, comes
+    to dominate probe planning and open() cost.  This is the index
+    table's SAV (reference compaction semantics,
+    p3/server/my_storage.cc:505-565, same shape as
+    sources/changelog.py ChangeLog.compact): executors stream the
+    DISTINCT snapshot to a tmp table -- the driver never materializes
+    a row -- then the tmp dir atomically swaps in.  distinct() makes
+    the rewrite idempotent under at-least-once re-appends; today's
+    appends are already distinct (an admitted doc never re-adds a band
+    the index holds), so the row SET -- and therefore every future
+    admission verdict, which is a pure join against that set -- is
+    unchanged (pinned by test_compaction_is_admission_equivalent).
+
+    ``files_per_kind`` bounds the output layout: rows are salted into
+    that many buckets per kind before the partitionBy write, so each
+    kind directory lands at most files_per_kind files (typically
+    exactly).  At 100 TB this is the table-maintenance OPTIMIZE job --
+    files_per_kind scales with partition bytes, and a real table
+    format would run it per-partition without blocking appends; here
+    waves are strictly sequential, so between-wave compaction needs no
+    commit coordination.
+
+    Returns {"files_before", "files_after", "rows"}."""
+    def _count_parts(d: str) -> int:
+        return sum(1 for _, _, fs in os.walk(d)
+                   for f in fs if f.endswith(".parquet"))
+
+    files_before = _count_parts(index_dir)
+    snap = spark.read.parquet(index_dir)
+    salt = (F.abs(F.hash(F.coalesce(F.col("band_hash"), F.col("h"))))
+            % files_per_kind)
+    compacted = (snap.select("band_idx", "band_hash", "h", "kind")
+                 .distinct()
+                 .withColumn("__bucket", salt)
+                 .repartition(2 * files_per_kind, "kind", "__bucket")
+                 .drop("__bucket"))
+    root = os.path.dirname(os.path.abspath(index_dir))
+    tmp = os.path.join(root, f"index.tmp-{uuid.uuid4().hex[:8]}")
+    compacted.write.partitionBy("kind").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    swap_out = os.path.join(root, f"index.old-{uuid.uuid4().hex[:8]}")
+    os.rename(index_dir, swap_out)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(swap_out)
+    return {"files_before": files_before,
+            "files_after": _count_parts(index_dir),
+            "rows": n_rows}
+
+
 def run_novelty_stream(spark: SparkSession, sf_dir: str,
-                       out_dir: str | None = None) -> DataFrame:
+                       out_dir: str | None = None,
+                       index_out_dir: str | None = None) -> DataFrame:
     """Returns a LAZY frame over the written admission log.
 
     The log lands under ``out_dir`` (caller-owned; when omitted, a
@@ -144,7 +201,11 @@ def run_novelty_stream(spark: SparkSession, sf_dir: str,
 
     work = tempfile.mkdtemp(prefix="novelty-stream-")
     src_dir = os.path.join(work, "src")
-    index_dir = os.path.join(work, "index")
+    # index_out_dir (caller-owned, must not yet exist) keeps the
+    # post-cascade standing index alive after the run -- the handle
+    # compact_novelty_index operates on; by default the index is
+    # run-scratch and dies with the workdir
+    index_dir = index_out_dir or os.path.join(work, "index")
     # the admission log is the RESULT: it must outlive the workdir
     log_root = out_dir or _default_log_root()
     log_dir = os.path.join(log_root, f"log-{uuid.uuid4().hex[:12]}")

@@ -445,6 +445,61 @@ class TestNoveltyStream:
         assert got[47]["n_band_hits"] > 0 and got[47]["admitted"] == 0
         assert got[27]["admitted"] == 1 and got[27]["wave"] == 2
 
+    def test_compaction_is_admission_equivalent(self, spark, tmp_path):
+        """The standing index's SAV (round-10 verdict directive #4): a
+        crawl appends one commit per wave, accruing one small file per
+        wave per kind; compaction must shrink the file count WITHOUT
+        changing the index row SET -- every admission verdict is a
+        pure join against that set, so set equality IS admission
+        equivalence."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from operating_system_map_reduce_spark.streaming.novelty_stream import (
+            compact_novelty_index, run_novelty_stream,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau ") * 4
+        rows = [
+            (1, "one two three four five six seven eight nine ten " * 5),
+            (2, "totally different corpus words " * 8),
+            (7, base),                                    # wave 0: admitted
+            (17, "second novel admission wave one text " * 8),   # wave 1
+            (27, "entirely novel third wave text " * 8),          # wave 2
+        ]
+        pq.write_table(pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["test"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }), str(tmp_path / "documents.parquet"))
+
+        index_dir = str(tmp_path / "index")
+        got = {r["doc_id"]: r["admitted"] for r in
+               run_novelty_stream(spark, str(tmp_path),
+                                  index_out_dir=index_dir).collect()}
+        assert got == {7: 1, 17: 1, 27: 1}  # three waves, three appends
+
+        def rowset(d):
+            return {(r["kind"], r["band_idx"], r["band_hash"], r["h"])
+                    for r in spark.read.parquet(d).collect()}
+
+        pre = rowset(index_dir)
+        stats = compact_novelty_index(spark, index_dir, files_per_kind=1)
+        assert rowset(index_dir) == pre
+        assert stats["rows"] == len(pre)
+        # seed commit + one commit per admitting wave, per kind -> the
+        # rewrite must strictly shrink, down to <= files_per_kind per kind
+        assert stats["files_before"] >= 2 * (1 + 3)
+        assert stats["files_after"] <= 2
+        assert stats["files_after"] < stats["files_before"]
+        # idempotent: a second pass keeps the set and the layout bound
+        stats2 = compact_novelty_index(spark, index_dir, files_per_kind=1)
+        assert rowset(index_dir) == pre
+        assert stats2["files_after"] <= 2
+
 
 class TestSinkToCdcPipeline:
     def test_streamed_ingest_feeds_incremental_cdc(self, spark, tmp_path):
