@@ -245,6 +245,17 @@ def _measure(name: str, sf_dir: str) -> dict:
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     runs = []
     for _ in range(3):
+        # Steady-state stabilizer (round-11 pagerank variance
+        # diagnosis): queries that localCheckpoint leave their block
+        # RDDs pinned until the JVM GCs the py4j handles, and the
+        # ContextCleaner's cadence then injects 10-60% run-to-run
+        # noise (observed: 6.2-11.4 s drifting with 2-4 accumulated
+        # checkpoint RDDs; forcing GC pinned storage at 1 RDD and the
+        # spread at +-7%).  We measure query cost, not cleaner timing.
+        import gc as _gc
+        _gc.collect()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         _clear_stat_caches()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
