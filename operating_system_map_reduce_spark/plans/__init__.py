@@ -83,15 +83,21 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # CTE oracle; reference anchor p5/server/my_storage.cc:269-415) and
     # the multimodal-text joint face.
     #
-    # Round 11 (registry 140): the two queue faces registered --
+    # Round 11 (registry 141): the two queue faces registered --
     # token_bpe_trained (plans/mining.py) + multimodal_text_curation
-    # (plans/pipeline.py) -- seated by rule 1 as never-driver-green.
-    # The computed window11: those 2, then the full 39-entry r7-green
-    # deferred cohort named above (the second half of the r9-debt
-    # payoff -- deferred_due() is empty again once this round greens),
-    # then the 9 name-first r9-green entries.  No rule-2 re-entries:
-    # no registered query's plan or oracle changed since its newest
-    # green row at rotation time.
+    # (plans/pipeline.py) -- plus the round's new face
+    # stream_novelty_index_compact (plans/streamqueries.py, the
+    # standing index's SAV), all seated by rule 1 as
+    # never-driver-green.  The computed window11: those 3, then the
+    # full 39-entry r7-green deferred cohort named above (the second
+    # half of the r9-debt payoff -- deferred_due() is empty again once
+    # this round greens), then the 8 name-first r9-green entries.  No
+    # rule-2 re-entries: no registered query's plan or oracle changed
+    # since its newest green row at rotation time
+    # (STREAM_NOVELTY_SQL's builder was refactored to share its CTE
+    # prefix with the new face's oracle, but the emitted SQL is
+    # byte-identical -- md5 231db872d0e4f8e988775bdffb18dbf6 before
+    # and after).
     window = _win.build_window(list(queries), _win.load_ledger())
     assert len(window) == min(len(queries), _win.WINDOW_SIZE)
     ordered = {n: queries[n] for n in window}

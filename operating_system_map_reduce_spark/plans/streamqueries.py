@@ -18,7 +18,11 @@ additionally pins the semantics against the pure-Python tracker.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from operating_system_map_reduce_spark.streaming.quota_stream import run_quota_admission
 from operating_system_map_reduce_spark.streaming.windows import (
@@ -256,7 +260,14 @@ def stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_novelty_stream(spark, sf_dir)
 
 
-def _novelty_cascade_sql() -> str:
+def _cascade_prefix(through_final_index: bool) -> str:
+    """The unrolled-cascade CTE chain shared by the admission-log
+    oracle (STREAM_NOVELTY_SQL) and the compacted-index oracle
+    (NOVELTY_INDEX_SQL).  With through_final_index=False the text is
+    byte-identical to the pre-refactor STREAM_NOVELTY_SQL prefix; with
+    True the adm/idx chain extends one more step to idx_*{W} -- the
+    index AFTER the last wave's admissions, which is what the
+    implementation's per-wave append leaves on disk."""
     from operating_system_map_reduce_spark.plans.pipeline import _SIG_BANDS_CTE
     from operating_system_map_reduce_spark.streaming.novelty_stream import (
         NOVELTY_WAVES,
@@ -284,7 +295,7 @@ def _novelty_cascade_sql() -> str:
   ) bh ON d.doc_id = bh.doc_id
   WHERE d.wave = {w}
 )""")
-        if w < NOVELTY_WAVES - 1:
+        if w < NOVELTY_WAVES - 1 or through_final_index:
             parts.append(f""", adm{w} AS (
   SELECT doc_id FROM log{w} WHERE n_band_hits = 0 AND exact_dup = 0
 ), idx_b{w + 1} AS (
@@ -297,19 +308,79 @@ def _novelty_cascade_sql() -> str:
   UNION
   SELECT h FROM batchd WHERE doc_id IN (SELECT doc_id FROM adm{w})
 )""")
+    return "".join(parts)
+
+
+def _novelty_cascade_sql() -> str:
+    from operating_system_map_reduce_spark.streaming.novelty_stream import (
+        NOVELTY_WAVES,
+    )
+
     union = " UNION ALL ".join(f"SELECT * FROM log{w}"
                                for w in range(NOVELTY_WAVES))
-    parts.append(f"""
+    return _cascade_prefix(through_final_index=False) + f"""
 SELECT doc_id, CAST(wave AS BIGINT) AS wave, n_band_hits, exact_dup,
        CAST(CASE WHEN n_band_hits = 0 AND exact_dup = 0
             THEN 1 ELSE 0 END AS BIGINT) AS admitted
 FROM ({union})
 ORDER BY doc_id
-""")
-    return "".join(parts)
+"""
 
 
 STREAM_NOVELTY_SQL = _novelty_cascade_sql()
+
+
+# --- stream_novelty_index_compact: the standing index's SAV -------------
+# Registered round 11 (the round-10 verdict's directive #4 made
+# first-class): run the full admission cascade, then compact the
+# standing index table (streaming/novelty_stream.compact_novelty_index
+# -- distinct-snapshot rewrite + atomic swap, the SAV shape of
+# p3/server/my_storage.cc:505-565) and return the compacted index
+# ROWS.  The oracle derives the post-cascade index independently (the
+# unrolled-cascade CTEs extended one step past the last wave), so the
+# gate value-hashes compaction's set-preservation contract end-to-end:
+# admission verdicts are pure joins against this row set.  NULL
+# discipline: the two kinds' unused columns are coalesced to sentinels
+# (-1 / '') on BOTH engines -- Spark orders NULLS FIRST, DuckDB NULLS
+# LAST, so a nullable sort key would hash-diverge on row order.
+
+def stream_novelty_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from operating_system_map_reduce_spark.streaming.novelty_stream import (
+        _default_log_root, compact_novelty_index, run_novelty_stream,
+    )
+
+    idx = os.path.join(_default_log_root(), f"index-{uuid.uuid4().hex[:12]}")
+    run_novelty_stream(spark, sf_dir, index_out_dir=idx)
+    compact_novelty_index(spark, idx, files_per_kind=2)
+    return (spark.read.parquet(idx)
+            .select(F.col("kind").cast("string").alias("kind"),
+                    F.coalesce(F.col("band_idx"), F.lit(-1))
+                    .cast("int").alias("band_idx"),
+                    F.coalesce(F.col("band_hash"), F.lit(""))
+                    .alias("band_hash"),
+                    F.coalesce(F.col("h"), F.lit("")).alias("h"))
+            .orderBy("kind", "band_idx", "band_hash", "h"))
+
+
+def _novelty_index_sql() -> str:
+    from operating_system_map_reduce_spark.streaming.novelty_stream import (
+        NOVELTY_WAVES,
+    )
+
+    w = NOVELTY_WAVES
+    return _cascade_prefix(through_final_index=True) + f"""
+SELECT * FROM (
+  SELECT 'band' AS kind, CAST(band_idx AS INTEGER) AS band_idx,
+         band_hash, '' AS h FROM idx_b{w}
+  UNION ALL
+  SELECT 'hash' AS kind, CAST(-1 AS INTEGER) AS band_idx,
+         '' AS band_hash, h FROM idx_h{w}
+)
+ORDER BY kind, band_idx, band_hash, h
+"""
+
+
+NOVELTY_INDEX_SQL = _novelty_index_sql()
 
 
 QUERIES = {
@@ -322,6 +393,7 @@ QUERIES = {
     "stream_session_counts": stream_session_counts,
     "stream_quota_admission": stream_quota_admission,
     "stream_enrich_revenue": stream_enrich_revenue,
+    "stream_novelty_index_compact": stream_novelty_index_compact,
 }
 
 ORACLES = {
@@ -334,4 +406,5 @@ ORACLES = {
     "stream_session_counts": STREAM_SESSION_SQL,
     "stream_quota_admission": STREAM_QUOTA_SQL,
     "stream_enrich_revenue": STREAM_ENRICH_SQL,
+    "stream_novelty_index_compact": NOVELTY_INDEX_SQL,
 }

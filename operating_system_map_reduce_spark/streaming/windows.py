@@ -56,8 +56,25 @@ def _stream_dir(sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(repo_root, ".scratch", "events_stream", tag)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
     target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(target):
+        # A Spark-written table is a DIRECTORY of part files, and the
+        # file stream source does not recurse into a symlinked subdir
+        # -- it would silently see ZERO input files (caught by the sf10
+        # probe reading 0.4 s for a 10M-row stream).  Symlink each part
+        # file, sorted, so replay order is deterministic; an
+        # AvailableNow run without maxFilesPerTrigger still processes
+        # them as one batch, preserving the order-dependent operators'
+        # within-batch event-order semantics.
+        parts = sorted(f for f in os.listdir(target)
+                       if f.endswith(".parquet"))
+        assert parts, f"no parquet part files under {target}"
+        for i, f in enumerate(parts):
+            link = os.path.join(d, f"part-{i:05d}.parquet")
+            if not os.path.islink(link):
+                os.symlink(os.path.join(target, f), link)
+        return d
+    link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.symlink(target, link)
     return d
