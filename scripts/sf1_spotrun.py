@@ -218,9 +218,46 @@ def make_sf10() -> None:
         (df.drop("__k")
          .write.mode("overwrite")
          .parquet(os.path.join(SF10_DIR, f"{table}.parquet")))
+    make_sf10_embeddings()
     with open(os.path.join(SF10_DIR, "_COMPLETE"), "w") as fh:
         fh.write("replicas=100\n")
     spark.stop()
+
+
+def make_sf10_embeddings() -> None:
+    """sf10 embeddings for the ANN third decade (round-10 verdict
+    directive #2): 100 rotated replicas of sf0.1's 2,000 vectors =
+    200,000 vectors.  Same method and argument as make_sf1's
+    embeddings: a seeded orthogonal rotation per replica preserves
+    norms and all within-replica pairwise cosines exactly while
+    cross-replica cosines stay pseudo-random (~N(0, 1/sqrt(64))), so
+    per-vector match density is unchanged at 100x the corpus.  Small
+    enough for pandas (200k x 64 float32 = 51 MB)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb_t = pq.read_table(os.path.join(SF01_DIR, "embeddings.parquet"))
+    emb = emb_t.to_pandas()
+    n_vecs = int(emb["vec_id"].max()) + 1
+    E = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    dim = E.shape[1]
+    reps = []
+    for k in range(100):
+        r = emb.copy()
+        r["vec_id"] = r["vec_id"] + k * n_vecs
+        if k:
+            rng = np.random.default_rng(20_000 + k)
+            q_rot, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            r["embedding"] = list((E @ q_rot).astype("float32"))
+        reps.append(r)
+    out = pd.concat(reps, ignore_index=True)
+    schema = pa.schema([f.remove_metadata() for f in emb_t.schema])
+    os.makedirs(SF10_DIR, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(out, schema=schema,
+                                        preserve_index=False),
+                   os.path.join(SF10_DIR, "embeddings.parquet"))
 
 
 def _measure(name: str, sf_dir: str) -> dict:
@@ -264,15 +301,26 @@ def _measure(name: str, sf_dir: str) -> dict:
 
 
 def _third_decade() -> None:
-    """sf1 -> sf10 for the scan/window tier (lineitem 6M -> 60M rows,
-    events 1M -> 10M): same fresh-JVM median-of-3 method, one more
-    decade where extrapolation was doing the work."""
+    """sf1 -> sf10 (lineitem 6M -> 60M rows, events 1M -> 10M,
+    embeddings 20k -> 200k vectors): same fresh-JVM median-of-3
+    method, one more decade where extrapolation was doing the work.
+    Round 11 extends the tier list beyond scan/window to the families
+    whose cost grows with key count -- one keyed stateful stream
+    (quota admission, 15k -> 150k user keys) and one ANN face (IVF
+    cell-probed search) -- exactly where sf10 evidence is most
+    informative (round-10 verdict directive #2)."""
     import subprocess
     if not os.path.exists(os.path.join(SF10_DIR, "_COMPLETE")):
         make_sf10()
+    if not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet")):
+        make_sf10_embeddings()   # _COMPLETE predates the ANN extension
     result: dict[str, dict] = {}
-    for name in ("q1_pricing_summary", "q6_forecast_revenue",
-                 "events_sessionize"):
+    only = os.environ.get("SPARK_GRAFT_DECADE_ONLY")
+    names = ("q1_pricing_summary", "q6_forecast_revenue",
+             "events_sessionize", "stream_quota_admission",
+             "similarity_ivf_search")
+    for name in ([n for n in names if n in only.split(",")]
+                 if only else names):
         row: dict = {}
         for label, sf_dir in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
             out = subprocess.run(
@@ -285,7 +333,7 @@ def _third_decade() -> None:
         row["ratio"] = round(row["sf10"]["median"] / row["sf1"]["median"], 2)
         result[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
-    print(json.dumps({"metric": "sf10_scan_probe", "replicas": 100,
+    print(json.dumps({"metric": "sf10_probe", "replicas": 100,
                       "queries": result}))
 
 
