@@ -652,9 +652,16 @@ def token_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(vocab, N_BPE_MERGES)
 
 
-def _bpe_trained_sql() -> str:
-    """Unrolled N-round oracle: census_r -> best_r (argmax) -> v_r
-    (fold-applied vocab), same recurrence as the Spark fold."""
+def _bpe_cte_chain(through_final_vocab: bool) -> list:
+    """The unrolled training WITH-chain shared by the merge-table
+    oracle (BPE_TRAINED_SQL) and the encode oracle (BPE_ENCODE_SQL):
+    census_r -> best_r (argmax) -> v_r (fold-applied vocab), same
+    recurrence as the Spark fold.  With through_final_vocab the v_r
+    chain extends one more step to v{N_BPE_MERGES} -- the vocabulary
+    state AFTER the last merge, which is what encode applies to the
+    corpus; with False the emitted chain is byte-identical to the
+    pre-refactor builder (BPE_TRAINED_SQL md5
+    d6388d068e587aabc78ab1263fa0bf34 before and after)."""
     parts = ["""
 wc AS (
   SELECT w, COUNT(*) AS f FROM (
@@ -684,7 +691,7 @@ c{r} AS (
   ) GROUP BY a, b
 ),
 b{r} AS (SELECT a, b, n_merge FROM c{r} ORDER BY n_merge DESC, a, b LIMIT 1)""")
-        if r < N_BPE_MERGES:
+        if r < N_BPE_MERGES or through_final_vocab:
             parts.append(f"""
 v{r} AS (
   SELECT w, f, list_reduce(string_split(s, ' '), (acc, x) ->
@@ -693,6 +700,11 @@ v{r} AS (
          ELSE acc || ' ' || x END) AS s
   FROM {prev}, b{r}
 )""")
+    return parts
+
+
+def _bpe_trained_sql() -> str:
+    parts = _bpe_cte_chain(through_final_vocab=False)
     arms = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, a || b AS merged,"
         f" n_merge FROM b{r}" for r in range(1, N_BPE_MERGES + 1))
@@ -706,6 +718,82 @@ BPE_TRAINED_SQL = _bpe_trained_sql()
 # registry sat frozen at 138 for the recovery round): the entry lives
 # in QUERIES/ORACLES below; the mechanical window seats it via rule 1
 # (never driver-green) until its first CORRECTNESS row lands.
+
+
+# --- token_bpe_encode: APPLY the trained tokenizer to the corpus -----------
+# token_bpe_trained learns the merge table; this face runs the step a
+# production pipeline actually ships -- ENCODE every document under the
+# learned vocabulary -- and reports the per-doc BPE token count next to
+# the whitespace word count (the corpus compression census that decides
+# whether a tokenizer is worth deploying).
+#
+# Scale shape (100 TB): training cost is vocab-sized as before (the
+# final vocabulary state v_N is the same N-round fold, kept this time
+# after the LAST apply).  Encoding then never touches characters
+# corpus-wide: per-word BPE lengths are computed ONCE on the distinct
+# vocabulary, and the corpus pass is explode(words) -> one word-keyed
+# equi-join -> per-doc hash agg.  The vocab side GROWS with the corpus,
+# so it carries no broadcast hint -- AQE picks the join strategy (the
+# round-7 lesson).  Oracle: the shared unrolled CTE chain extended to
+# v{N}, then the identical join+agg in DuckDB.
+
+def _bpe_final_vocab(spark: SparkSession, sf_dir: str,
+                     n_merges: int = N_BPE_MERGES) -> DataFrame:
+    """The (w, f, s) vocabulary AFTER all n_merges applies (bpe_train
+    keeps the merge TABLE and skips the last apply; encode needs the
+    final vocab state)."""
+    vocab = _bpe_word_counts(spark, sf_dir).select(
+        "w", "f",
+        F.expr("array_join(filter(split(w, ''), c -> c <> ''), ' ')")
+        .alias("s")).localCheckpoint(eager=False)
+    for _ in range(n_merges):
+        best = (_bpe_pair_census(vocab)
+                .orderBy(F.desc("n_merge"), "a", "b").limit(1)
+                .localCheckpoint(eager=False))
+        vocab = _bpe_apply_merge(vocab, best).localCheckpoint(eager=False)
+    return vocab
+
+
+def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wtok = _bpe_final_vocab(spark, sf_dir).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_tok"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    )).alias("w"))
+    return (words.join(wtok, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tok").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+def _bpe_encode_sql() -> str:
+    n = N_BPE_MERGES
+    parts = _bpe_cte_chain(through_final_vocab=True)
+    return ("WITH " + ",".join(parts) + f""",
+wtok AS (
+  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok FROM v{n}
+),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS w
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wtok USING (w)
+GROUP BY doc_id ORDER BY doc_id
+""")
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+# Round-12 queue (the two-round pattern: implement + locally oracle-gate
+# while the current round's window is spoken for, register next round
+# where rule 1 seats the face).  collect_registry ignores these dicts.
+PENDING_R12_QUERIES = {"token_bpe_encode": token_bpe_encode}
+PENDING_R12_ORACLES = {"token_bpe_encode": BPE_ENCODE_SQL}
 
 
 # --- profile_orders: one-pass data-profiling operator ----------------------

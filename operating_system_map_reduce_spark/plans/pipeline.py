@@ -713,6 +713,164 @@ ORDER BY bucket
 """
 
 
+# --- retrieval_rrf_fusion: hybrid lexical+semantic retrieval ---------------
+# Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
+# modalities the engine already serves: an n-gram Jaccard LEXICAL
+# ranker (inverted-index join, the dedup_ngram_jaccard machinery) and
+# an embedding-cosine SEMANTIC ranker, fused per query as
+# sum(1/(60 + rank)) over the rankers that returned the doc -- the
+# standard hybrid-search shape a RAG/contamination pipeline runs.
+#
+# 100 TB stance: the query set is FIXED and tiny (|Q| = 3 query docs),
+# so the semantic side is one broadcast of 3 (vector, norm) rows
+# against the corpus (constant-side BNLJ, the 1-row-census discipline
+# extended to |Q| rows) and the lexical side shuffles on the shingle
+# key -- never doc x doc.  Pool depth caps each ranker at RRF_POOL
+# rows per query before the fusion join, so fusion state is
+# |Q| x 2 x RRF_POOL regardless of corpus size.  Float discipline:
+# jaccard and cosine are rounded to 6 BEFORE ranking (both engines
+# compute bit-identical doubles: integer ratios, and sequential-fold
+# dot products per the dot_sql contract); RRF terms are exact double
+# divisions 1/(60+r), summed in the same (lex, sem) order.
+
+RRF_QUERY_IDS = (3, 13, 23)
+RRF_POOL = 20
+RRF_TOPK = 5
+RRF_C = 60
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = _dd.shingle_postings(docs)
+    q = (ex.filter(F.col("doc_id").isin(*RRF_QUERY_IDS))
+         .select(F.col("doc_id").alias("qid"), F.col("n").alias("n_q"), "s"))
+    d = ex.select(F.col("doc_id").alias("did"), F.col("n").alias("n_d"), "s")
+    shared = (q.join(d, "s").filter(F.col("did") != F.col("qid"))
+              .groupBy("qid", "did", "n_q", "n_d")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    jac = shared.select(
+        "qid", "did",
+        F.round(F.col("shared")
+                / (F.col("n_q") + F.col("n_d") - F.col("shared")), 6)
+        .alias("s_lex"))
+    wl = Window.partitionBy("qid").orderBy(F.desc("s_lex"), "did")
+    lex = (jac.withColumn("r_lex", F.row_number().over(wl))
+           .filter(F.col("r_lex") <= RRF_POOL).select("qid", "did", "r_lex"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = (emb.select("vec_id", "embedding",
+                    F.expr(_sim.norm_sql("embedding")).alias("nrm"))
+         .filter(F.col("nrm") > 0))
+    qe = (e.filter(F.col("vec_id").isin(*RRF_QUERY_IDS))
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm")))
+    cos = (e.crossJoin(F.broadcast(qe))   # constant |Q|=3-row side
+           .filter(F.col("vec_id") != F.col("qid"))
+           .select("qid", F.col("vec_id").alias("did"),
+                   F.round(F.expr(_sim.dot_sql("embedding", "q_emb"))
+                           / (F.col("nrm") * F.col("q_nrm")), 6)
+                   .alias("s_sem")))
+    ws = Window.partitionBy("qid").orderBy(F.desc("s_sem"), "did")
+    sem = (cos.withColumn("r_sem", F.row_number().over(ws))
+           .filter(F.col("r_sem") <= RRF_POOL).select("qid", "did", "r_sem"))
+
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_sem")),
+                        F.lit(0.0)))
+    fused = lex.join(sem, ["qid", "did"], "full").withColumn("rrf", rrf)
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), "did")
+    return (fused.withColumn("fused_rank", F.row_number().over(wf))
+            .filter(F.col("fused_rank") <= RRF_TOPK)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("fused_rank").cast("long").alias("fused_rank"),
+                    F.col("did").alias("doc_id"),
+                    F.round("rrf", 6).alias("rrf_score"),
+                    F.col("r_lex").isNotNull().cast("long").alias("in_lexical"),
+                    F.col("r_sem").isNotNull().cast("long")
+                    .alias("in_semantic"))
+            .orderBy("query_id", "fused_rank"))
+
+
+def _rrf_fusion_sql() -> str:
+    qids = ", ".join(str(i) for i in RRF_QUERY_IDS)
+    dot = (f"list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+           f"i -> CAST(q.embedding[i] AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE)))")
+    nrm = (f"sqrt(list_sum(list_transform(range(1, {_sim.DIM + 1}), "
+           f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+  FROM toks WHERE len(toks) >= 3
+), lexp AS (
+  SELECT q.doc_id AS qid, d.doc_id AS did,
+         ROUND(CAST(len(list_intersect(q.sh, d.sh)) AS DOUBLE)
+               / (len(q.sh) + len(d.sh) - len(list_intersect(q.sh, d.sh))),
+               6) AS s_lex
+  FROM sh q JOIN sh d ON d.doc_id <> q.doc_id
+  WHERE q.doc_id IN ({qids}) AND len(list_intersect(q.sh, d.sh)) > 0
+), lex AS (
+  SELECT qid, did, r_lex FROM (
+    SELECT qid, did,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY s_lex DESC, did) AS r_lex
+    FROM lexp
+  ) WHERE r_lex <= {RRF_POOL}
+), nv AS (
+  SELECT * FROM (
+    SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+  ) WHERE nrm > 0
+), semp AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did,
+         ROUND({dot} / (q.nrm * d.nrm), 6) AS s_sem
+  FROM nv q JOIN nv d ON d.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({qids})
+), sem AS (
+  SELECT qid, did, r_sem FROM (
+    SELECT qid, did,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY s_sem DESC, did) AS r_sem
+    FROM semp
+  ) WHERE r_sem <= {RRF_POOL}
+), fused AS (
+  SELECT COALESCE(l.qid, s.qid) AS query_id,
+         COALESCE(l.did, s.did) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + l.r_lex), 0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_C} + s.r_sem), 0) AS rrf,
+         l.r_lex IS NOT NULL AS in_l, s.r_sem IS NOT NULL AS in_s
+  FROM lex l FULL JOIN sem s ON l.qid = s.qid AND l.did = s.did
+)
+SELECT query_id, CAST(rk AS BIGINT) AS fused_rank, doc_id,
+       ROUND(rrf, 6) AS rrf_score,
+       CAST(in_l AS BIGINT) AS in_lexical, CAST(in_s AS BIGINT) AS in_semantic
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+)
+WHERE rk <= {RRF_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
+RRF_FUSION_SQL = _rrf_fusion_sql()
+
+# Round-12 queue (the two-round pattern; see plans/mining.py
+# PENDING_R12_*): implemented + locally oracle-gated this round,
+# registered next round where window rule 1 seats the face.
+PENDING_R12_QUERIES = {"retrieval_rrf_fusion": retrieval_rrf_fusion}
+PENDING_R12_ORACLES = {"retrieval_rrf_fusion": RRF_FUSION_SQL}
+
+
 # === multimodal plumbing ====================================================
 # The queries() side runs the REAL mapInPandas decode plumbing (with the
 # deterministic fake codec); the oracle re-derives the same metadata
