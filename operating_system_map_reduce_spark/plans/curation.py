@@ -15,6 +15,8 @@ whose accumulation order could differ.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -357,6 +359,121 @@ SELECT lang, n_k, kth_hash,
                   ELSE ({KMV_K} - 1) / (kth_hash / {_HEX48!r}) END, 6) AS est_distinct
 FROM agg ORDER BY lang
 """
+
+
+# --- Count-Min heavy hitters ----------------------------------------------
+# The FREQUENCY twin of the KMV cardinality sketch (Cormode &
+# Muthukrishnan 2005): a D x W counter table where row d counts tokens
+# by hash h_d, and est(t) = min_d cms[d][h_d(t)] >= true(t) -- the
+# one-sided overestimate guarantee.  The face builds the sketch over
+# the full token stream and reports the true top-K tokens with exact
+# vs estimated counts and the (provably non-negative) overestimate,
+# the validation census a pipeline runs before trusting the sketch for
+# corpus-frequency point queries.
+#
+# Scale shape (100 TB): the token stream never materializes per-token
+# state beyond the vocabulary-sized (tok, cnt) aggregate (map-side
+# combinable; vocabularies grow sublinearly in corpus size), and the
+# sketch itself is a CONSTANT D x W <= 2,048 rows regardless of corpus
+# -- the probe join broadcasts it (a provably bounded side, the
+# 1-row-census discipline).  Hashing follows the house universal
+# family: ONE md5 per token -> 48-bit int -> D affine transforms
+# (a_d*x + b_d) mod p mod W, so the DuckDB oracle regenerates the
+# identical sketch.
+
+CMS_D = 4
+CMS_W = 512
+CMS_TOPK = 20
+
+CMS_A = [
+    int(hashlib.md5(f"cms_a|{d}".encode()).hexdigest()[:8], 16)
+    % (_dd.MINHASH_P - 1) + 1
+    for d in range(CMS_D)
+]
+CMS_B = [
+    int(hashlib.md5(f"cms_b|{d}".encode()).hexdigest()[:8], 16) % _dd.MINHASH_P
+    for d in range(CMS_D)
+]
+
+
+def _cms_bucket(hv, d: int):
+    return (CMS_A[d] * hv + CMS_B[d]) % _dd.MINHASH_P % CMS_W
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(_dd.tokens_expr()).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+          .withColumn("hv", F.expr(_dd.hexval_spark_sql("md5(tok)"))
+                      % _dd.MINHASH_P)
+          .localCheckpoint(eager=False))
+    hv = F.col("hv")
+    sketch = None
+    for d in range(CMS_D):
+        row = tc.select(F.lit(d).alias("d"),
+                        _cms_bucket(hv, d).alias("bucket"), "cnt")
+        sketch = row if sketch is None else sketch.unionByName(row)
+    sketch = sketch.groupBy("d", "bucket").agg(F.sum("cnt").alias("c"))
+    topk = (tc.orderBy(F.desc("cnt"), "tok").limit(CMS_TOPK)
+            .select("tok", "cnt", "hv"))
+    probes = None
+    for d in range(CMS_D):
+        p = topk.select("tok", "cnt", F.lit(d).alias("d"),
+                        _cms_bucket(hv, d).alias("bucket"))
+        probes = p if probes is None else probes.unionByName(p)
+    est = (probes.join(F.broadcast(sketch), ["d", "bucket"])
+           .groupBy("tok").agg(F.max("cnt").alias("exact_count"),
+                               F.min("c").alias("est_count")))
+    return (est.select(
+        "tok", "exact_count", "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"))
+        .orderBy(F.desc("exact_count"), "tok"))
+
+
+def _cms_sql() -> str:
+    p, w = _dd.MINHASH_P, CMS_W
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({CMS_A[d]} * hv + {CMS_B[d]}) % {p} % {w} AS bucket,"
+        f" cnt FROM tc" for d in range(CMS_D))
+    probes = " UNION ALL ".join(
+        f"SELECT tok, cnt, {d} AS d,"
+        f" ({CMS_A[d]} * hv + {CMS_B[d]}) % {p} % {w} AS bucket FROM topk"
+        for d in range(CMS_D))
+    return f"""
+WITH tc AS (
+  SELECT tok, COUNT(*) AS cnt, ({_dd.hexval_sql('md5(tok)')}) % {p} AS hv
+  FROM (
+    SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+), sketch AS (
+  SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM ({rows}) GROUP BY d, bucket
+), topk AS (
+  SELECT tok, cnt, hv FROM (
+    SELECT tok, cnt, hv,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+    FROM tc
+  ) WHERE rn <= {CMS_TOPK}
+), est AS (
+  SELECT p.tok, MAX(p.cnt) AS exact_count, MIN(s.c) AS est_count
+  FROM ({probes}) p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY p.tok
+)
+SELECT tok, exact_count, est_count,
+       est_count - exact_count AS overestimate
+FROM est ORDER BY exact_count DESC, tok
+"""
+
+
+SKETCH_CMS_SQL = _cms_sql()
+
+# Round-12 queue (the two-round pattern; see plans/mining.py
+# PENDING_R12_*): implemented + locally oracle-gated this round,
+# registered next round where window rule 1 seats the face.
+PENDING_R12_QUERIES = {"sketch_heavy_hitters": sketch_heavy_hitters}
+PENDING_R12_ORACLES = {"sketch_heavy_hitters": SKETCH_CMS_SQL}
 
 
 # --- per-language length quantiles ---------------------------------------

@@ -224,6 +224,51 @@ def make_sf10() -> None:
     spark.stop()
 
 
+def make_sf10_documents() -> None:
+    """sf10 documents for the graph/LSH third decade (the round-10
+    verdict named graph and LSH as the families whose scaling evidence
+    stopped at sf1): 100 word-suffix replicas of sf0.1's 5,000 docs =
+    500,000 docs, generated SPARK-SIDE (the suffix rename is a
+    per-word transform -- no pandas concat of a 100x text corpus).
+    Same replica-disjointness argument as make_sf1's documents: the
+    word+str(k) rename is a bijective vocabulary rename per replica
+    (within-replica shingle/minhash/Jaccard relations preserved
+    EXACTLY), and with a digit-free base vocabulary two replicas can
+    never collide -- a maximal digit suffix identifies its replica
+    uniquely even for two-digit k (base words carry no digits, so
+    w1 || str(j) == w2 || str(k) forces str(j) == str(k)).  The
+    near-dup edge graph and LSH bucket census therefore scale exactly
+    100x in rows/edges at unchanged per-row density."""
+    from pyspark.sql import functions as F
+
+    from operating_system_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name="osmr-make-sf10-docs",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "8g"})
+    docs = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
+    n_docs, n_digit, max_id = docs.agg(
+        F.count(F.lit(1)), F.sum(F.col("text").rlike("[0-9]").cast("int")),
+        F.max("doc_id")).first()
+    assert n_docs % 10 == 0, f"n_docs={n_docs} not a multiple of 10"
+    assert max_id == n_docs - 1, "doc_id not dense 0..n-1"
+    assert n_digit == 0, \
+        "base vocabulary contains digits: word+k rename would collide"
+    rep = docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(99))))
+    out = (rep.select(
+        (F.col("doc_id") + F.col("__k") * n_docs).alias("doc_id"),
+        F.when(F.col("__k") == 0, F.col("text")).otherwise(
+            F.array_join(F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(w, F.col("__k").cast("string"))), " "))
+        .alias("text"),
+        "lang", "source")
+        .withColumn("n_chars", F.length("text").cast("long")))
+    (out.write.mode("overwrite")
+     .parquet(os.path.join(SF10_DIR, "documents.parquet")))
+    spark.stop()
+
+
 def make_sf10_embeddings() -> None:
     """sf10 embeddings for the ANN third decade (round-10 verdict
     directive #2): 100 rotated replicas of sf0.1's 2,000 vectors =
@@ -314,11 +359,17 @@ def _third_decade() -> None:
         make_sf10()
     if not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet")):
         make_sf10_embeddings()   # _COMPLETE predates the ANN extension
+    if not os.path.exists(os.path.join(SF10_DIR, "documents.parquet")):
+        make_sf10_documents()    # _COMPLETE predates the graph/LSH tier
     result: dict[str, dict] = {}
     only = os.environ.get("SPARK_GRAFT_DECADE_ONLY")
     names = ("q1_pricing_summary", "q6_forecast_revenue",
              "events_sessionize", "stream_quota_admission",
-             "similarity_ivf_search")
+             "similarity_ivf_search",
+             # round-11 closing extension: the last two families whose
+             # evidence stopped at sf1 -- the near-dup graph (pagerank,
+             # edge-proportional shuffle) and banded LSH pair detection
+             "pagerank_neardup", "dedup_minhash_lsh")
     for name in ([n for n in names if n in only.split(",")]
                  if only else names):
         row: dict = {}

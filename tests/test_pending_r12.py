@@ -13,13 +13,17 @@ Faces:
   retrieval_rrf_fusion  -- reciprocal-rank fusion of the lexical
                            (n-gram Jaccard) and semantic (embedding
                            cosine) rankers, the hybrid-search shape.
+  sketch_heavy_hitters  -- Count-Min frequency sketch: true top-K
+                           tokens with exact vs estimated counts and
+                           the one-sided overestimate (the frequency
+                           twin of the KMV cardinality sketch).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from operating_system_map_reduce_spark.plans import mining, pipeline
+from operating_system_map_reduce_spark.plans import curation, mining, pipeline
 from tests.oracle_utils import compare, run_oracle
 
 PENDING = {
@@ -27,6 +31,8 @@ PENDING = {
        for n, fn in mining.PENDING_R12_QUERIES.items()},
     **{n: (fn, pipeline.PENDING_R12_ORACLES[n])
        for n, fn in pipeline.PENDING_R12_QUERIES.items()},
+    **{n: (fn, curation.PENDING_R12_ORACLES[n])
+       for n, fn in curation.PENDING_R12_QUERIES.items()},
 }
 
 
@@ -110,6 +116,19 @@ class TestRrfSemantics:
             ranks.setdefault(r["query_id"], []).append(r["fused_rank"])
         for q, rs in ranks.items():
             assert rs == list(range(1, len(rs) + 1)), (q, rs)
+
+    def test_cms_overestimate_is_one_sided(self, spark, oracle_sf_dir):
+        """The Count-Min guarantee: est(t) >= true(t) for every probed
+        token -- min over D independent overcounting rows can never
+        undercount.  Also pins the report shape (exactly TOPK rows,
+        descending exact counts)."""
+        rows = curation.sketch_heavy_hitters(spark, oracle_sf_dir).collect()
+        assert len(rows) == curation.CMS_TOPK
+        counts = [r["exact_count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        for r in rows:
+            assert r["est_count"] >= r["exact_count"] >= 1
+            assert r["overestimate"] == r["est_count"] - r["exact_count"]
 
     def test_encode_counts_are_consistent(self, spark, oracle_sf_dir):
         """Per doc: 1 <= n_bpe_tokens (merges only shrink, chars >=
