@@ -400,12 +400,14 @@ def _cms_bucket(hv, d: int):
     return (CMS_A[d] * hv + CMS_B[d]) % _dd.MINHASH_P % CMS_W
 
 
-def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tc = (docs.select(F.explode(_dd.tokens_expr()).alias("tok"))
-          .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-          .withColumn("hv", F.expr(_dd.hexval_spark_sql("md5(tok)"))
-                      % _dd.MINHASH_P)
+def cms_heavy_hitters(tc: DataFrame) -> DataFrame:
+    """CMS build + top-K probe over a (tok, cnt) frequency frame --
+    the core sketch_heavy_hitters wraps, factored out so the seeded
+    differential in tests/test_curation_property.py can drive it with
+    generated token distributions the driver testdata never produces
+    (forced bucket collisions, tie-heavy counts)."""
+    tc = (tc.withColumn("hv", F.expr(_dd.hexval_spark_sql("md5(tok)"))
+          % _dd.MINHASH_P)
           .localCheckpoint(eager=False))
     hv = F.col("hv")
     sketch = None
@@ -428,6 +430,13 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", "exact_count", "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overestimate"))
         .orderBy(F.desc("exact_count"), "tok"))
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return cms_heavy_hitters(
+        docs.select(F.explode(_dd.tokens_expr()).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
 
 
 def _cms_sql() -> str:
