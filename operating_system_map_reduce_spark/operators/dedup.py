@@ -291,9 +291,18 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket -- the LSH
-    candidate join (equi-join on (band_idx, band_hash), never O(n^2))."""
+    candidate join (equi-join on (band_idx, band_hash), never O(n^2)).
+
+    SHUFFLE_HASH pin (round 11): both sides are the corpus's band
+    postings, but their size estimate flows through the mapInPandas
+    signature stage where the planner falls back to the scan size --
+    the same lying-estimate broadcast the sf10 decade run caught in
+    dedup_ngram_jaccard (a multi-GB side read as < 64 MB and built as
+    a broadcast hash relation).  The pin forces the partition-local
+    hash build at every SF."""
     a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx",
+                     "band_hash").hint("SHUFFLE_HASH")
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))

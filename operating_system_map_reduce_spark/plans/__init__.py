@@ -88,16 +88,21 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # (plans/pipeline.py) -- plus the round's new face
     # stream_novelty_index_compact (plans/streamqueries.py, the
     # standing index's SAV), all seated by rule 1 as
-    # never-driver-green.  The computed window11: those 3, then the
-    # full 39-entry r7-green deferred cohort named above (the second
-    # half of the r9-debt payoff -- deferred_due() is empty again once
-    # this round greens), then the 8 name-first r9-green entries.  No
-    # rule-2 re-entries: no registered query's plan or oracle changed
-    # since its newest green row at rotation time
-    # (STREAM_NOVELTY_SQL's builder was refactored to share its CTE
-    # prefix with the new face's oracle, but the emitted SQL is
-    # byte-identical -- md5 231db872d0e4f8e988775bdffb18dbf6 before
-    # and after).
+    # never-driver-green.  The computed window11: those 3, then any
+    # rule-2 re-entries, then the full 39-entry r7-green deferred
+    # cohort named above (the second half of the r9-debt payoff --
+    # deferred_due() is empty again once this round greens), then
+    # name-first r9-green entries up to the 50 seats.  At rotation
+    # time there were no rule-2 re-entries (STREAM_NOVELTY_SQL's
+    # builder was refactored to share its CTE prefix with the new
+    # face's oracle, but the emitted SQL is byte-identical -- md5
+    # 231db872d0e4f8e988775bdffb18dbf6 before and after); LATE in the
+    # round the sf10 decade run caught the planner broadcasting
+    # dedup_ngram_jaccard's corpus-growing join side off a lying
+    # estimate, and the SHUFFLE_HASH re-plan re-enters it via
+    # window.REDEFINED (same commit as the plan change), displacing
+    # the last r9-green seat (that entry is exactly AT the ceiling at
+    # r11 judge time -- legal -- and due first at r12).
     window = _win.build_window(list(queries), _win.load_ledger())
     assert len(window) == min(len(queries), _win.WINDOW_SIZE)
     ordered = {n: queries[n] for n in window}

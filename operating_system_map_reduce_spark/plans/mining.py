@@ -240,8 +240,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    # SHUFFLE_HASH pin (round 11): same corpus-growing postings
+    # self-join as dedup_ngram_jaccard -- see that docstring for the
+    # sf10 lying-estimate account
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-                  F.col("s").alias("s_b"))
+                  F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
     inter = (
         a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") != F.col("id_b"))
                & (F.col("n_b") * F.lit(5) >= F.col("n_a") * F.lit(4)))

@@ -327,8 +327,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = cached_signature(spark, sf_dir)
     pairs = _dd.candidate_pairs(_dd.lsh_bands(sig))
     sh = sig.select(F.col("doc_id"), F.col("shingles"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # SHUFFLE_HASH pins (round 11, the lying-estimate sweep): both
+    # verify sides carry the corpus's per-doc shingle arrays behind the
+    # mapInPandas signature stage -- the planner cannot size them and
+    # was broadcasting each (see candidate_pairs for the full account)
+    a = (sh.select(F.col("doc_id").alias("id_a"),
+                   F.col("shingles").alias("sh_a")).hint("SHUFFLE_HASH"))
+    b = (sh.select(F.col("doc_id").alias("id_b"),
+                   F.col("shingles").alias("sh_b")).hint("SHUFFLE_HASH"))
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", _dd.jaccard_expr(F.col("sh_a"), F.col("sh_b")))
@@ -420,9 +426,15 @@ def corpus_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
     bands = _dd.lsh_bands(cached_signature(spark, sf_dir))
+    # SHUFFLE_HASH pin (round 11, the lying-estimate sweep): the
+    # standing index side is the CORPUS's distinct band set behind the
+    # mapInPandas signature stage -- unsizable by the planner, and it
+    # was riding a broadcast.  (corpus_hashes below needs no pin: it
+    # derives from the parquet scan directly, so its estimate grows
+    # honestly with the corpus and the strategy stays AQE's call.)
     corpus_index = (
         bands.filter(~(F.col("doc_id") % 10 == 7))
-        .select("band_idx", "band_hash").distinct()
+        .select("band_idx", "band_hash").distinct().hint("SHUFFLE_HASH")
     )
     band_hits = (
         bands.filter(F.col("doc_id") % 10 == 7)
@@ -529,8 +541,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    # SHUFFLE_HASH pin (round 11): BOTH sides of this self-join grow
+    # with the corpus, but their size estimate flows through the
+    # mapInPandas shingling barrier, where the planner falls back to
+    # the parquet scan size -- at sf10 it read the 26M-row postings
+    # side as < 64 MB and BROADCAST it (a 3-4 GB hash relation on a
+    # lying estimate; fresh-JVM sf10: BHJ 327 s / SMJ 414 s / SHJ
+    # 239 s, and on a multi-executor cluster a corpus-sized broadcast
+    # is an OOM, not a slowdown).  The hint forces the partition-local
+    # hash build: no corpus-sized broadcast at ANY estimate, no
+    # 26M-row sort either side.
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-                  F.col("s").alias("s_b"))
+                  F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
     inter = (
         a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
                & (F.col("n_a") * F.lit(5) >= F.col("n_b"))

@@ -86,6 +86,21 @@ REDEFINED: dict[str, int] = {
     # repartition(1) loop to ONE partitioned write job (round-9
     # verdict directive #4)
     "stream_novelty_filter": 10,
+    # round 11: the postings self-join gained a SHUFFLE_HASH pin after
+    # the sf10 decade run caught the planner broadcasting the
+    # corpus-growing build side off a lying through-mapInPandas size
+    # estimate (a 3-4 GB hash relation read as < 64 MB).  Its two
+    # consumers (pagerank_neardup, dedup_graph_triangles) sit in the
+    # committed window11 already; the detector itself re-enters here.
+    "dedup_ngram_jaccard": 11,
+    # round 11: the mechanical sweep that followed
+    # (tests/test_plans.py PYSTAGE_BROADCAST_BOUNDED) found the same
+    # lying-estimate broadcast in three more faces; their
+    # corpus-growing sides gained the same SHUFFLE_HASH pin.
+    # dedup_containment is already seated (r7 deferred cohort); these
+    # two re-enter:
+    "dedup_minhash_lsh": 11,
+    "corpus_novelty_filter": 11,
 }
 
 

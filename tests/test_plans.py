@@ -39,9 +39,47 @@ BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
 
 _QUERIES = entrymod.queries()
 
+# Queries allowed to BROADCAST a subtree containing a Python stage
+# (MapInPandas / ArrowEvalPython): only sides that are PROVABLY
+# bounded regardless of corpus size.  Everything else is forbidden --
+# the planner's size estimate cannot see through a Python barrier (it
+# falls back to the scan size below it), so it will happily broadcast
+# a corpus-growing side off a lying estimate: the sf10 decade run
+# caught exactly that in dedup_ngram_jaccard (26M-row postings side
+# read as < 64 MB, built as a 3-4 GB hash relation; on a real cluster
+# that is an OOM, not a slowdown).
+PYSTAGE_BROADCAST_BOUNDED: dict[str, str] = {
+    "contamination_check":
+        "the broadcast side is the BENCHMARK suite's shingle postings "
+        "-- in production an eval set is a fixed, bounded corpus "
+        "(thousands of docs), exactly what a broadcast build wants; "
+        "the %20 testdata stand-in grows with SF but models that "
+        "bounded set, and pinning it to a shuffle would pessimize the "
+        "real workload (the corpus probe side would shuffle too)",
+}
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange node's subtree (indentation-parsed from
+    the plan tree: a child's '+-' marker sits right of its parent's)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = ln.find("+-")
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            pos = nxt.find("+-")
+            if pos >= 0 and pos <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
 
 
 def _lazy_queries():
@@ -61,6 +99,15 @@ class TestAntiPatterns:
                 assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
         assert "BatchEvalPython" not in plan, \
             f"{name}: row-at-a-time Python UDF in the plan"
+        # the lying-estimate sweep (round 11): no broadcast subtree may
+        # contain a Python stage unless the side is provably bounded
+        if name not in PYSTAGE_BROADCAST_BOUNDED:
+            for sub in _broadcast_subtrees(plan):
+                assert "MapInPandas" not in sub \
+                    and "ArrowEvalPython" not in sub \
+                    and "FlatMapGroupsInPandas" not in sub, \
+                    (f"{name}: broadcast of a Python-stage-derived side "
+                     f"(the planner cannot size it):\n{sub}")
 
 
 class TestPlanShape:
