@@ -90,11 +90,21 @@ class TestPendingR12Parity:
         assert "UnresolvedHint" not in plan, plan
 
     def test_rrf_semantic_broadcast_is_query_sized(self, spark, sf_dir):
-        """The only broadcast in the fusion plan carries the |Q|=3
-        query vectors -- the constant-side discipline; the lexical
-        join shuffles on the shingle key."""
+        """Every broadcast in the fusion plan carries a |Q|-bounded
+        side: the 3 query vectors (semantic) or the 3 query docs'
+        postings (lexical, explicitly hinted -- left to its estimates
+        the planner broadcast the CORPUS postings, the round-11
+        lying-estimate class).  A Python-stage broadcast subtree
+        without the query-id filter is the corpus side -- forbidden."""
+        import re
+
+        from tests.test_plans import _broadcast_subtrees
         plan = (pipeline.retrieval_rrf_fusion(spark, sf_dir)
                 ._jdf.queryExecution().executedPlan().toString())
+        for sub in _broadcast_subtrees(plan):
+            if re.search(r"MapInPandas|ArrowEvalPython", sub):
+                assert re.search(r"IN \(3,13,23\)", sub), \
+                    f"corpus-sized broadcast side:\n{sub}"
         assert "CartesianProduct" not in plan, plan
 
 

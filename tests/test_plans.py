@@ -56,6 +56,20 @@ PYSTAGE_BROADCAST_BOUNDED: dict[str, str] = {
         "the %20 testdata stand-in grows with SF but models that "
         "bounded set, and pinning it to a shuffle would pessimize the "
         "real workload (the corpus probe side would shuffle too)",
+    "dedup_minhash_lsh":
+        "the broadcast sides are the candidate-pair ID LIST (two "
+        "longs per pair, output-bounded by LSH banding -- band "
+        "collisions keep candidates << corpus); the corpus's shingle "
+        "arrays stream against it shuffle-free and never ride a "
+        "broadcast (see the verify-join comment in "
+        "plans/pipeline.py dedup_minhash_lsh for the sf10 bake-off "
+        "that rejected both alternatives)",
+    # pre-registered for the round-12 queue face (test_pending_r12):
+    "retrieval_rrf_fusion":
+        "the lexical broadcast side is the |Q| = 3 query docs' "
+        "postings (explicitly hinted -- bounded by the query set, not "
+        "the corpus); the corpus postings side streams shuffle-free "
+        "against it",
 }
 
 
