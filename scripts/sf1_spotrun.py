@@ -369,7 +369,10 @@ def _third_decade() -> None:
              # round-11 closing extension: the last two families whose
              # evidence stopped at sf1 -- the near-dup graph (pagerank,
              # edge-proportional shuffle) and banded LSH pair detection
-             "pagerank_neardup", "dedup_minhash_lsh")
+             # -- plus the inverted-index detector itself, whose sf10
+             # row caught the lying-estimate broadcast (SCALING.md)
+             "pagerank_neardup", "dedup_minhash_lsh",
+             "dedup_ngram_jaccard")
     for name in ([n for n in names if n in only.split(",")]
                  if only else names):
         row: dict = {}
