@@ -396,10 +396,6 @@ CMS_B = [
 ]
 
 
-def _cms_bucket(hv, d: int):
-    return (CMS_A[d] * hv + CMS_B[d]) % _dd.MINHASH_P % CMS_W
-
-
 def cms_heavy_hitters(tc: DataFrame) -> DataFrame:
     """CMS build + top-K probe over a (tok, cnt) frequency frame --
     the core sketch_heavy_hitters wraps, factored out so the seeded
@@ -409,20 +405,23 @@ def cms_heavy_hitters(tc: DataFrame) -> DataFrame:
     tc = (tc.withColumn("hv", F.expr(_dd.hexval_spark_sql("md5(tok)"))
           % _dd.MINHASH_P)
           .localCheckpoint(eager=False))
-    hv = F.col("hv")
-    sketch = None
-    for d in range(CMS_D):
-        row = tc.select(F.lit(d).alias("d"),
-                        _cms_bucket(hv, d).alias("bucket"), "cnt")
-        sketch = row if sketch is None else sketch.unionByName(row)
-    sketch = sketch.groupBy("d", "bucket").agg(F.sum("cnt").alias("c"))
+    # one scan each for the sketch build and the probes: the depth
+    # dimension rides an explode(sequence) row multiplier with the
+    # affine constants as indexed array literals -- the first form
+    # (D unionByName'd re-scans) re-ran the vocabulary-wide sort-limit
+    # D times (round-11 code-review finding)
+    a_arr = F.array(*[F.lit(a) for a in CMS_A])
+    b_arr = F.array(*[F.lit(b) for b in CMS_B])
+    d_seq = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    bucket = ((F.element_at(a_arr, F.col("d") + 1) * F.col("hv")
+               + F.element_at(b_arr, F.col("d") + 1))
+              % _dd.MINHASH_P % CMS_W).alias("bucket")
+    sketch = (tc.select("cnt", "hv", d_seq).select("cnt", "d", bucket)
+              .groupBy("d", "bucket").agg(F.sum("cnt").alias("c")))
     topk = (tc.orderBy(F.desc("cnt"), "tok").limit(CMS_TOPK)
             .select("tok", "cnt", "hv"))
-    probes = None
-    for d in range(CMS_D):
-        p = topk.select("tok", "cnt", F.lit(d).alias("d"),
-                        _cms_bucket(hv, d).alias("bucket"))
-        probes = p if probes is None else probes.unionByName(p)
+    probes = (topk.select("tok", "cnt", "hv", d_seq)
+              .select("tok", "cnt", "d", bucket))
     est = (probes.join(F.broadcast(sketch), ["d", "bucket"])
            .groupBy("tok").agg(F.max("cnt").alias("exact_count"),
                                F.min("c").alias("est_count")))

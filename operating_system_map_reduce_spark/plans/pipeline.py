@@ -318,18 +318,19 @@ def cached_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             slot[1].unpersist(blocking=False)
         except Exception:
             pass  # previous session may be gone
-    # localCheckpoint, not persist() (round 11): the signature feeds
-    # THREE subtrees per LSH query (bands + both verify streams), and
-    # a persist() cache is dropped by any catalog.clearCache() --
-    # after which one invocation re-runs the Python signature stage
-    # once PER SUBTREE (measured: the sf10 verify re-plan read 51.6 s
-    # cache-cold vs 12.9 s warm on exactly this).  Checkpoint blocks
-    # are RDD storage, not catalog cache, so the stage runs once per
-    # materialization regardless; this is also the faithful local
-    # analog of the documented 100 TB design (a signature table
-    # checkpointed to storage, computed once, read many).
-    sig = (_dd.minhash_signature(_t(spark, sf_dir, "documents"))
-           .localCheckpoint(eager=False))
+    # persist(), NOT localCheckpoint (settled round 11 after trying
+    # both): checkpoint blocks are RDD storage with no public release
+    # handle, so this slot's eviction unpersist -- the whole reason
+    # the single-slot cache exists (the per-SF sweep leaked one
+    # signature copy per SF) -- would silently no-op, re-leaking GBs
+    # of shingle arrays until nondeterministic py4j GC.  persist() is
+    # deterministic to evict, and within one invocation the broadcast
+    # build materializes the cache BEFORE the verify stages stream it,
+    # so the Python signature stage still runs once per invocation
+    # even cache-cold (an sf10 run-to-run swing once attributed to
+    # cache semantics reproduced under a recorded loadavg-15 spike --
+    # box noise, not a recompute).
+    sig = _dd.minhash_signature(_t(spark, sf_dir, "documents")).persist()
     _SIG_CACHE["sig"] = (key, sig)
     return sig
 
@@ -449,15 +450,19 @@ def corpus_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SHUFFLE_HASH pin (round 11, the lying-estimate sweep): the
     # standing index side is the CORPUS's distinct band set behind the
     # mapInPandas signature stage -- unsizable by the planner, and it
-    # was riding a broadcast.  (corpus_hashes below needs no pin: it
-    # derives from the parquet scan directly, so its estimate grows
-    # honestly with the corpus and the strategy stays AQE's call.)
+    # was riding a broadcast.  The hint sits on the BATCH side (the
+    # ~10% arriving docs), which makes that the per-partition hash
+    # BUILD side -- same no-broadcast guarantee, ~9x smaller hash
+    # maps than hinting the index side.  (corpus_hashes below needs
+    # no pin: it derives from the parquet scan directly, so its
+    # estimate grows honestly with the corpus and the strategy stays
+    # AQE's call.)
     corpus_index = (
         bands.filter(~(F.col("doc_id") % 10 == 7))
-        .select("band_idx", "band_hash").distinct().hint("SHUFFLE_HASH")
+        .select("band_idx", "band_hash").distinct()
     )
     band_hits = (
-        bands.filter(F.col("doc_id") % 10 == 7)
+        bands.filter(F.col("doc_id") % 10 == 7).hint("SHUFFLE_HASH")
         .join(corpus_index, ["band_idx", "band_hash"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))

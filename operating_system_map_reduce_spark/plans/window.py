@@ -97,8 +97,12 @@ REDEFINED: dict[str, int] = {
     # (tests/test_plans.py PYSTAGE_BROADCAST_BOUNDED) found the same
     # lying-estimate broadcast in three more faces; their
     # corpus-growing sides gained the same SHUFFLE_HASH pin.
-    # dedup_containment is already seated (r7 deferred cohort); these
-    # two re-enter:
+    # dedup_containment is already seated at r11 (r7 deferred cohort),
+    # but the ledger is append-only and rule 2 is the mechanism, not
+    # the hand-reasoned cohort membership -- it is recorded like the
+    # others so a failed r11 green cannot silently leave its r7 row
+    # vouching for an obsolete plan:
+    "dedup_containment": 11,
     "dedup_minhash_lsh": 11,
     "corpus_novelty_filter": 11,
 }

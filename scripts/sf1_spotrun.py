@@ -231,14 +231,20 @@ def make_sf10_documents() -> None:
     500,000 docs, generated SPARK-SIDE (the suffix rename is a
     per-word transform -- no pandas concat of a 100x text corpus).
     Same replica-disjointness argument as make_sf1's documents: the
-    word+str(k) rename is a bijective vocabulary rename per replica
-    (within-replica shingle/minhash/Jaccard relations preserved
-    EXACTLY), and with a digit-free base vocabulary two replicas can
-    never collide -- a maximal digit suffix identifies its replica
-    uniquely even for two-digit k (base words carry no digits, so
-    w1 || str(j) == w2 || str(k) forces str(j) == str(k)).  The
-    near-dup edge graph and LSH bucket census therefore scale exactly
-    100x in rows/edges at unchanged per-row density."""
+    word+str(k) rename is a bijective vocabulary rename per replica,
+    and with a digit-free base vocabulary two replicas can never
+    collide -- a maximal digit suffix identifies its replica uniquely
+    even for two-digit k (base words carry no digits, so
+    w1 || str(j) == w2 || str(k) forces str(j) == str(k)).  What is
+    preserved EXACTLY per replica: token counts, shingle-SET
+    relations, and therefore every Jaccard/containment value -- the
+    near-dup edge graph scales exactly 100x.  What is NOT exact: the
+    rename changes each shingle's md5, so each replica's MINHASH
+    signatures and band collisions are an independent draw from the
+    same distribution -- LSH candidate counts scale ~100x in
+    expectation with per-replica variance, not identically (the same
+    caveat applies to make_sf1's 'preserved EXACTLY' phrasing above,
+    which is exact for Jaccard, in-expectation for minhash/LSH)."""
     from pyspark.sql import functions as F
 
     from operating_system_map_reduce_spark.session import get_spark
@@ -247,11 +253,15 @@ def make_sf10_documents() -> None:
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.driver.memory": "8g"})
     docs = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
-    n_docs, n_digit, max_id = docs.agg(
-        F.count(F.lit(1)), F.sum(F.col("text").rlike("[0-9]").cast("int")),
+    n_docs, n_distinct, n_digit, max_id = docs.agg(
+        F.count(F.lit(1)), F.countDistinct("doc_id"),
+        F.sum(F.col("text").rlike("[0-9]").cast("int")),
         F.max("doc_id")).first()
     assert n_docs % 10 == 0, f"n_docs={n_docs} not a multiple of 10"
-    assert max_id == n_docs - 1, "doc_id not dense 0..n-1"
+    # distinct == total AND max == n-1 (with non-negative ids) IS
+    # density -- max alone passes duplicate+gap tables
+    assert n_distinct == n_docs and max_id == n_docs - 1, \
+        "doc_id not dense 0..n-1"
     assert n_digit == 0, \
         "base vocabulary contains digits: word+k rename would collide"
     rep = docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(99))))

@@ -9,6 +9,8 @@ row-at-a-time Python UDFs (BatchEvalPython) anywhere in the surface.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -77,18 +79,31 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _node_depth(line: str) -> int:
+    """Position of a plan line's child marker: '+-' for a last child,
+    ':-' for a non-last child (e.g. the LEFT side of a BuildLeft
+    join).  -1 for a root line with no marker."""
+    m = re.search(r"[:+]-", line)
+    return m.start() if m else -1
+
+
 def _broadcast_subtrees(plan: str) -> list[str]:
     """Each BroadcastExchange node's subtree (indentation-parsed from
-    the plan tree: a child's '+-' marker sits right of its parent's)."""
+    the plan tree: a child's marker sits right of its parent's).
+    Both marker forms are recognized -- matching only '+-' made a
+    BuildLeft broadcast (':- BroadcastExchange') read as depth -1 and
+    swallow the whole rest of the plan, probe side included
+    (round-11 code-review finding, regression-pinned in
+    TestBroadcastSubtrees)."""
     lines = plan.splitlines()
     out = []
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln:
             continue
-        depth = ln.find("+-")
+        depth = _node_depth(ln)
         sub = [ln]
         for nxt in lines[i + 1:]:
-            pos = nxt.find("+-")
+            pos = _node_depth(nxt)
             if pos >= 0 and pos <= depth:
                 break
             sub.append(nxt)
@@ -122,6 +137,43 @@ class TestAntiPatterns:
                     and "FlatMapGroupsInPandas" not in sub, \
                     (f"{name}: broadcast of a Python-stage-derived side "
                      f"(the planner cannot size it):\n{sub}")
+
+
+class TestBroadcastSubtrees:
+    def test_buildleft_broadcast_subtree_excludes_probe_side(self):
+        """A ':-'-marked (non-last-child) BroadcastExchange must yield
+        ONLY its own subtree -- the original '+-'-only parser read its
+        depth as -1 and swallowed the probe side, so a corpus-side
+        MapInPandas OUTSIDE the broadcast could both mask a violation
+        (anything matching the allowlist check leaks in) and flag an
+        innocent plan."""
+        plan = (
+            "*(5) Project [a]\n"
+            "+- BroadcastHashJoin [k], [k2], Inner, BuildLeft\n"
+            "   :- BroadcastExchange HashedRelationBroadcastMode\n"
+            "   :  +- Filter (id IN (3,13,23))\n"
+            "   :     +- Scan small\n"
+            "   +- MapInPandas probe_batches\n"
+            "      +- Scan corpus\n"
+        )
+        subs = _broadcast_subtrees(plan)
+        assert len(subs) == 1
+        assert "IN (3,13,23)" in subs[0]
+        assert "MapInPandas" not in subs[0]
+
+    def test_buildright_broadcast_subtree_still_parses(self):
+        plan = (
+            "+- BroadcastHashJoin [k], [k2], Inner, BuildRight\n"
+            "   :- MapInPandas probe_batches\n"
+            "   :  +- Scan corpus\n"
+            "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+            "      +- MapInPandas build_batches\n"
+            "         +- Scan corpus2\n"
+        )
+        subs = _broadcast_subtrees(plan)
+        assert len(subs) == 1
+        assert "build_batches" in subs[0]
+        assert "probe_batches" not in subs[0]
 
 
 class TestPlanShape:
