@@ -103,6 +103,26 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # window.REDEFINED (same commit as the plan change), displacing
     # the last r9-green seat (that entry is exactly AT the ceiling at
     # r11 judge time -- legal -- and due first at r12).
+    # Round 12 (registry 144): the three r12 queue faces registered --
+    # token_bpe_encode (plans/mining.py), retrieval_rrf_fusion
+    # (plans/pipeline.py), sketch_heavy_hitters (plans/curation.py) --
+    # seated by rule 1 as never-driver-green.  The computed window12 at
+    # rotation time: those 3, then the full 44-entry r9-green cohort
+    # (every one AT the staleness ceiling this round -- they MUST
+    # seat), then 3 name-first r10-green entries; deferred_due() is
+    # empty.  Seat math: 47 of 50 seats are spoken for, so at most 3
+    # rule-2 re-entries fit this round -- plan changes on green faces
+    # are FROZEN beyond the two directed ones (dedup_containment's
+    # prefix filter, dedup_minhash_lsh's bucketed verify join), each
+    # appended to window.REDEFINED in the same commit as its re-plan.
+    # ORDERING NOTE (round-11 advice): rule 2 is round-granular, so a
+    # plan-change commit must land BEFORE the round's gate run -- a
+    # green row recorded earlier in the same round would satisfy
+    # ledger[n] >= redefined[n] and silently vouch for the obsolete
+    # plan.  This repo's rounds end with the single driver gate run,
+    # so commits always precede it; anyone re-running the gate mid-
+    # round must re-run it after the last plan change, or key the
+    # REDEFINED entry to round+1.
     window = _win.build_window(list(queries), _win.load_ledger())
     assert len(window) == min(len(queries), _win.WINDOW_SIZE)
     ordered = {n: queries[n] for n in window}

@@ -476,12 +476,8 @@ FROM est ORDER BY exact_count DESC, tok
 
 
 SKETCH_CMS_SQL = _cms_sql()
-
-# Round-12 queue (the two-round pattern; see plans/mining.py
-# PENDING_R12_*): implemented + locally oracle-gated this round,
-# registered next round where window rule 1 seats the face.
-PENDING_R12_QUERIES = {"sketch_heavy_hitters": sketch_heavy_hitters}
-PENDING_R12_ORACLES = {"sketch_heavy_hitters": SKETCH_CMS_SQL}
+# Queued round 11 under the two-round pattern, REGISTERED round 12 in
+# QUERIES/ORACLES below (window rule 1 seats it as never-driver-green).
 
 
 # --- per-language length quantiles ---------------------------------------
@@ -759,6 +755,7 @@ QUERIES = {
     "sketch_distinct_tokens": sketch_distinct_tokens,
     "doc_length_quantiles": doc_length_quantiles,
     "shuffle_epoch_shards": shuffle_epoch_shards,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
 }
 
 ORACLES = {
@@ -772,4 +769,5 @@ ORACLES = {
     "sketch_distinct_tokens": SKETCH_DISTINCT_SQL,
     "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
     "shuffle_epoch_shards": SHUFFLE_EPOCH_SQL,
+    "sketch_heavy_hitters": SKETCH_CMS_SQL,
 }

@@ -791,12 +791,9 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 BPE_ENCODE_SQL = _bpe_encode_sql()
-
-# Round-12 queue (the two-round pattern: implement + locally oracle-gate
-# while the current round's window is spoken for, register next round
-# where rule 1 seats the face).  collect_registry ignores these dicts.
-PENDING_R12_QUERIES = {"token_bpe_encode": token_bpe_encode}
-PENDING_R12_ORACLES = {"token_bpe_encode": BPE_ENCODE_SQL}
+# Queued round 11 under the two-round pattern (implement + locally
+# oracle-gate while the window is spoken for), REGISTERED round 12 in
+# QUERIES/ORACLES below -- window rule 1 seats it as never-driver-green.
 
 
 # --- profile_orders: one-pass data-profiling operator ----------------------
@@ -1484,6 +1481,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "tokens_pmi_bigrams": tokens_pmi_bigrams,
     "token_bpe_trained": token_bpe_trained,
+    "token_bpe_encode": token_bpe_encode,
 }
 
 ORACLES = {
@@ -1506,4 +1504,5 @@ ORACLES = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "tokens_pmi_bigrams": TOKENS_PMI_SQL,
     "token_bpe_trained": BPE_TRAINED_SQL,
+    "token_bpe_encode": BPE_ENCODE_SQL,
 }

@@ -918,12 +918,10 @@ ORDER BY query_id, fused_rank
 
 
 RRF_FUSION_SQL = _rrf_fusion_sql()
-
-# Round-12 queue (the two-round pattern; see plans/mining.py
-# PENDING_R12_*): implemented + locally oracle-gated this round,
-# registered next round where window rule 1 seats the face.
-PENDING_R12_QUERIES = {"retrieval_rrf_fusion": retrieval_rrf_fusion}
-PENDING_R12_ORACLES = {"retrieval_rrf_fusion": RRF_FUSION_SQL}
+# Queued round 11 under the two-round pattern, REGISTERED round 12
+# (window rule 1 seats it as never-driver-green).
+QUERIES["retrieval_rrf_fusion"] = retrieval_rrf_fusion
+ORACLES["retrieval_rrf_fusion"] = RRF_FUSION_SQL
 
 
 # === multimodal plumbing ====================================================

@@ -66,6 +66,15 @@ STALENESS_CEILING = 2  # rounds behind HEAD at judge time
 # newest green row predates its redefinition round; once the driver
 # re-greens it the jump expires on its own.  Append-only ledger -- old
 # entries are kept as the audit trail.
+#
+# ORDERING REQUIREMENT (round-granularity, round-11 advice): the check
+# is ``redefined[n] > ledger[n]`` and both sides are ROUND numbers, so
+# a green row recorded in round R BEFORE a late-round-R plan change
+# would satisfy it and silently vouch for the obsolete plan at R+1.
+# Plan-change commits must therefore land before the round's gate run
+# (this repo's rounds end with the single driver gate, so commits
+# always precede it); a plan change made AFTER a round's gate has
+# already produced its row must be keyed to round+1 here.
 REDEFINED: dict[str, int] = {
     # round 7 (see _window7_history in plans/__init__.py)
     "orders_above_customer_avg": 7,

@@ -35,9 +35,12 @@ BNLJ_CONSTANT_SIDE = {"tokens_pmi_bigrams", "dedup_graph_triangles",
                       "q15_top_supplier",    # 1-row max-revenue scalar
                       "domain_temperature_weights",  # 1-row normalizer
                       "split_group_holdout",  # 1-row leakage census
-                      # pending r11 registration (test_pending_r11.py):
                       # each merge round attaches a 1-row argmax pair
-                      "token_bpe_trained"}
+                      "token_bpe_trained",
+                      # semantic ranker side: the |Q| = 3 query vectors
+                      # (IN-filter on literal ids caps the broadcast
+                      # side by construction, not by estimate)
+                      "retrieval_rrf_fusion"}
 
 _QUERIES = entrymod.queries()
 
@@ -66,7 +69,7 @@ PYSTAGE_BROADCAST_BOUNDED: dict[str, str] = {
         "broadcast (see the verify-join comment in "
         "plans/pipeline.py dedup_minhash_lsh for the sf10 bake-off "
         "that rejected both alternatives)",
-    # pre-registered for the round-12 queue face (test_pending_r12):
+    # registered round 12 (plan-shape pin in test_r12_faces.py):
     "retrieval_rrf_fusion":
         "the lexical broadcast side is the |Q| = 3 query docs' "
         "postings (explicitly hinted -- bounded by the query set, not "
@@ -404,7 +407,7 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 141
+        assert len(_QUERIES) == len(set(_QUERIES)) == 144
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)

@@ -1,9 +1,7 @@
-"""Round-12 queue faces: implemented and oracle-gated LOCALLY in round
-11 (the two-round pattern: the r11 window's seats are spoken for by
-the 39-entry deferred cohort plus the three r11 registrations, so new
-faces queue).  Round 12 moves these from PENDING_R12_* into
-QUERIES/ORACLES; the mechanical window (plans/window.py) then seats
-them via rule 1 as never-driver-green.
+"""Round-12 faces, REGISTERED (the two-round pattern's second half:
+implemented + locally oracle-gated in round 11 as PENDING_R12_*, moved
+into QUERIES/ORACLES in round 12 where the mechanical window seats
+them via rule 1 as never-driver-green).
 
 Faces:
   token_bpe_encode      -- APPLY the trained BPE tokenizer to the
@@ -17,74 +15,52 @@ Faces:
                            tokens with exact vs estimated counts and
                            the one-sided overestimate (the frequency
                            twin of the KMV cardinality sketch).
+
+Oracle parity for all three is covered by test_oracle_parity.py like
+every registered entry; this file pins their plan shapes and the
+algorithmic invariants an oracle diff cannot express.
 """
 
 from __future__ import annotations
 
-import pytest
+import re
 
 from operating_system_map_reduce_spark.plans import curation, mining, pipeline
-from tests.oracle_utils import compare, run_oracle
 
-PENDING = {
-    **{n: (fn, mining.PENDING_R12_ORACLES[n])
-       for n, fn in mining.PENDING_R12_QUERIES.items()},
-    **{n: (fn, pipeline.PENDING_R12_ORACLES[n])
-       for n, fn in pipeline.PENDING_R12_QUERIES.items()},
-    **{n: (fn, curation.PENDING_R12_ORACLES[n])
-       for n, fn in curation.PENDING_R12_QUERIES.items()},
-}
+R12_FACES = ("retrieval_rrf_fusion", "sketch_heavy_hitters",
+             "token_bpe_encode")
 
 
-class TestPendingR12Parity:
-    @pytest.mark.parametrize("name", sorted(PENDING))
-    def test_oracle_parity_sf001(self, spark, oracle_sf_dir, name):
-        fn, sql = PENDING[name]
-        problems = compare(fn(spark, oracle_sf_dir),
-                           run_oracle(sql, oracle_sf_dir))
-        assert not problems, problems
-
-    @pytest.mark.parametrize("name", sorted(PENDING))
-    def test_no_scale_killers_in_plan(self, spark, sf_dir, name):
-        fn, _ = PENDING[name]
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, plan
-        assert "BatchEvalPython" not in plan, plan
-
-    def test_pending_not_registered_in_round11(self):
-        import __spark_entry__ as entrymod
-        qs = entrymod.queries()
-        assert len(qs) == 141
-        for name in PENDING:
-            assert name not in qs
-
-    def test_r12_registration_keeps_the_window_feasible(self):
-        """Registering both faces at r12 (registry 143, still under the
-        ceiling-2 limit of 150) must leave no due entry deferred: with
-        a fully green window11 ledger, the computed window12 seats the
-        two never-green faces (rule 1) and every then-due entry."""
+class TestR12Registration:
+    def test_registered_and_window12_seats_them(self):
+        """All three are in the registry with oracles, and the computed
+        window seats them first (rule 1: never driver-green)."""
         import __spark_entry__ as entrymod
         from operating_system_map_reduce_spark.plans import window as _win
-        registry11 = list(entrymod.queries())
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+        assert len(qs) == 144
         ledger = _win.load_ledger()
-        head = max(ledger.values(), default=0)
-        ledger12 = dict(ledger)
-        ledger12.update({n: head + 1
-                         for n in registry11[:_win.WINDOW_SIZE]})
-        registry12 = registry11 + sorted(PENDING)
-        assert len(registry12) <= 150   # the ceiling-2 pigeonhole bound
-        window12 = _win.build_window(registry12, ledger12)
-        assert all(n in window12 for n in PENDING)
-        missing = [n for n in _win.due_entries(registry12, ledger12)
-                   if n not in window12]
-        assert not missing, f"registration would defer: {missing}"
+        window = _win.build_window(list(qs), ledger)
+        for name in R12_FACES:
+            assert name in qs and name in oracles
+            if name not in ledger:      # until the r12 driver row lands
+                assert name in window
 
+    def test_registry_stays_under_the_halves_threshold(self):
+        """144 <= 150: the ceiling-2 pigeonhole bound still holds and
+        the halves alternation stays dormant (the r13 headroom decision
+        is recorded in plans/__init__.py's round-12 note)."""
+        import __spark_entry__ as entrymod
+        from operating_system_map_reduce_spark.plans import window as _win
+        assert len(entrymod.queries()) <= _win.HALVES_THRESHOLD
+
+
+class TestR12PlanShapes:
     def test_bpe_encode_join_is_word_keyed_unhinted(self, spark, sf_dir):
         """The corpus pass is explode -> word-keyed equi-join -> hash
         agg; the vocab side grows with the corpus so it must carry NO
         broadcast hint (AQE may still pick broadcast at test SFs --
         the pin is on the hint, i.e. the logical plan)."""
-        from pyspark.sql import functions as F
         plan = (mining.token_bpe_encode(spark, sf_dir)
                 ._jdf.queryExecution().logical().toString())
         assert "UnresolvedHint" not in plan, plan
@@ -95,20 +71,22 @@ class TestPendingR12Parity:
         postings (lexical, explicitly hinted -- left to its estimates
         the planner broadcast the CORPUS postings, the round-11
         lying-estimate class).  A Python-stage broadcast subtree
-        without the query-id filter is the corpus side -- forbidden."""
-        import re
-
+        without the query-id filter is the corpus side -- forbidden.
+        Same three-pattern Python-stage check as TestAntiPatterns
+        (round-11 advice: the original scan omitted
+        FlatMapGroupsInPandas)."""
         from tests.test_plans import _broadcast_subtrees
         plan = (pipeline.retrieval_rrf_fusion(spark, sf_dir)
                 ._jdf.queryExecution().executedPlan().toString())
         for sub in _broadcast_subtrees(plan):
-            if re.search(r"MapInPandas|ArrowEvalPython", sub):
+            if re.search(r"MapInPandas|ArrowEvalPython"
+                         r"|FlatMapGroupsInPandas", sub):
                 assert re.search(r"IN \(3,13,23\)", sub), \
                     f"corpus-sized broadcast side:\n{sub}"
         assert "CartesianProduct" not in plan, plan
 
 
-class TestRrfSemantics:
+class TestR12Semantics:
     def test_rrf_rewards_agreement(self, spark, oracle_sf_dir):
         """A doc ranked by BOTH modalities must outscore a doc holding
         the same single-ranker rank alone: score(r, r) > score(r, -)
@@ -141,9 +119,9 @@ class TestRrfSemantics:
             assert r["overestimate"] == r["est_count"] - r["exact_count"]
 
     def test_encode_counts_are_consistent(self, spark, oracle_sf_dir):
-        """Per doc: 1 <= n_bpe_tokens (merges only shrink, chars >=
-        tokens) and n_bpe_tokens >= n_words (a word is >= 1 token);
-        corpus-wide the BPE census must compress vs raw chars."""
+        """Per doc: 1 <= n_words and n_bpe_tokens >= n_words (a word is
+        >= 1 token; merges only shrink token counts toward the word
+        floor, never past it)."""
         rows = mining.token_bpe_encode(spark, oracle_sf_dir).collect()
         assert rows
         for r in rows:
