@@ -174,10 +174,6 @@ def ppjoin_prefix_postings(ex: DataFrame, threshold_num: int,
     consistent total order puts every other common token after both.
     The pruning is visible as a row-count drop (asserted in tests).
     """
-    from pyspark.sql.window import Window
-
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
     # ceil(n * num / den) == (n*num + den - 1) div den, exactly
     prefix_len = (
         F.col("n")
@@ -185,10 +181,25 @@ def ppjoin_prefix_postings(ex: DataFrame, threshold_num: int,
            .cast("long") / threshold_den).cast("long")
         + 1
     )
+    return freq_ordered_postings(ex, id_col).filter(F.col("pos") <= prefix_len)
+
+
+def freq_ordered_postings(ex: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n, s, pos): each doc's postings ranked by GLOBAL document
+    frequency (rarest first, shingle text as tie-break -- a consistent
+    total order across all docs).  The shared substrate of prefix
+    filtering: ``ppjoin_prefix_postings`` cuts it at the threshold's
+    prefix length, and asymmetric (containment) joins keep the probe
+    side FULL but use ``pos`` for PPJoin's positional bound.  One
+    corpus-wide frequency aggregate + one per-doc window (shuffles by
+    shingle then by doc -- both key-partitioned, no corpus hotspot)."""
+    from pyspark.sql.window import Window
+
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
     return (
         ex.join(freq, "s")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
         .select(id_col, "n", "s", "pos")
     )
 

@@ -112,9 +112,28 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # seat), then 3 name-first r10-green entries; deferred_due() is
     # empty.  Seat math: 47 of 50 seats are spoken for, so at most 3
     # rule-2 re-entries fit this round -- plan changes on green faces
-    # are FROZEN beyond the two directed ones (dedup_containment's
-    # prefix filter, dedup_minhash_lsh's bucketed verify join), each
-    # appended to window.REDEFINED in the same commit as its re-plan.
+    # are FROZEN beyond the two directed ones.  Of those,
+    # dedup_minhash_lsh's bucketed verify join SHIPPED (REDEFINED
+    # bumped to 12 in the same commit); dedup_containment's prefix
+    # filter was implemented, measured at sf10, and REJECTED by the
+    # bake-off -- its registered plan stayed byte-identical to the
+    # r11 green shape, so it takes no re-entry (the rejected shape is
+    # kept unregistered as mining.dedup_containment_prefix).
+    # HEADROOM DECISION (round 12, directive #8): the registry sits at
+    # 144 of the HALVES_THRESHOLD=150 under which the 2-round
+    # staleness ceiling is pigeonhole-achievable.  Decision: STAY AT
+    # OR UNDER 150 -- rounds 13+ spend their effort on depth (decade
+    # evidence, plan-quality levers, guard hardening) rather than
+    # breadth, and any genuinely new face must either replace a
+    # retired one or arrive with the achievable-ceiling simulation
+    # (window.achievable_ceiling + the forward-simulation in
+    # test_halves_hold_achievable_ceiling, run over the REAL registry
+    # names) showing the ceiling-3 regime is acceptable for the whole
+    # registry before the 151st entry lands.  Rationale: every
+    # reference-§2 component and the LLM-pipeline tier are covered at
+    # 144; past 150 each extra face dilutes re-verification of every
+    # existing one (ceiling 2 -> 3 is a 50% staleness increase at
+    # judge time, paid by all 150+).
     # ORDERING NOTE (round-11 advice): rule 2 is round-granular, so a
     # plan-change commit must land BEFORE the round's gate run -- a
     # green row recorded earlier in the same round would satisfy

@@ -335,26 +335,63 @@ def cached_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+def bucketed_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature as an AT-REST doc_id-bucketed parquet table.
+
+    Round-12 re-plan of the minhash verify path: the round-11 shape
+    broadcast the candidate-pair ID list ("bounded by LSH banding"),
+    but candidate counts grow ~linearly with the corpus -- at 10^9+
+    docs the pair list is tens of GB, the same lying-estimate OOM
+    class the round-11 sweep exists to forbid, deferred rather than
+    eliminated.  Writing the signature doc_id-bucketed (16 buckets
+    here; at 100 TB, sized so a bucket fits an executor) removes the
+    need for ANY broadcast: a join on doc_id reads the buckets with
+    no exchange on the signature side, the pair list shuffles (two
+    longs per pair), and the shingle arrays never move at all.  It
+    also moves the Python signature stage OUT of the query plan --
+    downstream estimates come from real parquet statistics, so the
+    planner's runtime choices are trustworthy again.
+
+    Write-once per (sf_dir, documents mtime) -- the mtime tag
+    invalidates the table when testdata is regenerated in place
+    (mirrors analytics.bucketed_segment_revenue); the source frame
+    rides cached_signature so a session that also runs the novelty
+    filter computes the Python stage once."""
+    import os
+
+    from operating_system_map_reduce_spark.plans.analytics import _ensure_bucketed
+
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    table = f"b_sig_{tag}_{mt}"
+    if not spark.catalog.tableExists(table):
+        _ensure_bucketed(spark, table, cached_signature(spark, sf_dir),
+                         "doc_id")
+    return spark.table(table)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = cached_signature(spark, sf_dir)
+    sig = bucketed_signature(spark, sf_dir)
     pairs = _dd.candidate_pairs(_dd.lsh_bands(sig))
     sh = sig.select(F.col("doc_id"), F.col("shingles"))
-    # Verify-join shape (round 11, re-planned twice by the sf10 decade
-    # runs): the corpus's shingle arrays must neither ride a broadcast
-    # (the lying-estimate OOM class -- the planner's original pick)
-    # nor a shuffle (the first re-plan SHUFFLE_HASH-pinned the array
-    # sides and sf10 went 18.9 -> 99 s moving 500k docs' arrays
-    # through two exchanges).  Instead the candidate-pair ID LIST
-    # broadcasts -- two longs per pair, output-bounded by LSH banding
-    # (band collisions keep candidates << corpus; the arrays are never
-    # on it) -- and the signature table streams against it twice with
-    # NO shuffle; only candidate-bounded array payloads reach the
-    # final pair-key exchange.
-    p = F.broadcast(pairs)
-    fa = (sh.join(p, sh["doc_id"] == p["id_a"])
+    # Verify-join shape (round 12, third re-plan -- see
+    # bucketed_signature): the corpus's shingle arrays must neither
+    # ride a broadcast (the lying-estimate OOM class -- the planner's
+    # original pick) nor a shuffle (the first re-plan SHUFFLE_HASH-
+    # pinned the array sides and sf10 went 18.9 -> 99 s moving 500k
+    # docs' arrays through two exchanges).  The round-11 answer
+    # broadcast the candidate-pair ID list -- corpus-growing, merely
+    # deferred the OOM.  With the signature bucketed on doc_id both
+    # verify joins are exchange-free on the array side with NO
+    # broadcast hint at all: the pair list shuffles into the bucket
+    # partitioning, and only candidate-bounded array payloads reach
+    # the final pair-key exchange.  No Python stage remains in this
+    # plan, so AQE's runtime sizes (not estimates through a barrier)
+    # drive any remaining strategy choice.
+    fa = (sh.join(pairs, sh["doc_id"] == pairs["id_a"])
           .select("id_a", "id_b", F.col("shingles").alias("sh_a")))
-    fb = (sh.join(p, sh["doc_id"] == p["id_b"])
-          .select(p["id_a"].alias("id_a"), "id_b",
+    fb = (sh.join(pairs, sh["doc_id"] == pairs["id_b"])
+          .select(pairs["id_a"].alias("id_a"), "id_b",
                   F.col("shingles").alias("sh_b")))
     return (
         fa.join(fb, ["id_a", "id_b"])
@@ -790,6 +827,9 @@ RRF_C = 60
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from operating_system_map_reduce_spark.operators.guards import (
+        bounded_broadcast)
+
     docs = _t(spark, sf_dir, "documents")
     ex = _dd.shingle_postings(docs)
     # broadcast the QUERY side: it is bounded by |Q| = 3 docs'
@@ -798,9 +838,15 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # picked the reverse build (the lying-estimate class of the
     # round-11 sweep: both sides sit behind the mapInPandas shingling
     # barrier and read as scan-sized) -- broadcasting the corpus.
-    q = F.broadcast(
-        ex.filter(F.col("doc_id").isin(*RRF_QUERY_IDS))
-        .select(F.col("doc_id").alias("qid"), F.col("n").alias("n_q"), "s"))
+    # The ID filter sits BELOW the shingling stage (a filter above a
+    # mapInPandas barrier cannot be pushed through it, so the original
+    # shape shingled the whole corpus to keep 3 docs), which makes the
+    # round-12 self-enforcing bound's count job |Q|-doc-sized too.
+    q = bounded_broadcast(
+        _dd.shingle_postings(docs.filter(F.col("doc_id").isin(*RRF_QUERY_IDS)))
+        .select(F.col("doc_id").alias("qid"), F.col("n").alias("n_q"), "s"),
+        1_000_000, "retrieval_rrf_fusion query postings",
+        memo_key=(id(spark), sf_dir))
     d = ex.select(F.col("doc_id").alias("did"), F.col("n").alias("n_d"), "s")
     shared = (q.join(d, "s").filter(F.col("did") != F.col("qid"))
               .groupBy("qid", "did", "n_q", "n_d")

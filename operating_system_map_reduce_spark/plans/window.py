@@ -111,9 +111,20 @@ REDEFINED: dict[str, int] = {
     # the hand-reasoned cohort membership -- it is recorded like the
     # others so a failed r11 green cannot silently leave its r7 row
     # vouching for an obsolete plan:
-    "dedup_containment": 11,
-    "dedup_minhash_lsh": 11,
     "corpus_novelty_filter": 11,
+    # round 12 (superseding its round-11 verify-re-plan entry): the
+    # signature moved to an at-rest doc_id-bucketed table
+    # (bucketed_signature), removing the corpus-growing candidate-pair
+    # broadcast AND the Python stage from the query plan entirely.
+    "dedup_minhash_lsh": 12,
+    "dedup_containment": 11,
+    # (round-12 note on dedup_containment: the containment-adapted
+    # asymmetric prefix filter -- the r11 decade row's named lever --
+    # was implemented, measured at sf10, and REJECTED by the bake-off;
+    # the registered plan is byte-identical to the r11 shape its green
+    # row vouches for, so no r12 re-entry.  The rejected shape lives
+    # on unregistered as plans/mining.dedup_containment_prefix; full
+    # account in SCALING.md round-12.)
 }
 
 

@@ -253,14 +253,16 @@ def make_sf10_documents() -> None:
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.driver.memory": "8g"})
     docs = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
-    n_docs, n_distinct, n_digit, max_id = docs.agg(
+    n_docs, n_distinct, n_digit, max_id, min_id = docs.agg(
         F.count(F.lit(1)), F.countDistinct("doc_id"),
         F.sum(F.col("text").rlike("[0-9]").cast("int")),
-        F.max("doc_id")).first()
+        F.max("doc_id"), F.min("doc_id")).first()
     assert n_docs % 10 == 0, f"n_docs={n_docs} not a multiple of 10"
-    # distinct == total AND max == n-1 (with non-negative ids) IS
-    # density -- max alone passes duplicate+gap tables
-    assert n_distinct == n_docs and max_id == n_docs - 1, \
+    # distinct == total AND max == n-1 AND min >= 0 IS density: the
+    # first two alone admit e.g. {-1, 1, ..., n-1} (round-11 advice),
+    # which would break the %10 batch semantics and the k*n_docs
+    # offset disjointness
+    assert n_distinct == n_docs and max_id == n_docs - 1 and min_id >= 0, \
         "doc_id not dense 0..n-1"
     assert n_digit == 0, \
         "base vocabulary contains digits: word+k rename would collide"

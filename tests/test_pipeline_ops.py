@@ -707,3 +707,80 @@ class TestIvfSearch:
         top = {r["vec_id"]: r for r in out.collect() if r["rank"] == 1}
         assert top[1007]["neighbor_id"] == 3
         assert top[1007]["cosine"] > 0.999
+
+
+class TestContainmentPrefixFilter:
+    """dedup_containment_prefix: PPJoin's prefix principle applied to
+    the ASYMMETRIC containment bound (alpha = ceil(t*n_a) depends only
+    on the contained side, so only A's postings are cut; B keeps full
+    postings plus its frequency-order position for the positional
+    bound).  Implemented round 12, REJECTED by the sf10 verify-payload
+    bake-off (see the dedup_containment docstring + SCALING.md) -- the
+    machinery stays correct and tested for workloads where it pays.
+    The differential pins exactness against the REGISTERED count-join;
+    the cut tests pin that the filter actually prunes."""
+
+    def test_prefix_loses_no_qualifying_pair(self, spark, sf_dir):
+        """Differential: the prefix+positional plan == the registered
+        inverted-index count join, pair for pair, value for value."""
+        from operating_system_map_reduce_spark.plans.mining import (
+            dedup_containment, dedup_containment_prefix)
+
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in dedup_containment_prefix(spark, sf_dir).collect()}
+        want = {(r["id_a"], r["id_b"]): r["containment"]
+                for r in dedup_containment(spark, sf_dir).collect()}
+        assert got == want
+
+    def test_prefix_and_positional_cut_candidates(self, spark, sf_dir):
+        """The asymmetric prefix must strictly shrink the probe-side
+        postings, and the candidate join's output rows must shrink vs
+        the unfiltered inverted-index join (sf0.1: join rows 1.73M ->
+        181k, distinct pairs 1.53M -> 174k)."""
+        from operating_system_map_reduce_spark.sources.tables import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        arr = dedup.shingle_arrays(docs)
+        ex = arr.select("doc_id", "n", F.explode("shingles").alias("s")).cache()
+        pos = dedup.freq_ordered_postings(ex).cache()
+        alpha = ((F.col("n_a") * F.lit(7999995) + F.lit(9999999))
+                 .cast("long") / F.lit(10000000)).cast("long")
+        a = (pos.select(F.col("doc_id").alias("id_a"),
+                        F.col("n").alias("n_a"), "s",
+                        F.col("pos").alias("pos_a"))
+             .filter(F.col("pos_a") <= F.col("n_a") - alpha + 1))
+        b = pos.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                       F.col("s").alias("s_b"), F.col("pos").alias("pos_b"))
+        base = ((F.col("s") == F.col("s_b"))
+                & (F.col("id_a") != F.col("id_b"))
+                & (F.col("n_b") * F.lit(5) >= F.col("n_a") * F.lit(4)))
+        positional = (F.lit(1) + F.least(F.col("n_a") - F.col("pos_a"),
+                                         F.col("n_b") - F.col("pos_b"))
+                      >= alpha)
+        assert a.count() < ex.count()
+        full_a = pos.select(F.col("doc_id").alias("id_a"),
+                            F.col("n").alias("n_a"), "s",
+                            F.col("pos").alias("pos_a"))
+        plain = full_a.join(b, base).count()
+        cut = a.join(b, base & positional).count()
+        ex.unpersist(); pos.unpersist()
+        assert cut < plain, (cut, plain)
+
+    def test_alpha_guards_the_rounding_boundary(self):
+        """alpha = ceil(n_a * 7999995 / 1e7) must equal ceil(0.8 * n_a)
+        for every realistic n_a, and drop BELOW it exactly where a
+        sub-0.8 ratio can still round to 0.800000 (n_a >= 400_000 with
+        n_a % 5 != 0 -- a 400k-shingle doc is a book, real at 100 TB)."""
+        import math
+        for n in list(range(1, 2000)) + [399_999, 400_000, 400_001,
+                                         2_000_001]:
+            alpha = (n * 7999995 + 9999999) // 10000000
+            exact = math.ceil(n * 4 / 5)
+            # the smallest intersection whose ROUNDED ratio >= 0.8
+            min_round_up = min(i for i in range(max(1, exact - 2), n + 2)
+                               if round(i / n + 1e-15, 6) >= 0.8) \
+                if n < 10_000 else None
+            assert alpha <= exact
+            if n < 10_000:
+                assert alpha <= min_round_up, (n, alpha, min_round_up)
+            if n < 400_000:
+                assert alpha == exact, (n, alpha, exact)

@@ -60,21 +60,22 @@ PYSTAGE_BROADCAST_BOUNDED: dict[str, str] = {
         "(thousands of docs), exactly what a broadcast build wants; "
         "the %20 testdata stand-in grows with SF but models that "
         "bounded set, and pinning it to a shuffle would pessimize the "
-        "real workload (the corpus probe side would shuffle too)",
-    "dedup_minhash_lsh":
-        "the broadcast sides are the candidate-pair ID LIST (two "
-        "longs per pair, output-bounded by LSH banding -- band "
-        "collisions keep candidates << corpus); the corpus's shingle "
-        "arrays stream against it shuffle-free and never ride a "
-        "broadcast (see the verify-join comment in "
-        "plans/pipeline.py dedup_minhash_lsh for the sf10 bake-off "
-        "that rejected both alternatives)",
+        "real workload (the corpus probe side would shuffle too).  "
+        "SELF-ENFORCED since round 12: guards.bounded_broadcast "
+        "raises past 5M postings rows",
+    # dedup_minhash_lsh left the allowlist in round 12: its signature
+    # now lives in an at-rest doc_id-bucketed table
+    # (plans/pipeline.py bucketed_signature), so NO Python stage
+    # remains anywhere in its query plan -- the sweep below applies to
+    # it in full.
     # registered round 12 (plan-shape pin in test_r12_faces.py):
     "retrieval_rrf_fusion":
         "the lexical broadcast side is the |Q| = 3 query docs' "
-        "postings (explicitly hinted -- bounded by the query set, not "
-        "the corpus); the corpus postings side streams shuffle-free "
-        "against it",
+        "postings (explicitly hinted, ID-filtered BELOW the shingling "
+        "stage -- bounded by the query set, not the corpus); the "
+        "corpus postings side streams shuffle-free against it.  "
+        "SELF-ENFORCED since round 12: guards.bounded_broadcast "
+        "raises past 1M postings rows",
 }
 
 
@@ -412,6 +413,51 @@ class TestRegistryWindow:
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)
         assert set(_QUERIES) - set(oracles) == set()
+
+
+class TestRound12PlanShapes:
+    def test_minhash_query_plan_has_no_python_stage(self, spark, sf_dir):
+        """The round-12 at-rest re-plan: with the signature written as
+        a doc_id-bucketed table, NO Python stage remains anywhere in
+        dedup_minhash_lsh's query plan -- every size the planner sees
+        is a real parquet statistic, so the lying-estimate class
+        cannot recur here regardless of strategy choice.  (The
+        signature's mapInPandas runs once, in the write job, not in
+        the query.)"""
+        plan = _plan(_QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+        for node in ("MapInPandas", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
+
+    def test_minhash_bucketed_scan_feeds_the_verify_joins(self, spark, sf_dir):
+        """The verify sides must read the bucketed table (Scan parquet
+        of b_sig_*), not recompute signatures -- and the candidate-pair
+        list must NOT carry an explicit broadcast hint (the round-11
+        corpus-growing broadcast); any remaining broadcast is AQE's
+        runtime choice over real statistics."""
+        df = _QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        assert "b_sig_" in _plan(df).lower()
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "UnresolvedHint BROADCAST" not in logical, logical
+
+    def test_containment_prefix_cut_is_in_the_plan(self, spark, sf_dir):
+        """The asymmetric prefix filter's probe-side cut (pos_a <=
+        n_a - alpha + 1) must survive to the executed plan of the
+        UNREGISTERED prefix shape (the round-12 bake-off loser, kept
+        as machinery), and its candidate join must stay SHUFFLE_HASH
+        (both sides corpus-grown behind the Python shingling
+        barrier).  The registered dedup_containment stays the r11
+        count-join -- pinned by its ShuffledHashJoin + hash-aggregate
+        shape with NO pair-key array join."""
+        from operating_system_map_reduce_spark.plans.mining import (
+            dedup_containment_prefix)
+        plan = _plan(dedup_containment_prefix(spark, sf_dir))
+        assert "7999995" in plan, "alpha prefix arithmetic missing"
+        assert "ShuffledHashJoin" in plan, plan
+        reg = _plan(_QUERIES["dedup_containment"](spark, sf_dir))
+        assert "ShuffledHashJoin" in reg
+        assert "array_intersect" not in reg, \
+            "registered containment must stay the count-join"
 
 
 class TestRound5PlanShapes:
