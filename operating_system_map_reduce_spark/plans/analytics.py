@@ -1292,7 +1292,13 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
     """Write-once guard that survives session restarts: the in-memory
     catalog forgets managed tables between sessions while their
     warehouse directories persist, so an orphaned location is cleared
-    before the (re)write."""
+    before the (re)write.  Table names end in the source's mtime tag
+    (staleness invalidation), so every in-place testdata regeneration
+    retires a directory -- older same-prefix tags are swept here or
+    the warehouse grows one multi-GB orphan per regeneration (the
+    sf10 signature table is ~4 GB)."""
+    import glob
+    import re
     import shutil
     from urllib.parse import urlparse
 
@@ -1304,6 +1310,13 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
     leftover = os.path.join(wh, table.lower())
     if os.path.isdir(leftover):
         shutil.rmtree(leftover)
+    stale_prefix = re.sub(r"_\d+$", "_", table.lower())
+    if stale_prefix != table.lower():
+        for d in glob.glob(os.path.join(wh, stale_prefix + "*")):
+            if (os.path.basename(d) != table.lower()
+                    and re.fullmatch(re.escape(stale_prefix) + r"\d+", os.path.basename(d))
+                    and not spark.catalog.tableExists(os.path.basename(d))):
+                shutil.rmtree(d, ignore_errors=True)
     write_bucketed(df, table, key, n_buckets=16)
 
 

@@ -74,3 +74,39 @@ class TestBucketedJoin:
             spark.conf.unset(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled")
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+class TestEnsureBucketedStaleSweep:
+    def test_older_mtime_tagged_dirs_are_swept(self, spark, sf_dir, tmp_path):
+        """Mtime-tagged bucketed tables (b_<name>_<tag>_<mtime>) retire
+        a multi-GB warehouse directory on every in-place testdata
+        regeneration; _ensure_bucketed must sweep older same-prefix
+        tags when writing the new one -- and must NOT touch other
+        prefixes, digit-ambiguous cousins, or catalog-registered
+        tables."""
+        import os
+        from urllib.parse import urlparse
+
+        from operating_system_map_reduce_spark.plans.analytics import (
+            _ensure_bucketed)
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, "b_sweepprobe_x_1000")
+        cousin = os.path.join(wh, "b_sweepprobe_x_1000_extra")
+        other = os.path.join(wh, "b_sweepother_x_1000")
+        for d in (stale, cousin, other):
+            os.makedirs(d, exist_ok=True)
+        spark.sql("DROP TABLE IF EXISTS b_sweepprobe_x_2000")
+        df = load_table(spark, sf_dir, "region").select("r_regionkey")
+        try:
+            _ensure_bucketed(spark, "b_sweepprobe_x_2000", df, "r_regionkey")
+            assert not os.path.isdir(stale), "older tag must be swept"
+            assert os.path.isdir(cousin), "non-pure-digit suffix kept"
+            assert os.path.isdir(other), "other prefixes kept"
+            assert spark.catalog.tableExists("b_sweepprobe_x_2000")
+        finally:
+            import shutil
+            spark.sql("DROP TABLE IF EXISTS b_sweepprobe_x_2000")
+            for d in (cousin, other):
+                shutil.rmtree(d, ignore_errors=True)
