@@ -119,6 +119,21 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # bake-off -- its registered plan stayed byte-identical to the
     # r11 green shape, so it takes no re-entry (the rejected shape is
     # kept unregistered as mining.dedup_containment_prefix).
+    # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
+    # the headroom decision below, depth over breadth.  Window13 seat
+    # math (assuming a green r12 gate): the 45 remaining r10-green
+    # entries hit the ceiling and MUST seat, leaving ~5 seats for
+    # rule-2 re-entries.  The rule-2 queue, ranked: (1) extend the
+    # at-rest bucketed signature table to corpus_novelty_filter (it
+    # shares cached_signature with the old minhash shape; same win:
+    # Python stage out of the query plan, real statistics); (2)
+    # evaluate an at-rest doc_id-bucketed POSTINGS table for the
+    # ngram/pagerank/triangles tier (their SHUFFLE_HASH pins exist
+    # because estimates lie through the shingling barrier -- an
+    # at-rest table makes the estimates real and may let AQE beat the
+    # blanket pin); (3) sweep remaining localCheckpoint sites toward
+    # slot-cached persist() (BPE vocab chain, ppjoin arr) if the r12
+    # verdict grades the leak class worth the churn.
     # HEADROOM DECISION (round 12, directive #8): the registry sits at
     # 144 of the HALVES_THRESHOLD=150 under which the 2-round
     # staleness ceiling is pigeonhole-achievable.  Decision: STAY AT
