@@ -109,10 +109,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # seated by rule 1 as never-driver-green.  The computed window12 at
     # rotation time: those 3, then the full 44-entry r9-green cohort
     # (every one AT the staleness ceiling this round -- they MUST
-    # seat), then 3 name-first r10-green entries; deferred_due() is
-    # empty.  Seat math: 47 of 50 seats are spoken for, so at most 3
-    # rule-2 re-entries fit this round -- plan changes on green faces
-    # are FROZEN beyond the two directed ones.  Of those,
+    # seat), then the rule-2 re-entries and name-first r10-green
+    # refreshes; deferred_due() is empty.  Seat math: 47 of 50 seats
+    # are spoken for, so at most 3 rule-2 re-entries fit this round --
+    # plan changes on green faces are FROZEN beyond those.  Of the
+    # directed ones,
     # dedup_minhash_lsh's bucketed verify join SHIPPED (REDEFINED
     # bumped to 12 in the same commit); dedup_containment's prefix
     # filter was implemented, measured at sf10, and REJECTED by the
@@ -123,10 +124,10 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green
     # entries hit the ceiling and MUST seat, leaving ~5 seats for
-    # rule-2 re-entries.  The rule-2 queue, ranked: (1) extend the
-    # at-rest bucketed signature table to corpus_novelty_filter (it
-    # shares cached_signature with the old minhash shape; same win:
-    # Python stage out of the query plan, real statistics); (2)
+    # rule-2 re-entries.  The rule-2 queue, ranked: (1) DONE IN R12's
+    # second leg -- the at-rest bucketed signature table extended to
+    # corpus_novelty_filter (window12 had one discretionary seat
+    # left; REDEFINED->12, pin removed, plan-pinned); (2)
     # evaluate an at-rest doc_id-bucketed POSTINGS table for the
     # ngram/pagerank/triangles tier (their SHUFFLE_HASH pins exist
     # because estimates lie through the shingling barrier -- an

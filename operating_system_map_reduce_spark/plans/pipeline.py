@@ -352,18 +352,19 @@ def bucketed_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream estimates come from real parquet statistics, so the
     planner's runtime choices are trustworthy again.
 
-    Write-once per (sf_dir, documents mtime) -- the mtime tag
-    invalidates the table when testdata is regenerated in place
-    (mirrors analytics.bucketed_segment_revenue); the source frame
-    rides cached_signature so a session that also runs the novelty
-    filter computes the Python stage once."""
+    Write-once per (sf_dir, documents mtime, pid) -- the mtime tag
+    invalidates the table when testdata is regenerated in place, the
+    pid scope keeps concurrent sibling processes from rmtree'ing each
+    other's live files (analytics.bucketed_table_name); the source
+    frame rides cached_signature so a session that also runs the
+    novelty filter computes the Python stage once."""
     import os
 
-    from operating_system_map_reduce_spark.plans.analytics import _ensure_bucketed
+    from operating_system_map_reduce_spark.plans.analytics import (
+        _ensure_bucketed, bucketed_table_name)
 
     mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    table = f"b_sig_{tag}_{mt}"
+    table = bucketed_table_name("b_sig", sf_dir, mt)
     if not spark.catalog.tableExists(table):
         _ensure_bucketed(spark, table, cached_signature(spark, sf_dir),
                          "doc_id")
@@ -483,23 +484,26 @@ ORDER BY id_a, id_b
 def corpus_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
-    bands = _dd.lsh_bands(cached_signature(spark, sf_dir))
-    # SHUFFLE_HASH pin (round 11, the lying-estimate sweep): the
-    # standing index side is the CORPUS's distinct band set behind the
-    # mapInPandas signature stage -- unsizable by the planner, and it
-    # was riding a broadcast.  The hint sits on the BATCH side (the
-    # ~10% arriving docs), which makes that the per-partition hash
-    # BUILD side -- same no-broadcast guarantee, ~9x smaller hash
-    # maps than hinting the index side.  (corpus_hashes below needs
-    # no pin: it derives from the parquet scan directly, so its
-    # estimate grows honestly with the corpus and the strategy stays
-    # AQE's call.)
+    # Round 12 (the minhash re-plan's second consumer): the bands
+    # derive from the AT-REST bucketed signature table, not the
+    # through-mapInPandas frame.  The round-11 SHUFFLE_HASH pin on the
+    # batch side existed because the standing index was corpus-grown
+    # behind a Python barrier and read as scan-sized (< 64 MB), so the
+    # planner kept electing to broadcast it.  With the signature on
+    # parquet there is NO Python stage anywhere in this plan and every
+    # size the planner sees is a real file statistic that grows
+    # honestly with the corpus -- the index side can no longer
+    # masquerade as broadcastable, so the pin comes off and AQE's
+    # runtime sizes drive the strategy (at bench SF it may well
+    # broadcast the small batch build; at 100 TB both sides are
+    # scan-estimated and it shuffles on the band hash).
+    bands = _dd.lsh_bands(bucketed_signature(spark, sf_dir))
     corpus_index = (
         bands.filter(~(F.col("doc_id") % 10 == 7))
         .select("band_idx", "band_hash").distinct()
     )
     band_hits = (
-        bands.filter(F.col("doc_id") % 10 == 7).hint("SHUFFLE_HASH")
+        bands.filter(F.col("doc_id") % 10 == 7)
         .join(corpus_index, ["band_idx", "band_hash"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_band_hits"))

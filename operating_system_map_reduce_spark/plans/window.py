@@ -111,12 +111,16 @@ REDEFINED: dict[str, int] = {
     # the hand-reasoned cohort membership -- it is recorded like the
     # others so a failed r11 green cannot silently leave its r7 row
     # vouching for an obsolete plan:
-    "corpus_novelty_filter": 11,
     # round 12 (superseding its round-11 verify-re-plan entry): the
     # signature moved to an at-rest doc_id-bucketed table
     # (bucketed_signature), removing the corpus-growing candidate-pair
     # broadcast AND the Python stage from the query plan entirely.
     "dedup_minhash_lsh": 12,
+    # round 12 (superseding its round-11 SHUFFLE_HASH-pin entry): the
+    # band index now derives from the same at-rest bucketed signature
+    # table -- no Python stage left in the plan, so the lying-estimate
+    # pin came off and AQE's real runtime sizes pick the strategy.
+    "corpus_novelty_filter": 12,
     "dedup_containment": 11,
     # (round-12 note on dedup_containment: the containment-adapted
     # asymmetric prefix filter -- the r11 decade row's named lever --

@@ -440,6 +440,23 @@ class TestRound12PlanShapes:
         logical = df._jdf.queryExecution().logical().toString()
         assert "UnresolvedHint BROADCAST" not in logical, logical
 
+    def test_novelty_filter_rides_the_bucketed_signature(self, spark, sf_dir):
+        """corpus_novelty_filter (the re-plan's second consumer): the
+        band index derives from the at-rest bucketed signature table,
+        so no Python stage remains in the plan, the scan is the b_sig_
+        table, and the round-11 SHUFFLE_HASH pin is gone -- strategy
+        choice belongs to AQE's real runtime sizes, and the
+        lying-estimate class (a corpus-grown index reading as < 64 MB
+        through a mapInPandas barrier) cannot recur."""
+        df = _QUERIES["corpus_novelty_filter"](spark, sf_dir)
+        plan = _plan(df)
+        for node in ("MapInPandas", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
+        assert "b_sig_" in plan.lower()
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "UnresolvedHint" not in logical, logical
+
     def test_containment_prefix_cut_is_in_the_plan(self, spark, sf_dir):
         """The asymmetric prefix filter's probe-side cut (pos_a <=
         n_a - alpha + 1) must survive to the executed plan of the
