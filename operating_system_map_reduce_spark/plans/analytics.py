@@ -1288,15 +1288,46 @@ ORDER BY status, priority
 # a shuffle-free SortMergeJoin; tests/test_plans.py asserts the only
 # exchanges left are the post-join aggregate's.
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def bucketed_table_name(prefix: str, sf_dir: str, mtime: int) -> str:
+    """Warehouse table name for a write-once bucketed copy:
+    ``{prefix}_{sf tag}_{source mtime}_p{pid}``.
+
+    The mtime tag invalidates the table when testdata is regenerated
+    in place (a live session must not serve stale buckets while the
+    DuckDB oracle reads fresh parquet).  The PID scope exists because
+    the in-memory catalog forgets managed tables between sessions, so
+    every fresh SESSION rewrites its table anyway -- there is no
+    cross-process reuse to lose -- while a SHARED name lets one
+    process's rewrite rmtree a directory a concurrently-running
+    sibling (a second notebook, a test suite beside a bench run) is
+    mid-read, killing its stage with FAILED_READ_FILE.  Per-process
+    names make concurrent sessions collision-free; dead processes'
+    leftovers are swept by _ensure_bucketed."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    return f"{prefix}_{tag}_{mtime}_p{os.getpid()}"
+
+
 def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
     """Write-once guard that survives session restarts: the in-memory
     catalog forgets managed tables between sessions while their
     warehouse directories persist, so an orphaned location is cleared
-    before the (re)write.  Table names end in the source's mtime tag
-    (staleness invalidation), so every in-place testdata regeneration
-    retires a directory -- older same-prefix tags are swept here or
-    the warehouse grows one multi-GB orphan per regeneration (the
-    sf10 signature table is ~4 GB)."""
+    before the (re)write.  Table names carry the source's mtime tag
+    and the writer's PID (bucketed_table_name above); stale same-prefix
+    directories -- older mtimes, dead writers, legacy un-pid'd names --
+    are swept here or the warehouse grows one multi-GB orphan per
+    testdata regeneration / process exit (the sf10 signature table is
+    ~4 GB).  A LIVE sibling process's directory is never touched: its
+    session may be streaming those files right now."""
     import glob
     import re
     import shutil
@@ -1310,13 +1341,20 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
     leftover = os.path.join(wh, table.lower())
     if os.path.isdir(leftover):
         shutil.rmtree(leftover)
-    stale_prefix = re.sub(r"_\d+$", "_", table.lower())
+    stale_prefix = re.sub(r"_\d+(_p\d+)?$", "_", table.lower())
     if stale_prefix != table.lower():
         for d in glob.glob(os.path.join(wh, stale_prefix + "*")):
-            if (os.path.basename(d) != table.lower()
-                    and re.fullmatch(re.escape(stale_prefix) + r"\d+", os.path.basename(d))
-                    and not spark.catalog.tableExists(os.path.basename(d))):
-                shutil.rmtree(d, ignore_errors=True)
+            base = os.path.basename(d)
+            if base == table.lower() or spark.catalog.tableExists(base):
+                continue
+            m = re.fullmatch(re.escape(stale_prefix) + r"\d+(?:_p(\d+))?", base)
+            if m is None:
+                continue
+            writer = int(m.group(1)) if m.group(1) else None
+            if (writer is not None and writer != os.getpid()
+                    and _pid_alive(writer)):
+                continue
+            shutil.rmtree(d, ignore_errors=True)
     write_bucketed(df, table, key, n_buckets=16)
 
 
@@ -1327,8 +1365,8 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle reads the fresh parquet -- silent parity divergence.
     mt = int(max(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")),
                  os.path.getmtime(os.path.join(sf_dir, "customer.parquet"))))
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    t_orders, t_cust = f"b_orders_{tag}_{mt}", f"b_customer_{tag}_{mt}"
+    t_orders = bucketed_table_name("b_orders", sf_dir, mt)
+    t_cust = bucketed_table_name("b_customer", sf_dir, mt)
     _ensure_bucketed(spark, t_orders,
                      _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
                      "o_custkey")

@@ -92,21 +92,36 @@ class TestEnsureBucketedStaleSweep:
         from operating_system_map_reduce_spark.sources.tables import load_table
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = os.path.join(wh, "b_sweepprobe_x_1000")
+        me = os.getpid()
+        # a PID that is certainly not a live process: our own child,
+        # already reaped
+        dead = os.fork()
+        if dead == 0:
+            os._exit(0)
+        os.waitpid(dead, 0)
+        stale = os.path.join(wh, "b_sweepprobe_x_1000")  # legacy un-pid'd
+        stale_dead = os.path.join(wh, f"b_sweepprobe_x_1000_p{dead}")
+        stale_mine = os.path.join(wh, f"b_sweepprobe_x_1000_p{me}")
+        live_sibling = os.path.join(wh, "b_sweepprobe_x_1000_p1")  # init: alive
         cousin = os.path.join(wh, "b_sweepprobe_x_1000_extra")
         other = os.path.join(wh, "b_sweepother_x_1000")
-        for d in (stale, cousin, other):
+        for d in (stale, stale_dead, stale_mine, live_sibling, cousin, other):
             os.makedirs(d, exist_ok=True)
-        spark.sql("DROP TABLE IF EXISTS b_sweepprobe_x_2000")
+        table = f"b_sweepprobe_x_2000_p{me}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         df = load_table(spark, sf_dir, "region").select("r_regionkey")
         try:
-            _ensure_bucketed(spark, "b_sweepprobe_x_2000", df, "r_regionkey")
-            assert not os.path.isdir(stale), "older tag must be swept"
+            _ensure_bucketed(spark, table, df, "r_regionkey")
+            assert not os.path.isdir(stale), "legacy un-pid'd tag swept"
+            assert not os.path.isdir(stale_dead), "dead writer's tag swept"
+            assert not os.path.isdir(stale_mine), "own older tag swept"
+            assert os.path.isdir(live_sibling), \
+                "a LIVE sibling's directory must never be touched"
             assert os.path.isdir(cousin), "non-pure-digit suffix kept"
             assert os.path.isdir(other), "other prefixes kept"
-            assert spark.catalog.tableExists("b_sweepprobe_x_2000")
+            assert spark.catalog.tableExists(table)
         finally:
             import shutil
-            spark.sql("DROP TABLE IF EXISTS b_sweepprobe_x_2000")
-            for d in (cousin, other):
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            for d in (live_sibling, cousin, other):
                 shutil.rmtree(d, ignore_errors=True)

@@ -114,7 +114,25 @@ def corpus_edge_dir(tmp_path_factory):
             pa.Table.from_pandas(df[schema.names], schema=schema,
                                  preserve_index=False),
             os.path.join(out, f"{name}.parquet"))
-    return out
+    yield out
+    # The bucketed-signature faces write a b_sig_<tag>_... warehouse
+    # table keyed on this fixture's tmp path.  The path is unique per
+    # pytest run, so _ensure_bucketed's same-prefix sweep can never
+    # reclaim it -- without this teardown every test run leaks one
+    # table directory into the shared warehouse forever.
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        tag = "".join(c if c.isalnum() else "_" for c in out.strip("/"))
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        import glob as _glob
+        for d in _glob.glob(os.path.join(wh, f"b_*_{tag.lower()}_*")):
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
 
 
 _QUERIES = entrymod.queries()
