@@ -1317,7 +1317,8 @@ def bucketed_table_name(prefix: str, sf_dir: str, mtime: int) -> str:
     return f"{prefix}_{tag}_{mtime}_p{os.getpid()}"
 
 
-def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
+def _ensure_bucketed(spark: SparkSession, table: str, df, key: str,
+                     n_buckets: int = 16) -> None:
     """Write-once guard that survives session restarts: the in-memory
     catalog forgets managed tables between sessions while their
     warehouse directories persist, so an orphaned location is cleared
@@ -1355,7 +1356,7 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str) -> None:
                     and _pid_alive(writer)):
                 continue
             shutil.rmtree(d, ignore_errors=True)
-    write_bucketed(df, table, key, n_buckets=16)
+    write_bucketed(df, table, key, n_buckets=n_buckets)
 
 
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -576,6 +576,72 @@ ORDER BY simhash
 
 # --- brute-force n-gram Jaccard (quality baseline for the LSH path) -------
 
+def bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle inverted index (doc_id, n, s) as an AT-REST parquet
+    table bucketed AND sorted on the shingle ``s`` -- the round-13
+    queue's item (2), built this round as unregistered machinery.
+
+    Motivation mirrors bucketed_signature: the postings self-join that
+    powers dedup_ngram_jaccard (and through it pagerank_neardup /
+    dedup_graph_triangles) carries a SHUFFLE_HASH pin because both
+    sides are corpus-grown behind the mapInPandas shingling barrier,
+    where the planner's estimate collapses to the scan size (sf10 read
+    a 26M-row / 3-4 GB side as < 64 MB and broadcast it).  At rest the
+    pin becomes unnecessary AND the join becomes exchange-free: a
+    self-join of a table bucketed+sorted on the join key plans as a
+    zero-shuffle, zero-sort SortMergeJoin -- at 100 TB the dominant
+    stage (the corpus-sized postings exchange) is deleted outright,
+    and only candidate-bounded pair rows reach the count aggregate.
+
+    32 buckets (not the default 16): the bucketed self-join's
+    parallelism IS the bucket count -- sized to the local[32] test
+    shape the way a production write would size it to its cluster."""
+    import os
+
+    from operating_system_map_reduce_spark.plans.analytics import (
+        _ensure_bucketed, bucketed_table_name)
+
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    table = bucketed_table_name("b_post", sf_dir, mt)
+    if not spark.catalog.tableExists(table):
+        _ensure_bucketed(spark, table,
+                         _dd.shingle_postings(_t(spark, sf_dir, "documents")),
+                         "s", n_buckets=32)
+    return spark.table(table)
+
+
+def dedup_ngram_jaccard_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard over the at-rest bucketed postings table --
+    UNREGISTERED round-12 machinery for the round-13 re-entry (the
+    two-round pattern dedup_containment_prefix followed).  Identical
+    semantics to the registered face (differential-pinned in
+    tests/test_r13_queue.py); the body is deliberately duplicated from
+    dedup_ngram_jaccard rather than factored through it so the GREEN
+    registered plan stays byte-identical this round.  Differences:
+    the postings come from bucketed_postings (no Python stage in the
+    query plan) and the SHUFFLE_HASH pin is gone (the self-join on
+    the bucket key is exchange-free; nothing is left for a lying
+    estimate to break)."""
+    ex = bucketed_postings(spark, sf_dir)
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                  F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+               & (F.col("n_a") * F.lit(5) >= F.col("n_b"))
+               & (F.col("n_b") * F.lit(5) >= F.col("n_a")))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index set-similarity join: explode distinct shingles,
     equi-join on the shingle (shuffle key = shingle, never a cross

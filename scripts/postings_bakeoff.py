@@ -1,0 +1,83 @@
+"""Round-13 queue item (2) bake-off: the ngram postings self-join,
+registered SHUFFLE_HASH-pinned shape vs the at-rest bucketed-postings
+variant (plans/pipeline.dedup_ngram_jaccard_atrest).
+
+Method = sf1_spotrun's: one fresh JVM per (variant, SF) via subprocess
+mode, one untimed warm-up (which for the at-rest variant pays the
+one-time bucketed write -- reported separately as "cold"), then
+median-of-3 with cache/GC hygiene between runs.
+
+Usage:
+    python scripts/postings_bakeoff.py <variant> <sf_dir>   # subprocess
+    python scripts/postings_bakeoff.py                      # full matrix
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = [("sf0.1", "/root/testdata/sf0.1"),
+       ("sf1", "/tmp/spark-graft-sf1"),
+       ("sf10", "/tmp/spark-graft-sf10")]
+
+
+def _measure(variant: str, sf_dir: str) -> dict:
+    import gc
+
+    from bench import _clear_stat_caches
+    from operating_system_map_reduce_spark.plans.pipeline import (
+        dedup_ngram_jaccard_atrest)
+    import __spark_entry__ as entry
+    from operating_system_map_reduce_spark.session import get_spark
+
+    fn = (dedup_ngram_jaccard_atrest if variant == "atrest"
+          else entry.queries()["dedup_ngram_jaccard"])
+    spark = get_spark(app_name=f"postings-bakeoff-{variant}",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "24g"})
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cold = round(time.perf_counter() - t0, 3)
+    runs = []
+    for _ in range(3):
+        gc.collect()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        _clear_stat_caches()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {"cold": cold, "median": sorted(runs)[1], "runs": runs}
+
+
+def main() -> None:
+    if len(sys.argv) == 3:
+        print("MEASURE " + json.dumps(_measure(sys.argv[1], sys.argv[2])))
+        return
+    result: dict = {}
+    for variant in ("registered", "atrest"):
+        for label, sf_dir in SFS:
+            if not os.path.isdir(sf_dir):
+                continue
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), variant, sf_dir],
+                capture_output=True, text=True, cwd=REPO, timeout=3000)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("MEASURE ")]
+            assert lines, (variant, label, out.stdout[-400:],
+                           out.stderr[-400:])
+            result[f"{variant}/{label}"] = json.loads(lines[-1][8:])
+            print(f"# {variant}/{label}: {result[f'{variant}/{label}']}",
+                  file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
