@@ -127,12 +127,17 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # rule-2 re-entries.  The rule-2 queue, ranked: (1) DONE IN R12's
     # second leg -- the at-rest bucketed signature table extended to
     # corpus_novelty_filter (window12 had one discretionary seat
-    # left; REDEFINED->12, pin removed, plan-pinned); (2)
-    # evaluate an at-rest doc_id-bucketed POSTINGS table for the
-    # ngram/pagerank/triangles tier (their SHUFFLE_HASH pins exist
-    # because estimates lie through the shingling barrier -- an
-    # at-rest table makes the estimates real and may let AQE beat the
-    # blanket pin); (3) sweep remaining localCheckpoint sites toward
+    # left; REDEFINED->12, pin removed, plan-pinned); (2) STAGED IN
+    # R12's second leg -- the at-rest shingle-bucketed POSTINGS table
+    # is BUILT and measured (pipeline.bucketed_postings +
+    # dedup_ngram_jaccard_atrest, pinned in tests/test_r13_queue.py:
+    # exact parity, zero-exchange self-join, no Python stage; bake-off
+    # sf10 median 29.1 vs 61.5 registered, floors 25.7 vs 44.7 --
+    # scripts/postings_bakeoff.py).  R13 registration is a two-line
+    # edit: point dedup_ngram_jaccard's `ex` at bucketed_postings and
+    # drop the pin, then REDEFINED->13 for it AND its two graph
+    # consumers (pagerank_neardup, dedup_graph_triangles -- they call
+    # it directly), 3 of the ~5 free r13 seats; (3) sweep remaining localCheckpoint sites toward
     # slot-cached persist() (BPE vocab chain, ppjoin arr) if the r12
     # verdict grades the leak class worth the churn.
     # HEADROOM DECISION (round 12, directive #8): the registry sits at

@@ -32,13 +32,25 @@ def _measure(variant: str, sf_dir: str) -> dict:
     import gc
 
     from bench import _clear_stat_caches
+    from operating_system_map_reduce_spark.plans import mining, pipeline
     from operating_system_map_reduce_spark.plans.pipeline import (
         dedup_ngram_jaccard_atrest)
     import __spark_entry__ as entry
     from operating_system_map_reduce_spark.session import get_spark
 
-    fn = (dedup_ngram_jaccard_atrest if variant == "atrest"
-          else entry.queries()["dedup_ngram_jaccard"])
+    # pagerank variants: the graph faces import dedup_ngram_jaccard
+    # inside their function body, so patching the pipeline attribute in
+    # THIS subprocess measures the r13 shape (edges over the at-rest
+    # postings) without touching the registered source -- measurement
+    # plumbing, not a plan change.
+    if variant == "pagerank_atrest":
+        pipeline.dedup_ngram_jaccard = dedup_ngram_jaccard_atrest
+        fn = mining.pagerank_neardup
+    elif variant == "pagerank_registered":
+        fn = mining.pagerank_neardup
+    else:
+        fn = (dedup_ngram_jaccard_atrest if variant == "atrest"
+              else entry.queries()["dedup_ngram_jaccard"])
     spark = get_spark(app_name=f"postings-bakeoff-{variant}",
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.driver.memory": "24g"})
