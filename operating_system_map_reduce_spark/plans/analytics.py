@@ -1359,6 +1359,24 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str,
     write_bucketed(df, table, key, n_buckets=n_buckets)
 
 
+def at_rest_table(spark: SparkSession, sf_dir: str, prefix: str, key: str,
+                  build, n_buckets: int = 16,
+                  source: str = "documents.parquet") -> DataFrame:
+    """Write-once bucketed table with the invalidation policy in ONE
+    place (round-12 code review: the mtime/tableExists/_ensure block
+    had been copy-pasted per table and the copies were already
+    diverging): the name carries (sf tag, source mtime, writer pid),
+    so in-place testdata regeneration AND concurrent sibling processes
+    each get their own table, and ``build()`` -- called only when the
+    table is absent -- streams straight into the write job with
+    nothing persisted."""
+    mt = int(os.path.getmtime(os.path.join(sf_dir, source)))
+    table = bucketed_table_name(prefix, sf_dir, mt)
+    if not spark.catalog.tableExists(table):
+        _ensure_bucketed(spark, table, build(), key, n_buckets)
+    return spark.table(table)
+
+
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source mtimes in the table tag (mirroring _DECILE_STATS' cache
     # key): in-place testdata regeneration must invalidate the bucketed

@@ -217,7 +217,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (
         corpus.join(bounded_broadcast(bench, 5_000_000,
                                       "contamination_check eval postings",
-                                      memo_key=(id(spark), sf_dir)),
+                                      memo_key=(spark.sparkContext.applicationId, sf_dir)),
                     corpus["s"] == bench["s_b"])
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id", "bench_id", "n_bench")
@@ -450,16 +450,26 @@ def cms_heavy_hitters(tc: DataFrame) -> DataFrame:
         .orderBy(F.desc("exact_count"), "tok"))
 
 
-_CMS_TC_CACHE: dict = {}  # single slot: (session id, sf_dir) -> persisted tc
+_CMS_TC_CACHE: dict = {}  # single slot: (app id, sf_dir, mtime) -> persisted tc
 
 
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-slot persist (the cached_signature pattern): the (tok,
-    # cnt) frame feeds the sketch build AND the top-K probe, and
-    # repeat invocations (bench steady state) reuse it; the slot
-    # evicts deterministically on a key change, so per-SF sweeps
-    # don't accumulate vocabulary-sized copies.
-    key = (id(spark), sf_dir)
+    # single-slot persist: the (tok, cnt) frame feeds the sketch build
+    # AND the top-K probe within one invocation, and interactive
+    # repeat invocations reuse it (bench evicts it between timed runs
+    # -- a per-query derived aggregate is not a standing table); the
+    # slot evicts deterministically on a key change, so per-SF sweeps
+    # don't accumulate vocabulary-sized copies.  Key discipline
+    # (round-12 code review): the source MTIME is in the key -- an
+    # in-place testdata regeneration mid-session must invalidate the
+    # slot or this registered face serves stale counts against a
+    # fresh-parquet oracle -- and the session component is the
+    # applicationId string, not id(spark), which CPython recycles
+    # after a session is garbage-collected (a recycled id would hand
+    # back a DataFrame bound to a stopped SparkContext).
+    import os as _os
+    key = (spark.sparkContext.applicationId, sf_dir,
+           int(_os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))))
     slot = _CMS_TC_CACHE.get("tc")
     if slot is None or slot[0] != key:
         if slot is not None:

@@ -318,9 +318,14 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness vs the registered count-join is differential-pinned in
     tests/test_pipeline_ops.py::TestContainmentPrefixFilter."""
     docs = _t(spark, sf_dir, "documents")
-    arr = _dd.shingle_arrays(docs).localCheckpoint(eager=False)
+    # persist(), not localCheckpoint: checkpoint blocks have no public
+    # release handle (the round-11 finding that settled the CMS frame
+    # on persist), so a corpus-sized checkpoint per invocation would
+    # leak until nondeterministic py4j GC; persisted blocks at least
+    # release via catalog.clearCache() / session teardown.
+    arr = _dd.shingle_arrays(docs).persist()
     ex = arr.select("doc_id", "n", F.explode("shingles").alias("s"))
-    pos = _dd.freq_ordered_postings(ex).localCheckpoint(eager=False)
+    pos = _dd.freq_ordered_postings(ex).persist()
     # alpha = ceil(n_a * 7999995 / 1e7) in exact integer arithmetic
     alpha_a = ((F.col("n_a") * F.lit(7999995) + F.lit(9999999))
                .cast("long") / F.lit(10000000)).cast("long")

@@ -292,49 +292,6 @@ from operating_system_map_reduce_spark.operators import multimodal as _mm
 # candidate sets match exactly (this checks the *operator*, not just the
 # ground truth).  Scale path: only (doc_id, band_hash) shuffles.
 
-_SIG_CACHE: dict = {}  # single slot: (session id, sf_dir) -> persisted sig
-
-
-def cached_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature of the documents table, persisted once per
-    (session, sf_dir).
-
-    The signature subtree feeds several consumers (band explode + both
-    sides of the verify join, and the novelty filter); without persist
-    Spark recomputes the 16 md5 minhash passes per consumer.  At 100 TB
-    this would be a checkpoint to storage instead of executor memory.
-
-    Returned plans reference the cache, so it can't be unpersisted
-    here.  Instead a single-slot cache keyed by (session, sf_dir)
-    reuses the SAME persisted DataFrame on repeat invocations (bench
-    steady-state) and evicts the old copy when the key changes (the
-    driver's per-SF sweep previously leaked one copy per SF)."""
-    key = (id(spark), sf_dir)
-    slot = _SIG_CACHE.get("sig")
-    if slot is not None and slot[0] == key:
-        return slot[1]
-    if slot is not None:
-        try:
-            slot[1].unpersist(blocking=False)
-        except Exception:
-            pass  # previous session may be gone
-    # persist(), NOT localCheckpoint (settled round 11 after trying
-    # both): checkpoint blocks are RDD storage with no public release
-    # handle, so this slot's eviction unpersist -- the whole reason
-    # the single-slot cache exists (the per-SF sweep leaked one
-    # signature copy per SF) -- would silently no-op, re-leaking GBs
-    # of shingle arrays until nondeterministic py4j GC.  persist() is
-    # deterministic to evict, and within one invocation the broadcast
-    # build materializes the cache BEFORE the verify stages stream it,
-    # so the Python signature stage still runs once per invocation
-    # even cache-cold (an sf10 run-to-run swing once attributed to
-    # cache semantics reproduced under a recorded loadavg-15 spike --
-    # box noise, not a recompute).
-    sig = _dd.minhash_signature(_t(spark, sf_dir, "documents")).persist()
-    _SIG_CACHE["sig"] = (key, sig)
-    return sig
-
-
 def bucketed_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The signature as an AT-REST doc_id-bucketed parquet table.
 
@@ -355,20 +312,19 @@ def bucketed_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Write-once per (sf_dir, documents mtime, pid) -- the mtime tag
     invalidates the table when testdata is regenerated in place, the
     pid scope keeps concurrent sibling processes from rmtree'ing each
-    other's live files (analytics.bucketed_table_name); the source
-    frame rides cached_signature so a session that also runs the
-    novelty filter computes the Python stage once."""
-    import os
+    other's live files (analytics.at_rest_table).  The signature
+    frame streams straight into the write job with nothing persisted:
+    the old session-slot persist (cached_signature) existed to share
+    the Python stage between query consumers, but since this table
+    replaced the through-Python frame in every query plan, the write
+    job IS the only consumer -- the round-12 code review caught both
+    the dead multi-GB persist it left behind and the stale-data
+    hazard of building a fresh-mtime table from a mtime-less slot."""
+    from operating_system_map_reduce_spark.plans.analytics import at_rest_table
 
-    from operating_system_map_reduce_spark.plans.analytics import (
-        _ensure_bucketed, bucketed_table_name)
-
-    mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    table = bucketed_table_name("b_sig", sf_dir, mt)
-    if not spark.catalog.tableExists(table):
-        _ensure_bucketed(spark, table, cached_signature(spark, sf_dir),
-                         "doc_id")
-    return spark.table(table)
+    return at_rest_table(
+        spark, sf_dir, "b_sig", "doc_id",
+        lambda: _dd.minhash_signature(_t(spark, sf_dir, "documents")))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,18 +552,12 @@ def bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 buckets (not the default 16): the bucketed self-join's
     parallelism IS the bucket count -- sized to the local[32] test
     shape the way a production write would size it to its cluster."""
-    import os
+    from operating_system_map_reduce_spark.plans.analytics import at_rest_table
 
-    from operating_system_map_reduce_spark.plans.analytics import (
-        _ensure_bucketed, bucketed_table_name)
-
-    mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    table = bucketed_table_name("b_post", sf_dir, mt)
-    if not spark.catalog.tableExists(table):
-        _ensure_bucketed(spark, table,
-                         _dd.shingle_postings(_t(spark, sf_dir, "documents")),
-                         "s", n_buckets=32)
-    return spark.table(table)
+    return at_rest_table(
+        spark, sf_dir, "b_post", "s",
+        lambda: _dd.shingle_postings(_t(spark, sf_dir, "documents")),
+        n_buckets=32)
 
 
 def dedup_ngram_jaccard_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,7 +866,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dd.shingle_postings(docs.filter(F.col("doc_id").isin(*RRF_QUERY_IDS)))
         .select(F.col("doc_id").alias("qid"), F.col("n").alias("n_q"), "s"),
         1_000_000, "retrieval_rrf_fusion query postings",
-        memo_key=(id(spark), sf_dir))
+        memo_key=(spark.sparkContext.applicationId, sf_dir))
     d = ex.select(F.col("doc_id").alias("did"), F.col("n").alias("n_d"), "s")
     shared = (q.join(d, "s").filter(F.col("did") != F.col("qid"))
               .groupBy("qid", "did", "n_q", "n_d")
