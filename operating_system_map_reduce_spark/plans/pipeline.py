@@ -719,6 +719,58 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_ppjoin_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard_ppjoin over the two at-rest tables -- UNREGISTERED
+    rule-2 queue machinery (the two-round pattern), the last postings
+    consumer staged.  Candidates: the PPJoin prefix/positional pipeline
+    unchanged, but fed from bucketed_postings -- the corpus-wide
+    frequency aggregate and its postings join are co-bucketed on the
+    shingle (exchange-free); only the doc-keyed prefix window and the
+    prefix-SIZED candidate self-join shuffle.  Verify: the shingle
+    arrays come from bucketed_signature (n re-derived as size(shingles)
+    -- same py_shingles output, same empty-doc drop), so both verify
+    joins read the doc_id-bucketed table exchange-free on the array
+    side, the minhash verify shape exactly.  No Python stage remains
+    anywhere; no localCheckpoint/persist needed at all -- every reused
+    subtree is a table scan.  Exactness vs the registered face is
+    differential-pinned in tests/test_r13_queue.py."""
+    post = bucketed_postings(spark, sf_dir)
+    pref = _dd.ppjoin_prefix_postings(post, 7, 10)  # t = 7/10
+    a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s",
+                    F.col("pos").alias("pos_a"))
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                    F.col("s").alias("s_b"), F.col("pos").alias("pos_b"))
+    positional = (
+        1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+        >= F.expr("((n_a + n_b) * 7 + 16) div 17")  # ceil(7(n_a+n_b)/17)
+    )
+    cand = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+               & (F.col("n_a") * F.lit(10) >= F.col("n_b") * F.lit(7))
+               & (F.col("n_b") * F.lit(10) >= F.col("n_a") * F.lit(7))
+               & positional)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig = bucketed_signature(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("id_a"),
+                    F.size("shingles").cast("long").alias("n_a"),
+                    F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"),
+                    F.size("shingles").cast("long").alias("n_b"),
+                    F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 DEDUP_PPJOIN_SQL = """
 WITH sh AS (
   SELECT doc_id,

@@ -44,7 +44,12 @@ def _measure(variant: str, sf_dir: str) -> dict:
     # postings) without touching the registered source -- measurement
     # plumbing, not a plan change.
     base, _, flavor = variant.rpartition("_")
-    if base in ("pagerank", "triangles"):
+    if base == "ppjoin":
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            dedup_jaccard_ppjoin_atrest)
+        fn = (dedup_jaccard_ppjoin_atrest if flavor == "atrest"
+              else entry.queries()["dedup_jaccard_ppjoin"])
+    elif base in ("pagerank", "triangles"):
         if flavor == "atrest":
             pipeline.dedup_ngram_jaccard = dedup_ngram_jaccard_atrest
         fn = (mining.pagerank_neardup if base == "pagerank"

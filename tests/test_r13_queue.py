@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from operating_system_map_reduce_spark.plans.pipeline import (
-    bucketed_postings, dedup_ngram_jaccard_atrest)
+    bucketed_postings, dedup_jaccard_ppjoin_atrest, dedup_ngram_jaccard_atrest)
 
 _QUERIES = entrymod.queries()
 
@@ -67,6 +67,31 @@ class TestAtRestPostings:
             assert "id_a" in keys or "id_b" in keys, \
                 f"corpus-keyed exchange survived: {keys}\n{plan}"
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+    def test_atrest_ppjoin_matches_registered_exactly(self, spark, sf_dir):
+        """The last postings consumer staged: PPJoin's candidates from
+        the shingle-bucketed postings, its verify arrays from the
+        doc_id-bucketed signature (n re-derived as size(shingles) --
+        same py_shingles output on both paths)."""
+        got = sorted(map(tuple, dedup_jaccard_ppjoin_atrest(spark, sf_dir)
+                         .collect()))
+        want = sorted(map(tuple, _QUERIES["dedup_jaccard_ppjoin"](
+            spark, sf_dir).collect()))
+        assert got == want
+        assert len(got) > 0, "fixture must produce high-threshold pairs"
+
+    def test_atrest_ppjoin_plan_shape(self, spark, sf_dir):
+        """No Python stage anywhere; both at-rest tables feed the plan;
+        no localCheckpoint/persist scan (every reused subtree is a
+        table scan, so nothing pins executor storage)."""
+        plan = _plan(dedup_jaccard_ppjoin_atrest(spark, sf_dir))
+        for node in ("MapInPandas", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
+        low = plan.lower()
+        assert "b_post_" in low and "b_sig_" in low
+        assert "InMemoryTableScan" not in plan
+        assert "Scan ExistingRDD" not in plan  # the checkpoint scan shape
 
     def test_bucketed_postings_schema_and_point_prune(self, spark, sf_dir):
         post = bucketed_postings(spark, sf_dir)
