@@ -133,13 +133,24 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # dedup_ngram_jaccard_atrest, pinned in tests/test_r13_queue.py:
     # exact parity, zero-exchange self-join, no Python stage; bake-off
     # sf10 median 29.1 vs 61.5 registered, floors 25.7 vs 44.7 --
-    # scripts/postings_bakeoff.py).  R13 registration is a two-line
-    # edit: point dedup_ngram_jaccard's `ex` at bucketed_postings and
-    # drop the pin, then REDEFINED->13 for it AND its two graph
-    # consumers (pagerank_neardup, dedup_graph_triangles -- they call
-    # it directly), 3 of the ~5 free r13 seats; (3) sweep remaining localCheckpoint sites toward
-    # slot-cached persist() (BPE vocab chain, ppjoin arr) if the r12
-    # verdict grades the leak class worth the churn.
+    # scripts/postings_bakeoff.py; sf10 floors: ngram 44.7->25.7,
+    # pagerank 41.6->20.4, triangles 90.1->21.3, containment
+    # 53.3->36.3, ppjoin 50.3->26.8 -- every postings consumer
+    # staged, adversarial-corpus parity pinned).  R13 REGISTRATION
+    # PLAN, seat-exact: the 45 r10-green entries MUST seat; the five
+    # re-entries are (a) dedup_ngram_jaccard -- point `ex` at
+    # bucketed_postings, drop the pin -- which redefines its two
+    # direct callers pagerank_neardup + dedup_graph_triangles in the
+    # same commit (3 seats), (b) dedup_containment -- same two-line
+    # swap (1 seat), (c) dedup_jaccard_ppjoin -- adopt the staged
+    # _atrest body (1 seat).  45 + 5 = 50 exactly: register all five
+    # ONLY if the r12 gate came back fully green (any rule-1/red
+    # entry displaces a seat -- then drop (c), the smallest win,
+    # first).  (3) the localCheckpoint-sweep queue item is SUPERSEDED
+    # for the dedup tier by the at-rest layout (ppjoin_atrest needs
+    # no materialization at all -- every reused subtree is a table
+    # scan); BPE vocab chain remains if the leak class ever shows up
+    # in practice.
     # HEADROOM DECISION (round 12, directive #8): the registry sits at
     # 144 of the HALVES_THRESHOLD=150 under which the 2-round
     # staleness ceiling is pigeonhole-achievable.  Decision: STAY AT

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from operating_system_map_reduce_spark.plans.pipeline import (
     bucketed_postings, dedup_jaccard_ppjoin_atrest, dedup_ngram_jaccard_atrest)
+# session fixture with crafted degenerate docs (empty/whitespace/
+# single-token/containment/near-dup pairs) -- imported so the staged
+# variants face the adversarial corpus BEFORE their r13 registration
+from test_corpus_edge_parity import corpus_edge_dir  # noqa: F401
 
 _QUERIES = entrymod.queries()
 
@@ -92,6 +96,25 @@ class TestAtRestPostings:
         assert "b_post_" in low and "b_sig_" in low
         assert "InMemoryTableScan" not in plan
         assert "Scan ExistingRDD" not in plan  # the checkpoint scan shape
+
+    @pytest.mark.parametrize("atrest,registered", [
+        (dedup_ngram_jaccard_atrest, "dedup_ngram_jaccard"),
+        (dedup_jaccard_ppjoin_atrest, "dedup_jaccard_ppjoin"),
+    ])
+    def test_atrest_parity_on_adversarial_corpus(self, spark,
+                                                 corpus_edge_dir,
+                                                 atrest, registered):
+        """The staged variants must agree with their registered faces
+        on the crafted degenerate corpus too (empty docs, one-token
+        docs, exact/containment/near-dup pairs, pathological
+        repetition) -- the fixture the registered faces already pass
+        against the DuckDB oracle, run here BEFORE r13 swaps the
+        plans."""
+        got = sorted(map(tuple, atrest(spark, corpus_edge_dir).collect()))
+        want = sorted(map(tuple, _QUERIES[registered](
+            spark, corpus_edge_dir).collect()))
+        assert got == want
+        assert len(got) > 0
 
     def test_bucketed_postings_schema_and_point_prune(self, spark, sf_dir):
         post = bucketed_postings(spark, sf_dir)
