@@ -150,7 +150,15 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # for the dedup tier by the at-rest layout (ppjoin_atrest needs
     # no materialization at all -- every reused subtree is a table
     # scan); BPE vocab chain remains if the leak class ever shows up
-    # in practice.
+    # in practice.  (4) optional, zero-seat candidate: the novelty
+    # stream's SEED index build (streaming/novelty_stream._seed_index)
+    # recomputes the Python signature per session; deriving seed bands
+    # as lsh_bands(bucketed_signature(...).filter(corpus)) reuses the
+    # at-rest table -- identical seed rows (b_sig is per-doc, the
+    # corpus filter commutes), warmup-only win, and the streaming
+    # QUERY plan is untouched (the seed is an input artifact) -- but
+    # bundle it with a REDEFINED entry anyway if r13 has a seat to
+    # spare, per the conservative reading of rule 2.
     # HEADROOM DECISION (round 12, directive #8): the registry sits at
     # 144 of the HALVES_THRESHOLD=150 under which the 2-round
     # staleness ceiling is pigeonhole-achievable.  Decision: STAY AT
