@@ -285,6 +285,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's count-join over the at-rest shingle-bucketed
+    postings table -- UNREGISTERED r13-queue machinery (the two-round
+    pattern; see plans/pipeline.dedup_ngram_jaccard_atrest for the
+    shape's account).  Body duplicated from the registered face so the
+    green plan stays byte-identical this round; differences: postings
+    from pipeline.bucketed_postings (self-join co-bucketed on the
+    shingle, zero-exchange; no Python stage).  The SHUFFLE_HASH pin
+    STAYS, with a changed job: it no longer guards a lying estimate
+    (the scan statistics are real) -- on co-bucketed scans it picks
+    the per-partition hash build over SortMergeJoin, which is
+    exchange-free either way but pays two 26M-row bucket sorts
+    (multi-file buckets forfeit the written sortBy order).  Measured
+    at sf10: pinned 37.1 s median / 36.3 floor, unpinned 64.2 / 61.8,
+    registered through-Python shape 84.3 / 53.3 (SCALING.md round-12
+    matrix).  Exactness differential-pinned in
+    tests/test_r13_queue.py."""
+    from operating_system_map_reduce_spark.plans.pipeline import (
+        bucketed_postings)
+
+    ex = bucketed_postings(spark, sf_dir)
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                  F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") != F.col("id_b"))
+               & (F.col("n_b") * F.lit(5) >= F.col("n_a") * F.lit(4)))
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment", F.round(F.col("inter") / F.col("n_a"), 6))
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment-adapted ASYMMETRIC prefix-filter shape --
     implemented for the round-12 bake-off, NOT registered (see the

@@ -574,6 +574,11 @@ def dedup_ngram_jaccard_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate to break)."""
     ex = bucketed_postings(spark, sf_dir)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    # no pin: measured at sf10 the pinned hash build and AQE's own
+    # choice are within noise here (30.7 vs 29.1 median), unlike the
+    # containment variant where the pin is worth 1.7x -- see
+    # mining.dedup_containment_atrest's docstring for the bucket-sort
+    # account
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
                   F.col("s").alias("s_b"))
     inter = (

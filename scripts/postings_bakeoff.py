@@ -55,35 +55,8 @@ def _measure(variant: str, sf_dir: str) -> dict:
         fn = (mining.pagerank_neardup if base == "pagerank"
               else mining.dedup_graph_triangles)
     elif base == "containment":
-        if flavor == "atrest":
-            # containment derives its postings via _dd.shingle_postings
-            # inside the function body; rebinding it to the at-rest
-            # table in THIS subprocess measures the r13 shape (the
-            # registered source is untouched).  The SHUFFLE_HASH pin
-            # stays on the probe side -- over real parquet statistics
-            # it is merely redundant, and the pin itself is what r13
-            # would revisit.
-            import operating_system_map_reduce_spark.operators.dedup as _dd
-
-            from pyspark.sql import SparkSession
-
-            _orig_postings = _dd.shingle_postings
-
-            def _atrest_postings(df, id_col="doc_id", text_col="text",
-                                 n=_dd.SHINGLE_N):
-                from operating_system_map_reduce_spark.plans.pipeline import (
-                    bucketed_postings)
-                # the table WRITE itself derives postings through this
-                # same module attribute -- restore the original around
-                # it or the write recurses into the patch
-                _dd.shingle_postings = _orig_postings
-                try:
-                    return bucketed_postings(
-                        SparkSession.getActiveSession(), sf_dir)
-                finally:
-                    _dd.shingle_postings = _atrest_postings
-            _dd.shingle_postings = _atrest_postings
-        fn = mining.dedup_containment
+        fn = (mining.dedup_containment_atrest if flavor == "atrest"
+              else mining.dedup_containment)
     else:
         fn = (dedup_ngram_jaccard_atrest if variant == "atrest"
               else entry.queries()["dedup_ngram_jaccard"])

@@ -23,6 +23,8 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
+from operating_system_map_reduce_spark.plans.mining import (
+    dedup_containment_atrest)
 from operating_system_map_reduce_spark.plans.pipeline import (
     bucketed_postings, dedup_jaccard_ppjoin_atrest, dedup_ngram_jaccard_atrest)
 # session fixture with crafted degenerate docs (empty/whitespace/
@@ -97,9 +99,24 @@ class TestAtRestPostings:
         assert "InMemoryTableScan" not in plan
         assert "Scan ExistingRDD" not in plan  # the checkpoint scan shape
 
+    def test_atrest_containment_matches_registered_exactly(self, spark,
+                                                           sf_dir):
+        got = sorted(map(tuple, dedup_containment_atrest(spark, sf_dir)
+                         .collect()))
+        want = sorted(map(tuple, _QUERIES["dedup_containment"](
+            spark, sf_dir).collect()))
+        assert got == want
+        assert len(got) > 0
+        plan = _plan(dedup_containment_atrest(spark, sf_dir))
+        for node in ("MapInPandas", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
+        assert "b_post_" in plan.lower()
+
     @pytest.mark.parametrize("atrest,registered", [
         (dedup_ngram_jaccard_atrest, "dedup_ngram_jaccard"),
         (dedup_jaccard_ppjoin_atrest, "dedup_jaccard_ppjoin"),
+        (dedup_containment_atrest, "dedup_containment"),
     ])
     def test_atrest_parity_on_adversarial_corpus(self, spark,
                                                  corpus_edge_dir,
