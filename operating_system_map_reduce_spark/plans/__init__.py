@@ -133,10 +133,12 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # dedup_ngram_jaccard_atrest, pinned in tests/test_r13_queue.py:
     # exact parity, zero-exchange self-join, no Python stage; bake-off
     # sf10 median 29.1 vs 61.5 registered, floors 25.7 vs 44.7 --
-    # scripts/postings_bakeoff.py; sf10 floors: ngram 44.7->25.7,
-    # pagerank 41.6->20.4, triangles 90.1->21.3, containment
-    # 53.3->36.3, ppjoin 50.3->26.8 -- every postings consumer
-    # staged, adversarial-corpus parity pinned).  R13 REGISTRATION
+    # scripts/postings_bakeoff.py; sf10 floor bands across second
+    # readings: ngram 37.4-44.7 -> 25.3-25.7, containment 53.3 ->
+    # 33.6-37.1, ppjoin 50.3-55.2 -> 24.9-26.8 (tight, unambiguous);
+    # the graph faces swing ~2x run-to-run in BOTH shapes so their
+    # case is structural + riding ngram's swap -- every postings
+    # consumer staged, adversarial-corpus parity pinned).  R13 REGISTRATION
     # PLAN, seat-exact: the 45 r10-green entries MUST seat; the five
     # re-entries are (a) dedup_ngram_jaccard -- point `ex` at
     # bucketed_postings, drop the pin -- which redefines its two
