@@ -120,6 +120,39 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # bake-off -- its registered plan stayed byte-identical to the
     # r11 green shape, so it takes no re-entry (the rejected shape is
     # kept unregistered as mining.dedup_containment_prefix).
+    # Round 13 (registry 144, unchanged -- headroom decision holds):
+    # the seat-exact at-rest swap EXECUTED.  The five re-entries
+    # registered exactly as planned below: dedup_ngram_jaccard now
+    # rides bucketed_postings with the r11 pin DROPPED;
+    # dedup_containment rides it with the pin KEPT (changed job:
+    # hash-build-over-sort, measured 1.7x); dedup_jaccard_ppjoin
+    # adopted the staged at-rest body (b_post candidates + b_sig
+    # verify arrays); pagerank_neardup + dedup_graph_triangles
+    # (redefined in the same commit as their callee) now read the
+    # at-rest b_edge table (pipeline.bucketed_edges -- built from the
+    # same pair join, replacing the localCheckpoint whose
+    # ContextCleaner cadence swung graph timings ~2x).  The
+    # through-Python shapes live on unregistered as the *_shuffle
+    # witnesses, differential-pinned in tests/test_r13_queue.py.
+    # SEAT-MATH CORRECTION vs the plan below: the r10-green cohort is
+    # 46 entries, not 45 (both the r12 queue note and the r12 verdict
+    # wrote 45; the ledger histogram {r10: 46, r11: 48, r12: 50} was
+    # correct all along) -- so 46 + 5 = 51 due entries into 50 seats.
+    # The mechanism adjudicates: rule-2 re-entries seat first (their
+    # green rows vouch for obsolete plans -- re-checking them is the
+    # point of the swap round), the 45 oldest-by-name r10 entries fill
+    # the rest, and deferred_due() names top_customers_window (r10
+    # green, the one name-sorted-last r10 entry) as the single
+    # recovery-debt entry -- it reads 3 rounds stale at the r13 judge,
+    # sanctioned by the saturation rule (every seat spent on a due
+    # entry; test_staleness_ceiling_or_saturated_recovery models
+    # exactly this), and it MUST seat first at r14.
+    # ROUND-14 QUEUE: (1) top_customers_window seats first (recovery
+    # debt, above); (2) the 48-entry r11-green cohort hits the ceiling
+    # and must seat -- 1 + 48 = 49 of 50, leaving ONE discretionary
+    # seat: spend it on the novelty-stream seed-index reuse IF its
+    # REDEFINED entry is taken (see item 4 below), else on the oldest
+    # r12 name.  NO new faces (headroom decision, directive #8).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green

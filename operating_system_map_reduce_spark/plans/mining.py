@@ -259,12 +259,26 @@ GROUP BY path ORDER BY n_paths DESC, path LIMIT 20
 # plan.  Full account: SCALING.md round-12 section.
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    ex = _dd.shingle_postings(docs)
+    """The count-join over the at-rest shingle-bucketed postings table
+    -- REGISTERED round 13 (staged + measured round 12; see
+    plans/pipeline.dedup_ngram_jaccard for the at-rest account).
+    Postings from pipeline.bucketed_postings: the self-join is
+    co-bucketed on the shingle, zero-exchange, no Python stage.  The
+    SHUFFLE_HASH pin STAYS, with a changed job: it no longer guards a
+    lying estimate (the scan statistics are real) -- on co-bucketed
+    scans it picks the per-partition hash build over SortMergeJoin,
+    which is exchange-free either way but pays two 26M-row bucket
+    sorts (multi-file buckets forfeit the written sortBy order).
+    Measured at sf10: pinned 37.1 s median / 36.3 floor, unpinned
+    64.2 / 61.8, through-Python shape 84.3 / 53.3 (SCALING.md
+    round-12 matrix).  Exactness vs the through-Python witness
+    (dedup_containment_shuffle below) is differential-pinned in
+    tests/test_r13_queue.py."""
+    from operating_system_map_reduce_spark.plans.pipeline import (
+        bucketed_postings)
+
+    ex = bucketed_postings(spark, sf_dir)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
-    # SHUFFLE_HASH pin (round 11): same corpus-growing postings
-    # self-join as dedup_ngram_jaccard -- see that docstring for the
-    # sf10 lying-estimate account
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
                   F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
     inter = (
@@ -285,27 +299,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_containment_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_containment's count-join over the at-rest shingle-bucketed
-    postings table -- UNREGISTERED r13-queue machinery (the two-round
-    pattern; see plans/pipeline.dedup_ngram_jaccard_atrest for the
-    shape's account).  Body duplicated from the registered face so the
-    green plan stays byte-identical this round; differences: postings
-    from pipeline.bucketed_postings (self-join co-bucketed on the
-    shingle, zero-exchange; no Python stage).  The SHUFFLE_HASH pin
-    STAYS, with a changed job: it no longer guards a lying estimate
-    (the scan statistics are real) -- on co-bucketed scans it picks
-    the per-partition hash build over SortMergeJoin, which is
-    exchange-free either way but pays two 26M-row bucket sorts
-    (multi-file buckets forfeit the written sortBy order).  Measured
-    at sf10: pinned 37.1 s median / 36.3 floor, unpinned 64.2 / 61.8,
-    registered through-Python shape 84.3 / 53.3 (SCALING.md round-12
-    matrix).  Exactness differential-pinned in
-    tests/test_r13_queue.py."""
-    from operating_system_map_reduce_spark.plans.pipeline import (
-        bucketed_postings)
-
-    ex = bucketed_postings(spark, sf_dir)
+def dedup_containment_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The through-Python count-join registered through round 12 --
+    UNREGISTERED since the r13 at-rest swap, kept as the
+    no-writable-warehouse fallback and the differential witness.  The
+    SHUFFLE_HASH pin here guards the round-11 lying-estimate class:
+    both sides corpus-grown behind the mapInPandas shingling barrier
+    (see dedup_ngram_jaccard_shuffle's account)."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
                   F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
@@ -516,14 +518,14 @@ ORDER BY pmi DESC, bigram LIMIT 20
 # high clustering = template families, low = chain-shaped drift.
 
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from operating_system_map_reduce_spark.plans.pipeline import dedup_ngram_jaccard
+    from operating_system_map_reduce_spark.plans.pipeline import bucketed_edges
 
     # the census reads the edge set six ways (degrees twice, both join
-    # sides, the semi-join target, the count); checkpoint the pair
-    # detection ONCE -- edges are pair-bounded, tiny next to the
-    # inverted-index job that produces them (4.5 s -> 1.9 s at sf0.1)
-    edges = (dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-             .localCheckpoint(eager=False))
+    # sides, the semi-join target, the count); every reference is a
+    # scan of the at-rest b_edge table (round 13 -- replaced the
+    # localCheckpoint whose ContextCleaner cadence swung graph timings
+    # ~2x run-to-run; see bucketed_edges' account)
+    edges = bucketed_edges(spark, sf_dir)
     deg = (edges.select(F.col("id_a").alias("v"))
            .unionAll(edges.select(F.col("id_b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -1529,10 +1531,12 @@ _PR_ITERS = 3
 
 
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from operating_system_map_reduce_spark.plans.pipeline import dedup_ngram_jaccard
+    from operating_system_map_reduce_spark.plans.pipeline import bucketed_edges
 
-    e = (dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
-         .localCheckpoint(eager=False))
+    # at-rest edge table (round 13): the three unrolled iterations
+    # re-reference the edge set per step -- each reference is a
+    # bucketed scan, not a checkpoint block (see bucketed_edges)
+    e = bucketed_edges(spark, sf_dir)
     und = (e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionAll(e.select(F.col("id_b").alias("src"),
                               F.col("id_a").alias("dst"))))

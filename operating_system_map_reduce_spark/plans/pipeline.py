@@ -560,25 +560,54 @@ def bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=32)
 
 
-def dedup_ngram_jaccard_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_ngram_jaccard over the at-rest bucketed postings table --
-    UNREGISTERED round-12 machinery for the round-13 re-entry (the
-    two-round pattern dedup_containment_prefix followed).  Identical
-    semantics to the registered face (differential-pinned in
-    tests/test_r13_queue.py); the body is deliberately duplicated from
-    dedup_ngram_jaccard rather than factored through it so the GREEN
-    registered plan stays byte-identical this round.  Differences:
-    the postings come from bucketed_postings (no Python stage in the
-    query plan) and the SHUFFLE_HASH pin is gone (the self-join on
-    the bucket key is exchange-free; nothing is left for a lying
-    estimate to break)."""
-    ex = bucketed_postings(spark, sf_dir)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index set-similarity join over the AT-REST bucketed
+    postings table (registered round 13 -- the seat-exact swap the
+    round-12 queue staged and measured): explode distinct shingles,
+    equi-join on the shingle (shuffle key = shingle, never a cross
+    join), count shared shingles per pair, then Jaccard arithmetic.
+    Identical result to the all-pairs form -- any pair with Jaccard
+    >= 0.2 shares at least one shingle, so no qualifying pair is
+    missed -- but the candidate space is sum-over-shingles(freq^2)
+    instead of n^2 docs.
+
+    The r13 at-rest swap: postings come from bucketed_postings, so
+    the self-join of the shingle-bucketed table is EXCHANGE-FREE --
+    the corpus-sized postings rows never move, no Python stage remains
+    in the query plan, and the planner sees real parquet statistics.
+    The round-11 SHUFFLE_HASH pin is therefore GONE: it guarded a
+    lying through-mapInPandas size estimate (a 3-4 GB side read as
+    < 64 MB and broadcast at sf10), and at rest nothing is left for a
+    lying estimate to break (pinned vs AQE's own choice measured
+    within noise: 30.7 vs 29.1 s sf10 medians).  sf10 floors
+    37.4-44.7 s (through-Python, kept below as
+    dedup_ngram_jaccard_shuffle) -> 25.3-25.7 s; the staged shape is
+    data-proportional through FOUR decades (sf100: 10.5x on 10x data,
+    SCALING.md round-12).  This is the Spark analog of the reference's
+    persistent bucketed store (p2/server/concurrenthashmap.h:90)
+    serving its full-scan tier (p5/server/map.h:80-81).
+
+    Other levers (unchanged since round 5): length filter in the join
+    condition -- J >= t needs |A inter B| >= t*max(|A|,|B|), so
+    |A|,|B| within a factor 1/t of each other prunes postings pairs
+    before the group-count.  PPJoin prefix filtering WAS implemented
+    and measured here: at t=0.2 with 3-gram shingles the prefix keeps
+    80% of postings (candidates only drop 1.10M -> 0.77M) while
+    per-candidate array verification costs 5.2 s vs 1.6 s for this
+    count-based form -- the prefix lever pays at HIGH thresholds, so
+    it powers the t=0.7 `dedup_jaccard_ppjoin` query below (82%
+    candidate drop) instead of this one."""
+    return (_ngram_pair_rows(bucketed_postings(spark, sf_dir))
+            .orderBy("id_a", "id_b"))
+
+
+def _ngram_pair_rows(ex: DataFrame) -> DataFrame:
+    """UNORDERED (id_a, id_b, jaccard) near-dup pairs from a postings
+    relation (doc_id, n, s) -- the shared core of dedup_ngram_jaccard
+    (which adds the report ORDER BY) and bucketed_edges (which must
+    NOT sort: the bucketed write repartitions on the bucket key, so a
+    pre-write global sort would be a pure-waste range exchange)."""
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
-    # no pin: measured at sf10 the pinned hash build and AQE's own
-    # choice are within noise here (30.7 vs 29.1 median), unlike the
-    # containment variant where the pin is worth 1.7x -- see
-    # mining.dedup_containment_atrest's docstring for the bucket-sort
-    # account
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
                   F.col("s").alias("s_b"))
     inter = (
@@ -593,38 +622,48 @@ def dedup_ngram_jaccard_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.2)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index set-similarity join: explode distinct shingles,
-    equi-join on the shingle (shuffle key = shingle, never a cross
-    join), count shared shingles per pair, then Jaccard arithmetic.
-    Identical result to the all-pairs form -- any pair with Jaccard
-    >= 0.2 shares at least one shingle, so no qualifying pair is
-    missed -- but the candidate space is sum-over-shingles(freq^2)
-    instead of n^2 docs.  (The previous all-pairs array_intersect form
-    was a BroadcastNestedLoopJoin: 16 s at sf0.01, quadratic beyond.)
+def bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard >= 0.2 near-dup pair graph (id_a, id_b) as an
+    AT-REST parquet table bucketed on id_a -- the graph tier's
+    standing artifact (round 13, closing the r12 verdict's graph-noise
+    item): pagerank_neardup and dedup_graph_triangles reference the
+    edge set up to six ways (degrees twice, both join sides, the
+    semi-join target, counts / unrolled PageRank iterations), and the
+    localCheckpoint they shared swung their timings ~2x run-to-run on
+    ContextCleaner cadence while pinning executor storage with no
+    release handle.  At rest the edge derivation (the bucketed-postings
+    pair join above) runs ONCE per (session, sf, source-mtime) inside
+    the write job, both faces share the table, and every downstream
+    reference is a plain bucketed scan -- nothing held in executor
+    memory, nothing for the cleaner to churn.  At 100 TB this is the
+    curated near-dup graph a pipeline materializes once and queries
+    many times, not a per-query recomputation."""
+    from operating_system_map_reduce_spark.plans.analytics import at_rest_table
 
-    Perf notes (round-2 profiling):
-    - shingling runs in the Arrow stage of shingle_postings, NOT as a
-      SQL projection: interpreted transform(slice+concat_ws) lambdas
-      shingled all docs of the one-split parquet on a single core
-      (9.5 s of the 14.7 s round-1 time), and project pushdown hoists
-      a bare projection below any repartition, so only a mapInPandas
-      barrier actually distributes the work.
-    - length filter in the join condition: J >= t needs
-      |A inter B| >= t*max(|A|,|B|), so |A|,|B| within a factor 1/t of
-      each other -- prunes postings pairs before the group-count.
+    return at_rest_table(
+        spark, sf_dir, "b_edge", "id_a",
+        lambda: _ngram_pair_rows(bucketed_postings(spark, sf_dir))
+        .select("id_a", "id_b"),
+        n_buckets=32)
 
-    PPJoin prefix filtering WAS implemented and measured here (round 5):
-    at t=0.2 with 3-gram shingles the prefix keeps 80% of postings, so
-    candidates only drop 1.10M -> 0.77M while per-candidate array
-    verification costs 5.2 s vs 1.6 s total for this count-based form
-    -- the prefix lever pays at HIGH thresholds, so it powers the
-    t=0.7 `dedup_jaccard_ppjoin` query below (82% candidate drop)
-    instead of this one."""
+
+def dedup_ngram_jaccard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The through-Python shape dedup_ngram_jaccard registered through
+    round 12 -- UNREGISTERED since the r13 at-rest swap, kept as (a)
+    the fallback for environments without a writable warehouse (the
+    shingling runs in shingle_postings' Arrow stage and the postings
+    shuffle on the shingle key) and (b) the differential witness the
+    registered face is pinned against in tests/test_r13_queue.py.
+
+    Perf notes (round-2 profiling, still the reason the Arrow stage
+    exists): interpreted transform(slice+concat_ws) lambdas shingled
+    all docs of the one-split parquet on a single core (9.5 s of the
+    14.7 s round-1 time), and project pushdown hoists a bare
+    projection below any repartition, so only a mapInPandas barrier
+    actually distributes the work."""
     docs = _t(spark, sf_dir, "documents")
     ex = _dd.shingle_postings(docs)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
@@ -656,9 +695,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-threshold near-dup pairs (Jaccard >= 0.7) via PPJoin prefix
-    filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+def dedup_jaccard_ppjoin_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The through-Python PPJoin shape registered through round 12 --
+    UNREGISTERED since the r13 at-rest swap (dedup_jaccard_ppjoin
+    below now rides the two at-rest tables), kept as the
+    no-writable-warehouse fallback and the differential witness in
+    tests/test_r13_queue.py.  High-threshold near-dup pairs
+    (Jaccard >= 0.7) via PPJoin prefix filtering (Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin):
 
       1. candidates: equi-join on the shingle restricted to each doc's
          PREFIX postings -- shingles ordered by global document
@@ -724,21 +768,24 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_jaccard_ppjoin_atrest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_jaccard_ppjoin over the two at-rest tables -- UNREGISTERED
-    rule-2 queue machinery (the two-round pattern), the last postings
-    consumer staged.  Candidates: the PPJoin prefix/positional pipeline
-    unchanged, but fed from bucketed_postings -- the corpus-wide
-    frequency aggregate and its postings join are co-bucketed on the
-    shingle (exchange-free); only the doc-keyed prefix window and the
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard_ppjoin over the two at-rest tables -- REGISTERED
+    round 13 (staged + measured round 12, the seat-exact swap).
+    Candidates: the PPJoin prefix/positional pipeline unchanged (see
+    dedup_jaccard_ppjoin_shuffle above for the full filter account),
+    but fed from bucketed_postings -- the corpus-wide frequency
+    aggregate and its postings join are co-bucketed on the shingle
+    (exchange-free); only the doc-keyed prefix window and the
     prefix-SIZED candidate self-join shuffle.  Verify: the shingle
     arrays come from bucketed_signature (n re-derived as size(shingles)
     -- same py_shingles output, same empty-doc drop), so both verify
     joins read the doc_id-bucketed table exchange-free on the array
     side, the minhash verify shape exactly.  No Python stage remains
     anywhere; no localCheckpoint/persist needed at all -- every reused
-    subtree is a table scan.  Exactness vs the registered face is
-    differential-pinned in tests/test_r13_queue.py."""
+    subtree is a table scan.  sf10 floors 50.3-55.2 s (through-Python)
+    -> 24.9-26.8 s, tight second readings (SCALING.md round-12).
+    Exactness vs the through-Python witness is differential-pinned in
+    tests/test_r13_queue.py."""
     post = bucketed_postings(spark, sf_dir)
     pref = _dd.ppjoin_prefix_postings(post, 7, 10)  # t = 7/10
     a = pref.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s",
@@ -919,11 +966,16 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas barrier cannot be pushed through it, so the original
     # shape shingled the whole corpus to keep 3 docs), which makes the
     # round-12 self-enforcing bound's count job |Q|-doc-sized too.
+    # memo key carries st_mtime_ns: an in-place testdata regeneration
+    # must force a fresh bound count (the guard's memo contract)
+    import os as _os
     q = bounded_broadcast(
         _dd.shingle_postings(docs.filter(F.col("doc_id").isin(*RRF_QUERY_IDS)))
         .select(F.col("doc_id").alias("qid"), F.col("n").alias("n_q"), "s"),
         1_000_000, "retrieval_rrf_fusion query postings",
-        memo_key=(spark.sparkContext.applicationId, sf_dir))
+        memo_key=(spark.sparkContext.applicationId, sf_dir,
+                  _os.stat(_os.path.join(
+                      sf_dir, "documents.parquet")).st_mtime_ns))
     d = ex.select(F.col("doc_id").alias("did"), F.col("n").alias("n_d"), "s")
     shared = (q.join(d, "s").filter(F.col("did") != F.col("qid"))
               .groupBy("qid", "did", "n_q", "n_d")

@@ -100,8 +100,25 @@ REDEFINED: dict[str, int] = {
     # corpus-growing build side off a lying through-mapInPandas size
     # estimate (a 3-4 GB hash relation read as < 64 MB).  Its two
     # consumers (pagerank_neardup, dedup_graph_triangles) sit in the
-    # committed window11 already; the detector itself re-enters here.
-    "dedup_ngram_jaccard": 11,
+    # committed window11 already; the detector itself re-entered at 11.
+    # round 13 (superseding the round-11 pin entry): the seat-exact
+    # at-rest swap the r12 queue staged and measured -- postings now
+    # come from the shingle-bucketed b_post table (self-join
+    # exchange-free, no Python stage, real scan statistics) and the
+    # pin is DROPPED (measured noise at rest: 30.7 vs 29.1 s sf10
+    # medians).  sf10 floors 37.4-44.7 -> 25.3-25.7 s.
+    "dedup_ngram_jaccard": 13,
+    # round 13: dedup_ngram_jaccard's two direct callers redefined in
+    # the same commit -- their edge set now derives from the at-rest
+    # b_edge table (bucketed_edges, built from the same pair join),
+    # replacing the localCheckpoint whose ContextCleaner cadence swung
+    # graph timings ~2x run-to-run.
+    "pagerank_neardup": 13,
+    "dedup_graph_triangles": 13,
+    # round 13: PPJoin adopts the staged at-rest body -- candidates
+    # from b_post, verify arrays from b_sig, no Python stage, no
+    # localCheckpoint.  sf10 floors 50.3-55.2 -> 24.9-26.8 s.
+    "dedup_jaccard_ppjoin": 13,
     # round 11: the mechanical sweep that followed
     # (tests/test_plans.py PYSTAGE_BROADCAST_BOUNDED) found the same
     # lying-estimate broadcast in three more faces; their
@@ -121,14 +138,19 @@ REDEFINED: dict[str, int] = {
     # table -- no Python stage left in the plan, so the lying-estimate
     # pin came off and AQE's real runtime sizes pick the strategy.
     "corpus_novelty_filter": 12,
-    "dedup_containment": 11,
     # (round-12 note on dedup_containment: the containment-adapted
     # asymmetric prefix filter -- the r11 decade row's named lever --
     # was implemented, measured at sf10, and REJECTED by the bake-off;
-    # the registered plan is byte-identical to the r11 shape its green
-    # row vouches for, so no r12 re-entry.  The rejected shape lives
-    # on unregistered as plans/mining.dedup_containment_prefix; full
-    # account in SCALING.md round-12.)
+    # the registered plan stayed byte-identical to the r11 shape its
+    # green row vouched for, so no r12 re-entry.  The rejected shape
+    # lives on unregistered as plans/mining.dedup_containment_prefix;
+    # full account in SCALING.md round-12.)
+    # round 13 (superseding its round-11 SHUFFLE_HASH-pin entry): the
+    # at-rest swap -- count-join over b_post, no Python stage.  The
+    # pin STAYS with a changed job: hash-build-over-sort on co-bucketed
+    # scans, measured 1.7x (pinned 37.1 s vs unpinned 64.2 at sf10).
+    # sf10 floor 53.3 -> 33.6-37.1 s.
+    "dedup_containment": 13,
 }
 
 

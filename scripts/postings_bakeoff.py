@@ -1,6 +1,7 @@
-"""Round-13 queue item (2) bake-off: the ngram postings self-join,
-registered SHUFFLE_HASH-pinned shape vs the at-rest bucketed-postings
-variant (plans/pipeline.dedup_ngram_jaccard_atrest).
+"""Postings-tier bake-off: the through-Python SHUFFLE_HASH-pinned
+shapes (the ``_shuffle`` witnesses -- registered through round 12) vs
+the at-rest bucketed-postings variants (REGISTERED since the round-13
+seat-exact swap; flavor name kept as "atrest").
 
 Method = sf1_spotrun's: one fresh JVM per (variant, SF) via subprocess
 mode, one untimed warm-up (which for the at-rest variant pays the
@@ -33,33 +34,33 @@ def _measure(variant: str, sf_dir: str) -> dict:
 
     from bench import _clear_stat_caches
     from operating_system_map_reduce_spark.plans import mining, pipeline
-    from operating_system_map_reduce_spark.plans.pipeline import (
-        dedup_ngram_jaccard_atrest)
     import __spark_entry__ as entry
     from operating_system_map_reduce_spark.session import get_spark
 
-    # pagerank variants: the graph faces import dedup_ngram_jaccard
-    # inside their function body, so patching the pipeline attribute in
-    # THIS subprocess measures the r13 shape (edges over the at-rest
-    # postings) without touching the registered source -- measurement
-    # plumbing, not a plan change.
+    # Since the r13 swap the "atrest" flavor IS the registered face;
+    # the "registered"/"shuffle" flavor is the through-Python witness
+    # each face rode through round 12.  For the graph faces the witness
+    # shape is reconstructed by patching bucketed_edges in THIS
+    # subprocess to the pre-r13 localCheckpoint'ed shuffle pairs --
+    # measurement plumbing, not a plan change.
     base, _, flavor = variant.rpartition("_")
+    atrest = flavor == "atrest" or variant == "atrest"
     if base == "ppjoin":
-        from operating_system_map_reduce_spark.plans.pipeline import (
-            dedup_jaccard_ppjoin_atrest)
-        fn = (dedup_jaccard_ppjoin_atrest if flavor == "atrest"
-              else entry.queries()["dedup_jaccard_ppjoin"])
+        fn = (entry.queries()["dedup_jaccard_ppjoin"] if atrest
+              else pipeline.dedup_jaccard_ppjoin_shuffle)
     elif base in ("pagerank", "triangles"):
-        if flavor == "atrest":
-            pipeline.dedup_ngram_jaccard = dedup_ngram_jaccard_atrest
+        if not atrest:
+            pipeline.bucketed_edges = lambda spark, sf_dir: (
+                pipeline.dedup_ngram_jaccard_shuffle(spark, sf_dir)
+                .select("id_a", "id_b").localCheckpoint(eager=False))
         fn = (mining.pagerank_neardup if base == "pagerank"
               else mining.dedup_graph_triangles)
     elif base == "containment":
-        fn = (mining.dedup_containment_atrest if flavor == "atrest"
-              else mining.dedup_containment)
+        fn = (mining.dedup_containment if atrest
+              else mining.dedup_containment_shuffle)
     else:
-        fn = (dedup_ngram_jaccard_atrest if variant == "atrest"
-              else entry.queries()["dedup_ngram_jaccard"])
+        fn = (entry.queries()["dedup_ngram_jaccard"] if atrest
+              else pipeline.dedup_ngram_jaccard_shuffle)
     spark = get_spark(app_name=f"postings-bakeoff-{variant}",
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.driver.memory": "24g"})

@@ -51,8 +51,19 @@ class TestR11FacesParity:
             assert name in qs
             if name not in ledger:          # no driver row yet: rule 1
                 assert name in window
+        # Registration must not cost due entries their seats -- unless
+        # the window is SATURATED with due entries (more due than
+        # seats: a forced choice, not a displacement).  Round 13 hits
+        # exactly this: 46 r10-green at-ceiling entries + 5 rule-2
+        # re-entries = 51 due into 50 seats, so deferred_due() names
+        # one recovery-debt entry; the saturation rule in
+        # test_plans.test_staleness_ceiling_or_saturated_recovery
+        # adjudicates it (every seat spent on a due entry).
         missing = _win.deferred_due(registry, ledger)
-        assert not missing, f"registration deferred due entries: {missing}"
+        if missing:
+            due = set(_win.due_entries(registry, ledger))
+            assert set(window) <= due, \
+                f"deferred due entries while non-due entries hold seats: {missing}"
 
     def test_bpe_census_aggregates_partially_mapside(self, spark, sf_dir):
         """Pin the per-round stage (the outer trained plan only shows

@@ -1,20 +1,33 @@
-"""Round-13 queue machinery, built and gated in round 12 under the
-two-round pattern (implement + locally pin while the current window is
-spoken for; register next round where rule 2 seats the faces).
+"""Round-13 seat-exact at-rest swap (staged + measured in round 12
+under the two-round pattern; registered here).
 
-Item (2) of the r13 rule-2 queue (plans/__init__.py): the at-rest
-bucketed POSTINGS table.  The ngram tier's postings self-join carries
-a round-11 SHUFFLE_HASH pin because both sides are corpus-grown behind
-the mapInPandas shingling barrier; written bucketed+sorted on the
-shingle, the self-join is exchange-free and every estimate is a real
-parquet statistic.  These tests pin, for the UNREGISTERED variant:
+The five postings-consumer faces now ride the at-rest tables:
 
-  * exactness: identical rows to the registered face (differential);
-  * no Python stage anywhere in the query plan;
-  * the scan is the b_post_ bucketed table;
-  * the postings self-join introduces NO shuffle exchange below it --
-    the only exchanges in the plan belong to the candidate-bounded
-    pair aggregate and the final ORDER BY.
+  * dedup_ngram_jaccard  -- self-join of the shingle-bucketed b_post
+    table (exchange-free; round-11 SHUFFLE_HASH pin DROPPED -- nothing
+    is left for a lying estimate to break, and at rest the pin
+    measured as noise);
+  * dedup_containment    -- same postings source; pin KEPT (changed
+    job: hash-build-over-sort on co-bucketed scans, measured 1.7x);
+  * dedup_jaccard_ppjoin -- candidates from b_post, verify arrays from
+    the doc_id-bucketed b_sig table; no materialization at all;
+  * pagerank_neardup / dedup_graph_triangles -- edge set from the
+    at-rest b_edge table (bucketed_edges), replacing the
+    localCheckpoint whose ContextCleaner cadence swung graph timings
+    ~2x run-to-run.
+
+These tests pin, for the REGISTERED faces:
+
+  * exactness: identical rows to the through-Python ``_shuffle``
+    witnesses each face rode through round 12 (differential, on both
+    the standard fixture and the adversarial crafted corpus);
+  * no Python stage anywhere in the executed plans;
+  * the scans are the bucketed warehouse tables;
+  * the postings self-join introduces NO corpus-keyed shuffle -- the
+    only exchanges belong to candidate-bounded pair aggregates and
+    report ORDER BYs;
+  * the graph faces hold no checkpoint/persist blocks (every reused
+    subtree is a table scan).
 """
 
 from __future__ import annotations
@@ -24,15 +37,19 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from operating_system_map_reduce_spark.plans.mining import (
-    dedup_containment_atrest)
+    dedup_containment_shuffle)
 from operating_system_map_reduce_spark.plans.pipeline import (
-    bucketed_postings, dedup_jaccard_ppjoin_atrest, dedup_ngram_jaccard_atrest)
+    bucketed_edges, bucketed_postings, dedup_jaccard_ppjoin_shuffle,
+    dedup_ngram_jaccard_shuffle)
 # session fixture with crafted degenerate docs (empty/whitespace/
-# single-token/containment/near-dup pairs) -- imported so the staged
-# variants face the adversarial corpus BEFORE their r13 registration
+# single-token/containment/near-dup pairs) -- the registered at-rest
+# faces must agree with their through-Python witnesses there too
 from test_corpus_edge_parity import corpus_edge_dir  # noqa: F401
 
 _QUERIES = entrymod.queries()
+
+_PY_NODES = ("MapInPandas", "ArrowEvalPython",
+             "FlatMapGroupsInPandas", "BatchEvalPython")
 
 
 def _plan(df) -> str:
@@ -40,20 +57,26 @@ def _plan(df) -> str:
 
 
 class TestAtRestPostings:
-    def test_atrest_ngram_matches_registered_exactly(self, spark, sf_dir):
-        got = sorted(map(tuple, dedup_ngram_jaccard_atrest(spark, sf_dir)
-                         .collect()))
-        want = sorted(map(tuple, _QUERIES["dedup_ngram_jaccard"](
+    def test_ngram_matches_shuffle_witness_exactly(self, spark, sf_dir):
+        got = sorted(map(tuple, _QUERIES["dedup_ngram_jaccard"](
+            spark, sf_dir).collect()))
+        want = sorted(map(tuple, dedup_ngram_jaccard_shuffle(
             spark, sf_dir).collect()))
         assert got == want
         assert len(got) > 0, "fixture must produce near-dup pairs"
 
-    def test_atrest_plan_has_no_python_stage(self, spark, sf_dir):
-        plan = _plan(dedup_ngram_jaccard_atrest(spark, sf_dir))
-        for node in ("MapInPandas", "ArrowEvalPython",
-                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+    def test_ngram_plan_has_no_python_stage(self, spark, sf_dir):
+        plan = _plan(_QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+        for node in _PY_NODES:
             assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
         assert "b_post_" in plan.lower()
+
+    def test_ngram_pin_is_gone(self, spark, sf_dir):
+        """The round-11 SHUFFLE_HASH pin guarded a lying estimate that
+        cannot exist at rest; strategy choice is AQE's again."""
+        logical = (_QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+                   ._jdf.queryExecution().logical().toString())
+        assert "UnresolvedHint" not in logical, logical
 
     def test_postings_self_join_is_exchange_free(self, spark, sf_dir):
         """The whole point of the at-rest layout: the corpus-sized
@@ -64,7 +87,7 @@ class TestAtRestPostings:
         bucketed scans."""
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            plan = _plan(dedup_ngram_jaccard_atrest(spark, sf_dir))
+            plan = _plan(_QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         import re
@@ -74,62 +97,58 @@ class TestAtRestPostings:
                 f"corpus-keyed exchange survived: {keys}\n{plan}"
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
-    def test_atrest_ppjoin_matches_registered_exactly(self, spark, sf_dir):
-        """The last postings consumer staged: PPJoin's candidates from
-        the shingle-bucketed postings, its verify arrays from the
-        doc_id-bucketed signature (n re-derived as size(shingles) --
-        same py_shingles output on both paths)."""
-        got = sorted(map(tuple, dedup_jaccard_ppjoin_atrest(spark, sf_dir)
-                         .collect()))
-        want = sorted(map(tuple, _QUERIES["dedup_jaccard_ppjoin"](
+    def test_ppjoin_matches_shuffle_witness_exactly(self, spark, sf_dir):
+        got = sorted(map(tuple, _QUERIES["dedup_jaccard_ppjoin"](
+            spark, sf_dir).collect()))
+        want = sorted(map(tuple, dedup_jaccard_ppjoin_shuffle(
             spark, sf_dir).collect()))
         assert got == want
         assert len(got) > 0, "fixture must produce high-threshold pairs"
 
-    def test_atrest_ppjoin_plan_shape(self, spark, sf_dir):
+    def test_ppjoin_plan_shape(self, spark, sf_dir):
         """No Python stage anywhere; both at-rest tables feed the plan;
         no localCheckpoint/persist scan (every reused subtree is a
         table scan, so nothing pins executor storage)."""
-        plan = _plan(dedup_jaccard_ppjoin_atrest(spark, sf_dir))
-        for node in ("MapInPandas", "ArrowEvalPython",
-                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+        plan = _plan(_QUERIES["dedup_jaccard_ppjoin"](spark, sf_dir))
+        for node in _PY_NODES:
             assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
         low = plan.lower()
         assert "b_post_" in low and "b_sig_" in low
         assert "InMemoryTableScan" not in plan
         assert "Scan ExistingRDD" not in plan  # the checkpoint scan shape
 
-    def test_atrest_containment_matches_registered_exactly(self, spark,
-                                                           sf_dir):
-        got = sorted(map(tuple, dedup_containment_atrest(spark, sf_dir)
-                         .collect()))
-        want = sorted(map(tuple, _QUERIES["dedup_containment"](
+    def test_containment_matches_shuffle_witness_exactly(self, spark,
+                                                         sf_dir):
+        got = sorted(map(tuple, _QUERIES["dedup_containment"](
+            spark, sf_dir).collect()))
+        want = sorted(map(tuple, dedup_containment_shuffle(
             spark, sf_dir).collect()))
         assert got == want
         assert len(got) > 0
-        plan = _plan(dedup_containment_atrest(spark, sf_dir))
-        for node in ("MapInPandas", "ArrowEvalPython",
-                     "FlatMapGroupsInPandas", "BatchEvalPython"):
+        plan = _plan(_QUERIES["dedup_containment"](spark, sf_dir))
+        for node in _PY_NODES:
             assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
         assert "b_post_" in plan.lower()
+        # the pin stays, with a changed job: hash-build-over-sort on
+        # co-bucketed scans (measured 1.7x at sf10)
+        assert "ShuffledHashJoin" in plan, plan
 
-    @pytest.mark.parametrize("atrest,registered", [
-        (dedup_ngram_jaccard_atrest, "dedup_ngram_jaccard"),
-        (dedup_jaccard_ppjoin_atrest, "dedup_jaccard_ppjoin"),
-        (dedup_containment_atrest, "dedup_containment"),
+    @pytest.mark.parametrize("witness,registered", [
+        (dedup_ngram_jaccard_shuffle, "dedup_ngram_jaccard"),
+        (dedup_jaccard_ppjoin_shuffle, "dedup_jaccard_ppjoin"),
+        (dedup_containment_shuffle, "dedup_containment"),
     ])
-    def test_atrest_parity_on_adversarial_corpus(self, spark,
-                                                 corpus_edge_dir,
-                                                 atrest, registered):
-        """The staged variants must agree with their registered faces
-        on the crafted degenerate corpus too (empty docs, one-token
-        docs, exact/containment/near-dup pairs, pathological
-        repetition) -- the fixture the registered faces already pass
-        against the DuckDB oracle, run here BEFORE r13 swaps the
-        plans."""
-        got = sorted(map(tuple, atrest(spark, corpus_edge_dir).collect()))
-        want = sorted(map(tuple, _QUERIES[registered](
+    def test_registered_parity_on_adversarial_corpus(self, spark,
+                                                     corpus_edge_dir,
+                                                     witness, registered):
+        """The registered at-rest faces must agree with their
+        through-Python witnesses on the crafted degenerate corpus too
+        (empty docs, one-token docs, exact/containment/near-dup pairs,
+        pathological repetition) -- the fixture the witnesses already
+        pass against the DuckDB oracle."""
+        got = sorted(map(tuple, _QUERIES[registered](
             spark, corpus_edge_dir).collect()))
+        want = sorted(map(tuple, witness(spark, corpus_edge_dir).collect()))
         assert got == want
         assert len(got) > 0
 
@@ -148,3 +167,26 @@ class TestAtRestPostings:
             spark.conf.unset(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled")
         assert "SelectedBucketsCount: 1 out of 32" in plan, plan
+
+
+class TestAtRestEdges:
+    def test_edges_match_registered_pairs(self, spark, sf_dir):
+        got = sorted(map(tuple, bucketed_edges(spark, sf_dir).collect()))
+        want = sorted(map(tuple, _QUERIES["dedup_ngram_jaccard"](
+            spark, sf_dir).select("id_a", "id_b").collect()))
+        assert got == want
+        assert len(got) > 0
+
+    @pytest.mark.parametrize("face", ["pagerank_neardup",
+                                      "dedup_graph_triangles"])
+    def test_graph_faces_ride_the_edge_table(self, spark, sf_dir, face):
+        """Edge references are bucketed table scans: no Python stage,
+        no checkpoint scan (Scan ExistingRDD), no persisted block
+        (InMemoryTableScan) -- the de-noise fix for the ~2x
+        ContextCleaner swing the r12 verdict flagged."""
+        plan = _plan(_QUERIES[face](spark, sf_dir))
+        for node in _PY_NODES:
+            assert node not in plan, f"{node} in the graph plan:\n{plan}"
+        assert "b_edge_" in plan.lower(), plan
+        assert "Scan ExistingRDD" not in plan, plan
+        assert "InMemoryTableScan" not in plan, plan
