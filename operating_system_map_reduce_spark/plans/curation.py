@@ -16,6 +16,7 @@ whose accumulation order could differ.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,9 +216,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from operating_system_map_reduce_spark.operators.guards import (
         bounded_broadcast)
     shared = (
+        # memo key carries st_mtime_ns: an in-place testdata
+        # regeneration must force a fresh bound count (the guard's
+        # memo contract -- see operators/guards.bounded_broadcast)
         corpus.join(bounded_broadcast(bench, 5_000_000,
                                       "contamination_check eval postings",
-                                      memo_key=(spark.sparkContext.applicationId, sf_dir)),
+                                      memo_key=(spark.sparkContext.applicationId, sf_dir,
+                                                _os.stat(_os.path.join(sf_dir, "documents.parquet")).st_mtime_ns)),
                     corpus["s"] == bench["s_b"])
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id", "bench_id", "n_bench")
@@ -467,9 +472,11 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applicationId string, not id(spark), which CPython recycles
     # after a session is garbage-collected (a recycled id would hand
     # back a DataFrame bound to a stopped SparkContext).
-    import os as _os
+    # st_mtime_ns, not int(getmtime) (round-13 advice fix): a
+    # regeneration within the same wall-clock second must still
+    # invalidate
     key = (spark.sparkContext.applicationId, sf_dir,
-           int(_os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))))
+           _os.stat(_os.path.join(sf_dir, "documents.parquet")).st_mtime_ns)
     slot = _CMS_TC_CACHE.get("tc")
     if slot is None or slot[0] != key:
         if slot is not None:

@@ -82,46 +82,68 @@ class TestEnsureBucketedStaleSweep:
         a multi-GB warehouse directory on every in-place testdata
         regeneration; _ensure_bucketed must sweep older same-prefix
         tags when writing the new one -- and must NOT touch other
-        prefixes, digit-ambiguous cousins, or catalog-registered
-        tables."""
+        prefixes, digit-ambiguous cousins, catalog-registered tables,
+        live siblings, or (round-13 age bounds) young un-pid'd legacy
+        names (a mixed-version overlap's still-running writer) --
+        while a 'live' pid whose directory is > 24 h idle IS swept
+        (recycled pid: the dead writer's orphan would otherwise be
+        unsweepable forever)."""
         import os
+        import subprocess
+        import time
         from urllib.parse import urlparse
 
         from operating_system_map_reduce_spark.plans.analytics import (
+            _SWEEP_RECYCLED_PID_SEC, _SWEEP_UNPIDD_GRACE_SEC,
             _ensure_bucketed)
         from operating_system_map_reduce_spark.sources.tables import load_table
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         me = os.getpid()
-        # a PID that is certainly not a live process: our own child,
-        # already reaped
-        dead = os.fork()
-        if dead == 0:
-            os._exit(0)
-        os.waitpid(dead, 0)
-        stale = os.path.join(wh, "b_sweepprobe_x_1000")  # legacy un-pid'd
+        # a PID that is certainly not a live process: a subprocess that
+        # already exited and was reaped (no os.fork() under a live
+        # JVM/py4j connection -- r12 advice)
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        dead = proc.pid
+        # the live sibling is this pytest process's PARENT -- guaranteed
+        # alive for the test's duration without hard-coding PID 1
+        # (absent in rootless / PID-namespaced CI)
+        live = os.getppid()
+        old = time.time() - _SWEEP_UNPIDD_GRACE_SEC - 60
+        ancient = time.time() - _SWEEP_RECYCLED_PID_SEC - 60
+        stale = os.path.join(wh, "b_sweepprobe_x_1000")  # legacy, OLD
+        fresh_unpidd = os.path.join(wh, "b_sweepprobe_x_1001")  # legacy, young
         stale_dead = os.path.join(wh, f"b_sweepprobe_x_1000_p{dead}")
         stale_mine = os.path.join(wh, f"b_sweepprobe_x_1000_p{me}")
-        live_sibling = os.path.join(wh, "b_sweepprobe_x_1000_p1")  # init: alive
+        live_sibling = os.path.join(wh, f"b_sweepprobe_x_1000_p{live}")
+        recycled = os.path.join(wh, f"b_sweepprobe_x_1002_p{live}")  # ancient
         cousin = os.path.join(wh, "b_sweepprobe_x_1000_extra")
         other = os.path.join(wh, "b_sweepother_x_1000")
-        for d in (stale, stale_dead, stale_mine, live_sibling, cousin, other):
+        for d in (stale, fresh_unpidd, stale_dead, stale_mine, live_sibling,
+                  recycled, cousin, other):
             os.makedirs(d, exist_ok=True)
+        os.utime(stale, (old, old))
+        os.utime(recycled, (ancient, ancient))
         table = f"b_sweepprobe_x_2000_p{me}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         df = load_table(spark, sf_dir, "region").select("r_regionkey")
         try:
             _ensure_bucketed(spark, table, df, "r_regionkey")
-            assert not os.path.isdir(stale), "legacy un-pid'd tag swept"
+            assert not os.path.isdir(stale), "aged legacy un-pid'd tag swept"
+            assert os.path.isdir(fresh_unpidd), \
+                "young un-pid'd tag kept (grace for a pre-PID-scheme writer)"
             assert not os.path.isdir(stale_dead), "dead writer's tag swept"
             assert not os.path.isdir(stale_mine), "own older tag swept"
             assert os.path.isdir(live_sibling), \
-                "a LIVE sibling's directory must never be touched"
+                "a LIVE sibling's recent directory must never be touched"
+            assert not os.path.isdir(recycled), \
+                "a 'live' pid with a >24h-idle directory is a recycled pid"
             assert os.path.isdir(cousin), "non-pure-digit suffix kept"
             assert os.path.isdir(other), "other prefixes kept"
             assert spark.catalog.tableExists(table)
         finally:
             import shutil
             spark.sql(f"DROP TABLE IF EXISTS {table}")
-            for d in (live_sibling, cousin, other):
+            for d in (fresh_unpidd, live_sibling, cousin, other):
                 shutil.rmtree(d, ignore_errors=True)

@@ -78,3 +78,48 @@ class TestBoundedBroadcast:
         finally:
             type(small).count = orig
             guards._VERIFIED.clear()
+
+    def test_memo_reverifies_on_changed_key(self, spark, sf_dir, tmp_path):
+        """The memo contract (round-13): the memo does not watch its
+        input -- callers fold a change detector into the key.  The
+        registered callers key on st_mtime_ns of the source parquet,
+        so replacing the file IN PLACE changes the key and forces a
+        fresh count: simulated here by touching a copy's mtime and
+        rebuilding the caller-style key."""
+        import os
+        import shutil
+
+        from operating_system_map_reduce_spark.operators import guards
+
+        src = os.path.join(sf_dir, "region.parquet")
+        probe = str(tmp_path / "region.parquet")
+        shutil.copyfile(src, probe)
+
+        def caller_key():
+            return (spark.sparkContext.applicationId, str(tmp_path),
+                    os.stat(probe).st_mtime_ns)
+
+        calls = []
+        small = spark.range(3).select(F.col("id").alias("k"))
+        orig = type(small).count
+
+        def counting(self):
+            calls.append(1)
+            return orig(self)
+
+        type(small).count = counting
+        try:
+            k1 = caller_key()
+            bounded_broadcast(small, 10, "mtime probe", memo_key=k1)
+            bounded_broadcast(small, 10, "mtime probe", memo_key=caller_key())
+            assert len(calls) == 1, "same mtime must reuse the memo"
+            st = os.stat(probe)
+            os.utime(probe, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+            k2 = caller_key()
+            assert k2 != k1, "st_mtime_ns must see a sub-second touch"
+            bounded_broadcast(small, 10, "mtime probe", memo_key=k2)
+            assert len(calls) == 2, \
+                "an in-place replacement (new mtime_ns) must re-verify"
+        finally:
+            type(small).count = orig
+            guards._VERIFIED.clear()
