@@ -151,6 +151,19 @@ REDEFINED: dict[str, int] = {
     # scans, measured 1.7x (pinned 37.1 s vs unpinned 64.2 at sf10).
     # sf10 floor 53.3 -> 33.6-37.1 s.
     "dedup_containment": 13,
+    # round 14 (keyed to round+1 per the ORDERING REQUIREMENT: the
+    # round-13 window is saturated -- 51 due entries into 50 seats --
+    # so these take next round's seats): the novelty stream's SEED
+    # index now derives its bands from the at-rest bucketed signature
+    # table (lsh_bands(bucketed_signature(...).filter(corpus)) --
+    # identical rows, b_sig is per-doc so the corpus filter commutes;
+    # pinned in tests/test_streaming.py) instead of
+    # recomputing the Python minhash signature per session.  The
+    # streaming QUERY plan is untouched (the seed is an input
+    # artifact); declared anyway per the conservative reading of
+    # rule 2.  Both consumers of the seed re-enter.
+    "stream_novelty_filter": 14,
+    "stream_novelty_index_compact": 14,
 }
 
 
@@ -222,8 +235,14 @@ def build_window(registry: list[str], ledger: dict[str, int],
     current_round = head + 1
 
     never = sorted(n for n in registry if n not in ledger)
+    # rule 2 gates on current_round (round-13): an entry keyed to
+    # round+1 per the ORDERING REQUIREMENT above (a plan change landing
+    # after this round's gate row would exist, or a change this round's
+    # saturated window cannot seat) is due NEXT round, not now -- it
+    # must not displace this round's computed seats early.
     rule2 = sorted(n for n in registry
-                   if n in ledger and redefined.get(n, -1) > ledger[n])
+                   if n in ledger and ledger[n] < redefined.get(n, -1)
+                   <= current_round)
     seated = set(never) | set(rule2)
     rest = sorted((n for n in registry if n not in seated),
                   key=lambda n: (ledger[n], n))
@@ -258,11 +277,13 @@ def due_entries(registry: list[str], ledger: dict[str, int],
     the pigeonhole-achievable ceil(N/WINDOW_SIZE) - 1 past that."""
     redefined = REDEFINED if redefined is None else redefined
     head = max(ledger.values(), default=0)
+    current_round = head + 1
     ceiling = achievable_ceiling(len(registry))
     out = []
     for n in registry:
         rnd = ledger.get(n)
-        if (rnd is None or redefined.get(n, -1) > rnd
+        if (rnd is None
+                or rnd < redefined.get(n, -1) <= current_round
                 or rnd <= head - ceiling):
             out.append(n)
     return out

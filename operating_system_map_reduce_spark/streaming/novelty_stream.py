@@ -108,7 +108,20 @@ def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
         return slot[1]
     seed_root = tempfile.mkdtemp(prefix="novelty-seed-")
     index_dir = os.path.join(seed_root, "index")
-    seed_bands = (_dd.lsh_bands(_dd.minhash_signature(corpus))
+    # Seed bands derive from the at-rest bucketed signature table
+    # (round 13, the r12 queue's zero-seat item 4): b_sig is per-doc,
+    # so filtering it to the corpus commutes with the signature and
+    # yields IDENTICAL seed rows (pinned in tests/test_streaming.py)
+    # -- while the per-session Python minhash recompute this replaces
+    # ran the corpus-sized Arrow stage once per fresh session as pure
+    # warmup cost.  The streaming QUERY plan is untouched: the seed is
+    # an input artifact staged before the stream starts.
+    from operating_system_map_reduce_spark.plans.pipeline import (
+        bucketed_signature)
+
+    corpus_sig = bucketed_signature(spark, sf_dir).join(
+        corpus.select("doc_id"), "doc_id", "left_semi")
+    seed_bands = (_dd.lsh_bands(corpus_sig)
                   .select("band_idx", "band_hash").distinct())
     seed_hashes = corpus.select(F.md5("text").alias("h")).distinct()
     (_as_index_rows(seed_bands, seed_hashes)

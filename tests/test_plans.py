@@ -264,11 +264,21 @@ class TestRegistryWindow:
         the driver greens it, the clock rotates it out on its own (the
         pin must not go red when CORRECTNESS_r10.json lands)."""
         assert _win.REDEFINED["changelog_asof"] == 9
-        assert _win.REDEFINED["stream_novelty_filter"] == 10
+        # stream_novelty_filter: re-keyed 10 -> 14 when the seed-index
+        # derivation changed in round 13 (REDEFINED is one key per
+        # entry; the r10 re-entry is history recorded in the comments)
+        assert _win.REDEFINED["stream_novelty_filter"] == 14
+        current = max(self.LEDGER.values(), default=0) + 1
         for name, declared in _win.REDEFINED.items():
-            if declared > self.LEDGER.get(name, -1):
+            if self.LEDGER.get(name, -1) < declared <= current:
                 assert name in self.WINDOW, \
                     f"rule-2 due entry {name} missing its re-check seat"
+            # future-keyed entries (declared == current + 1: a change
+            # this round's saturated window cannot seat, or one landing
+            # after the gate) must NOT displace this round's seats --
+            # they are due next round
+            assert declared <= current + 1, \
+                f"{name} keyed {declared}, beyond next round {current + 1}"
 
     def test_staleness_ceiling_or_saturated_recovery(self):
         """No entry's newest green row may be more than

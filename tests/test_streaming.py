@@ -395,8 +395,53 @@ class TestSinkCrashRecovery:
         assert snap(log.replay()) == snap(ref.replay())
 
 
+@pytest.fixture
+def novelty_dir(spark, tmp_path):
+    """tmp_path that sweeps the b_*_<tag> warehouse tables the seed
+    index's bucketed_signature writes for it (the path is unique per
+    pytest run, so _ensure_bucketed's same-prefix sweep could never
+    reclaim them -- same discipline as the corpus-edge fixture)."""
+    import glob as _glob
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    yield tmp_path
+    tag = "".join(c if c.isalnum() else "_" for c in str(tmp_path).strip("/"))
+    for d in _glob.glob(os.path.join(wh, f"b_*_{tag.lower()}_*")):
+        spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 class TestNoveltyStream:
-    def test_cascade_rejects_dup_of_earlier_admission(self, spark, tmp_path):
+    def test_seed_bands_match_direct_signature(self, spark, sf_dir):
+        """The r13 seed-index re-plan (the r12 queue's zero-seat item
+        4): seed bands now derive from the at-rest bucketed signature
+        filtered to the corpus.  b_sig is per-doc, so the filter
+        commutes with the signature -- the rows must be IDENTICAL to
+        the direct per-session Python recompute this replaced."""
+        from operating_system_map_reduce_spark.operators import dedup as _dd
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            bucketed_signature)
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(~(F.col("doc_id") % 10 == 7))
+        old = sorted(map(tuple, _dd.lsh_bands(_dd.minhash_signature(corpus))
+                         .select("band_idx", "band_hash")
+                         .distinct().collect()))
+        sig = bucketed_signature(spark, sf_dir).join(
+            corpus.select("doc_id"), "doc_id", "left_semi")
+        new = sorted(map(tuple, _dd.lsh_bands(sig)
+                         .select("band_idx", "band_hash")
+                         .distinct().collect()))
+        assert new == old
+        assert len(new) > 0
+
+    def test_cascade_rejects_dup_of_earlier_admission(self, spark,
+                                                      novelty_dir):
+        tmp_path = novelty_dir
         """The property the one-shot batch probe cannot express: a
         wave-1 document duplicating a document ADMITTED in wave 0 (and
         absent from the corpus) must be rejected, because admission
@@ -445,7 +490,8 @@ class TestNoveltyStream:
         assert got[47]["n_band_hits"] > 0 and got[47]["admitted"] == 0
         assert got[27]["admitted"] == 1 and got[27]["wave"] == 2
 
-    def test_compaction_is_admission_equivalent(self, spark, tmp_path):
+    def test_compaction_is_admission_equivalent(self, spark, novelty_dir):
+        tmp_path = novelty_dir
         """The standing index's SAV (round-10 verdict directive #4): a
         crawl appends one commit per wave, accruing one small file per
         wave per kind; compaction must shrink the file count WITHOUT
