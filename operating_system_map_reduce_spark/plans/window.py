@@ -151,18 +151,22 @@ REDEFINED: dict[str, int] = {
     # scans, measured 1.7x (pinned 37.1 s vs unpinned 64.2 at sf10).
     # sf10 floor 53.3 -> 33.6-37.1 s.
     "dedup_containment": 13,
-    # round 14 (keyed to round+1 per the ORDERING REQUIREMENT: the
-    # round-13 window is saturated -- 51 due entries into 50 seats --
-    # so these take next round's seats): the novelty stream's SEED
-    # index now derives its bands from the at-rest bucketed signature
-    # table (lsh_bands(bucketed_signature(...).filter(corpus)) --
+    # rounds 13/14: the novelty stream's SEED index now derives its
+    # bands from the at-rest bucketed signature table
+    # (lsh_bands(bucketed_signature(...) semi-joined to the corpus) --
     # identical rows, b_sig is per-doc so the corpus filter commutes;
-    # pinned in tests/test_streaming.py) instead of
-    # recomputing the Python minhash signature per session.  The
-    # streaming QUERY plan is untouched (the seed is an input
-    # artifact); declared anyway per the conservative reading of
-    # rule 2.  Both consumers of the seed re-enter.
-    "stream_novelty_filter": 14,
+    # pinned in tests/test_streaming.py) instead of recomputing the
+    # Python minhash signature per session.  The streaming QUERY plan
+    # is untouched (the seed is an input artifact); both consumers are
+    # declared anyway per the conservative reading of rule 2.
+    # stream_novelty_filter sits in the saturated window13 already
+    # (r10-green cohort) and the change lands before the r13 gate, so
+    # its key is 13 (superseding its round-10 entry) -- the r13 row
+    # vouches for the new seed path at zero extra seats.
+    "stream_novelty_filter": 13,
+    # stream_novelty_index_compact (r11-green) CANNOT seat at r13 --
+    # 51 due entries into 50 seats -- so it takes the round+1 key per
+    # the ORDERING REQUIREMENT and seats first at r14.
     "stream_novelty_index_compact": 14,
 }
 

@@ -264,10 +264,10 @@ class TestRegistryWindow:
         the driver greens it, the clock rotates it out on its own (the
         pin must not go red when CORRECTNESS_r10.json lands)."""
         assert _win.REDEFINED["changelog_asof"] == 9
-        # stream_novelty_filter: re-keyed 10 -> 14 when the seed-index
+        # stream_novelty_filter: re-keyed 10 -> 13 when the seed-index
         # derivation changed in round 13 (REDEFINED is one key per
         # entry; the r10 re-entry is history recorded in the comments)
-        assert _win.REDEFINED["stream_novelty_filter"] == 14
+        assert _win.REDEFINED["stream_novelty_filter"] == 13
         current = max(self.LEDGER.values(), default=0) + 1
         for name, declared in _win.REDEFINED.items():
             if self.LEDGER.get(name, -1) < declared <= current:
