@@ -263,24 +263,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- REGISTERED round 13 (staged + measured round 12; see
     plans/pipeline.dedup_ngram_jaccard for the at-rest account).
     Postings from pipeline.bucketed_postings: the self-join is
-    co-bucketed on the shingle, zero-exchange, no Python stage.  The
-    SHUFFLE_HASH pin STAYS, with a changed job: it no longer guards a
-    lying estimate (the scan statistics are real) -- on co-bucketed
-    scans it picks the per-partition hash build over SortMergeJoin,
-    which is exchange-free either way but pays two 26M-row bucket
-    sorts (multi-file buckets forfeit the written sortBy order).
-    Measured at sf10: pinned 37.1 s median / 36.3 floor, unpinned
-    64.2 / 61.8, through-Python shape 84.3 / 53.3 (SCALING.md
-    round-12 matrix).  Exactness vs the through-Python witness
-    (dedup_containment_shuffle below) is differential-pinned in
-    tests/test_r13_queue.py."""
+    co-bucketed on the shingle, zero-exchange, no Python stage.
+
+    The SHUFFLE_HASH pin the r12 bake-off planned to keep (its sf10
+    job: hash-build-over-sort, 37.1 s pinned vs 64.2 unpinned) was
+    REMOVED at the fourth decade's own measurement: at sf100 the
+    pinned shape dies with SparkOutOfMemoryError("not enough memory
+    to build hash map") in ShuffledHashJoinExec -- the per-task hash
+    relation holds one BUCKET of postings, bucket size grows linearly
+    with the corpus, and the SHJ build side cannot spill.  A 1.7x
+    sf10 win that becomes an OOM one decade later is exactly the
+    trade the 100x frame forbids; the unpinned plan is the
+    exchange-free SortMergeJoin of two bucketed scans, whose bucket
+    sorts spill gracefully and scale (measured sf10 61.8-64.2 s;
+    sf100 in SCALING.md round-13).  Exactness vs the through-Python
+    witness (dedup_containment_shuffle below) is differential-pinned
+    in tests/test_r13_queue.py."""
     from operating_system_map_reduce_spark.plans.pipeline import (
         bucketed_postings)
 
     ex = bucketed_postings(spark, sf_dir)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
-                  F.col("s").alias("s_b")).hint("SHUFFLE_HASH")
+                  F.col("s").alias("s_b"))
     inter = (
         a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") != F.col("id_b"))
                & (F.col("n_b") * F.lit(5) >= F.col("n_a") * F.lit(4)))

@@ -147,9 +147,11 @@ REDEFINED: dict[str, int] = {
     # full account in SCALING.md round-12.)
     # round 13 (superseding its round-11 SHUFFLE_HASH-pin entry): the
     # at-rest swap -- count-join over b_post, no Python stage.  The
-    # pin STAYS with a changed job: hash-build-over-sort on co-bucketed
-    # scans, measured 1.7x (pinned 37.1 s vs unpinned 64.2 at sf10).
-    # sf10 floor 53.3 -> 33.6-37.1 s.
+    # plan to keep the pin (hash-build-over-sort, 1.7x at sf10) was
+    # REVERSED by the round's own sf100 run: the SHJ per-bucket hash
+    # build cannot spill and OOMs at the fourth decade, so the
+    # registered plan is the unpinned exchange-free SortMergeJoin
+    # (sf10 61.8-64.2 s; the scalable shape).
     "dedup_containment": 13,
     # rounds 13/14: the novelty stream's SEED index now derives its
     # bands from the at-rest bucketed signature table

@@ -473,16 +473,15 @@ class TestRound12PlanShapes:
         UNREGISTERED prefix shape (the round-12 bake-off loser, kept
         as machinery), and its candidate join must stay SHUFFLE_HASH
         (both sides corpus-grown behind the Python shingling
-        barrier).  The registered dedup_containment stays the r11
-        count-join -- pinned by its ShuffledHashJoin + hash-aggregate
-        shape with NO pair-key array join."""
+        barrier).  The registered dedup_containment is the r13
+        at-rest count-join -- UNPINNED (the sf100 OOM reversal; see
+        its docstring) with NO pair-key array join."""
         from operating_system_map_reduce_spark.plans.mining import (
             dedup_containment_prefix)
         plan = _plan(dedup_containment_prefix(spark, sf_dir))
         assert "7999995" in plan, "alpha prefix arithmetic missing"
         assert "ShuffledHashJoin" in plan, plan
         reg = _plan(_QUERIES["dedup_containment"](spark, sf_dir))
-        assert "ShuffledHashJoin" in reg
         assert "array_intersect" not in reg, \
             "registered containment must stay the count-join"
 

@@ -129,9 +129,26 @@ class TestAtRestPostings:
         for node in _PY_NODES:
             assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
         assert "b_post_" in plan.lower()
-        # the pin stays, with a changed job: hash-build-over-sort on
-        # co-bucketed scans (measured 1.7x at sf10)
-        assert "ShuffledHashJoin" in plan, plan
+        # NO pin (the r13 sf100 reversal): the pinned SHJ's per-bucket
+        # hash build cannot spill and OOMs at sf100.  Strategy choice
+        # is the planner's again (it broadcasts at tiny SF); past any
+        # broadcast threshold the plan must be the exchange-free,
+        # spillable SortMergeJoin of two bucketed scans with no
+        # corpus-keyed exchange.
+        logical = (_QUERIES["dedup_containment"](spark, sf_dir)
+                   ._jdf.queryExecution().logical().toString())
+        assert "UnresolvedHint" not in logical, logical
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            nobc = _plan(_QUERIES["dedup_containment"](spark, sf_dir))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in nobc, nobc
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", nobc):
+            keys = m.group(1)
+            assert "id_a" in keys or "id_b" in keys, \
+                f"corpus-keyed exchange survived: {keys}\n{nobc}"
 
     @pytest.mark.parametrize("witness,registered", [
         (dedup_ngram_jaccard_shuffle, "dedup_ngram_jaccard"),
