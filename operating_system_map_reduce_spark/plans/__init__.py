@@ -124,8 +124,12 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # the seat-exact at-rest swap EXECUTED.  The five re-entries
     # registered exactly as planned below: dedup_ngram_jaccard now
     # rides bucketed_postings with the r11 pin DROPPED;
-    # dedup_containment rides it with the pin KEPT (changed job:
-    # hash-build-over-sort, measured 1.7x); dedup_jaccard_ppjoin
+    # dedup_containment rides it UNPINNED -- the plan to keep its pin
+    # (1.7x hash-build-over-sort at sf10) was REVERSED by the round's
+    # own sf100 run, where the pinned SHJ's non-spillable per-bucket
+    # hash build OOMs (SCALING.md round-13; the same reasoning then
+    # removed candidate_pairs' r11 pin -- dedup_minhash_lsh re-enters
+    # at r14 via the round+1 key); dedup_jaccard_ppjoin
     # adopted the staged at-rest body (b_post candidates + b_sig
     # verify arrays); pagerank_neardup + dedup_graph_triangles
     # (redefined in the same commit as their callee) now read the
@@ -148,11 +152,20 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # entry; test_staleness_ceiling_or_saturated_recovery models
     # exactly this), and it MUST seat first at r14.
     # ROUND-14 QUEUE: (1) top_customers_window seats first (recovery
-    # debt, above); (2) the 48-entry r11-green cohort hits the ceiling
-    # and must seat -- 1 + 48 = 49 of 50, leaving ONE discretionary
-    # seat: spend it on the novelty-stream seed-index reuse IF its
-    # REDEFINED entry is taken (see item 4 below), else on the oldest
-    # r12 name.  NO new faces (headroom decision, directive #8).
+    # debt, above); (2) the rule-2 re-entries already keyed to 14
+    # (stream_novelty_index_compact -- the seed-index reuse landed in
+    # r13; dedup_minhash_lsh -- candidate_pairs' pin removal); (3) the
+    # r11-green cohort at the ceiling fills the rest (r13's forward
+    # simulation reads the r14 due set comfortably under 50 -- no
+    # saturation).  (4) PERF: re-express dedup_jaccard_ppjoin's verify
+    # as a candidate-restricted COUNT-JOIN over b_post (the r13 stage
+    # probe localized its fourth-decade term to the array verify --
+    # pairs x ~4KB array payload ~ 130 GB at sf100 crossing the spill
+    # threshold at any heap, while candidates measured exactly
+    # replica-linear; the containment count-join lesson applied to
+    # ppjoin -- SCALING.md round-13); stage under the two-round
+    # pattern or re-enter if a seat spares.  NO new faces (headroom
+    # decision, directive #8).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green

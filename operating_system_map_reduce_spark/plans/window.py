@@ -132,7 +132,8 @@ REDEFINED: dict[str, int] = {
     # signature moved to an at-rest doc_id-bucketed table
     # (bucketed_signature), removing the corpus-growing candidate-pair
     # broadcast AND the Python stage from the query plan entirely.
-    "dedup_minhash_lsh": 12,
+    # (dedup_minhash_lsh keyed 12 here then; superseded again by the
+    # round-13 pin removal -- single key below, history in comments.)
     # round 12 (superseding its round-11 SHUFFLE_HASH-pin entry): the
     # band index now derives from the same at-rest bucketed signature
     # table -- no Python stage left in the plan, so the lying-estimate
@@ -170,6 +171,15 @@ REDEFINED: dict[str, int] = {
     # 51 due entries into 50 seats -- so it takes the round+1 key per
     # the ORDERING REQUIREMENT and seats first at r14.
     "stream_novelty_index_compact": 14,
+    # round 13 change, round-14 seat (same saturation): the LSH
+    # candidate join's round-11 SHUFFLE_HASH pin came off
+    # (operators/dedup.candidate_pairs) -- its only registered
+    # consumer has fed it from the at-rest b_sig table since round 12,
+    # so the lying-estimate rationale is gone, while the pinned
+    # non-spillable hash build is the exact shape that OOM'd
+    # containment's pinned plan at sf100.  The r12 green row vouches
+    # for the pinned plan, so the face re-enters at r14.
+    "dedup_minhash_lsh": 14,
 }
 
 

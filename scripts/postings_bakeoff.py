@@ -61,9 +61,13 @@ def _measure(variant: str, sf_dir: str) -> dict:
     else:
         fn = (entry.queries()["dedup_ngram_jaccard"] if atrest
               else pipeline.dedup_ngram_jaccard_shuffle)
+    # SPARK_GRAFT_BENCH_MEM: the r13 spill probe -- rerunning a decade
+    # row at 2-3x the heap splits "algorithmic superlinear term" from
+    # "spill amplification at this heap size"
+    mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "24g")
     spark = get_spark(app_name=f"postings-bakeoff-{variant}",
                       extra_conf={"spark.ui.enabled": "false",
-                                  "spark.driver.memory": "24g"})
+                                  "spark.driver.memory": mem})
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = round(time.perf_counter() - t0, 3)
