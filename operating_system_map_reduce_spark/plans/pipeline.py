@@ -823,6 +823,55 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_jaccard_ppjoin_countjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard_ppjoin re-expressed as the pure COUNT-JOIN over
+    the at-rest postings -- UNREGISTERED r14-queue staging (the
+    two-round pattern), the fix for the one superlinear term the r13
+    fourth-decade probe named.
+
+    The probe (SCALING.md round-13): the registered face's candidate
+    generation is replica-linear through sf100 (3.34M -> 33.4M pairs,
+    exactly 10x) but its ARRAY verify ships pairs x ~4 KB shingle
+    arrays (~130 GB at sf100) through the b_sig join, crossing the
+    per-task spill threshold at any heap -- ~6 s at sf10 becomes
+    ~350 s at sf100.  The r12 containment bake-off taught the general
+    lesson: when the verify payload dominates, the count-join that
+    moves only narrow grouped rows wins.  At t = 0.7 the prefix
+    machinery cannot rescue the count form either (restricting
+    co-occurrence rows to candidates still generates every
+    co-occurrence row first), so this shape drops PPJoin's prefix
+    entirely: one exchange-free self-join of the shingle-bucketed
+    table with BOTH PPJoin length filters in the join condition
+    (J >= 0.7 forces 10*|A| >= 7*|B| both ways -- tighter than
+    ngram's t = 0.2 filter, so strictly fewer join rows than the
+    measured data-proportional ngram face), then |A inter B| as a
+    map-side-combining pair count and exact Jaccard arithmetic.
+    Identical rows to the registered face (differential-pinned in
+    tests/test_r14_queue.py; same jaccard >= 0.7 predicate BEFORE the
+    report rounding).  Prefix filtering remains the right candidate
+    generator when verification is cheap; its positional/prefix
+    machinery stays registered this round and in
+    dedup_jaccard_ppjoin_shuffle / dedup_containment_prefix."""
+    ex = bucketed_postings(spark, sf_dir)
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),
+                  F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+               & (F.col("n_a") * F.lit(10) >= F.col("n_b") * F.lit(7))
+               & (F.col("n_b") * F.lit(10) >= F.col("n_a") * F.lit(7)))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 DEDUP_PPJOIN_SQL = """
 WITH sh AS (
   SELECT doc_id,

@@ -45,7 +45,10 @@ def _measure(variant: str, sf_dir: str) -> dict:
     # measurement plumbing, not a plan change.
     base, _, flavor = variant.rpartition("_")
     atrest = flavor == "atrest" or variant == "atrest"
-    if base == "ppjoin":
+    if base == "ppjoincount":
+        # the r14-queue staged count-join verify (flavor ignored)
+        fn = pipeline.dedup_jaccard_ppjoin_countjoin
+    elif base == "ppjoin":
         fn = (entry.queries()["dedup_jaccard_ppjoin"] if atrest
               else pipeline.dedup_jaccard_ppjoin_shuffle)
     elif base in ("pagerank", "triangles"):
