@@ -1298,25 +1298,58 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-# Sweep age thresholds (round-13, closing the r12 advice item): PID
-# liveness alone misjudges two cases, both bounded by directory age.
+# Sweep disambiguation (round-13 age bounds, re-derived round 14 after
+# the advice caught the 24 h rule deleting a LIVE long-lived writer's
+# table: reads never bump dir mtime, so "idle a day" does not imply
+# "writer dead").  PID liveness alone misjudges two cases:
 # (a) A pre-PID-scheme writer's un-pid'd directory might belong to a
 #     STILL-RUNNING old-version sibling during a mixed-version overlap
-#     -- grant it a grace window instead of sweeping on sight.
+#     -- grant it a grace window instead of sweeping on sight (age is
+#     the only signal an un-pid'd name carries).
 # (b) A dead writer's RECYCLED pid that now belongs to an unrelated
-#     live process would make its orphan unsweepable forever -- age it
-#     out: no session here lives a day, so a "live" writer whose
-#     directory hasn't changed in 24 h is a recycled pid, not a reader.
+#     live process would make its orphan unsweepable forever.  The
+#     EXACT discriminator is process start time vs directory mtime: a
+#     writer necessarily predates its own write, so a pid whose
+#     process STARTED AFTER the directory was last written cannot be
+#     the writer -- recycled, sweep it -- while any process older than
+#     the write is presumed the (possibly multi-day) live writer and
+#     its directory is never touched.  No idle-time assumption at all;
+#     when the start time is unreadable (no /proc) the sweep stays
+#     conservative and leaves the directory alone.
 _SWEEP_UNPIDD_GRACE_SEC = 6 * 3600.0
-_SWEEP_RECYCLED_PID_SEC = 24 * 3600.0
 
 
-def _dir_age_sec(path: str) -> float:
-    import time
+def _dir_mtime(path: str) -> float | None:
     try:
-        return time.time() - os.stat(path).st_mtime
+        return os.stat(path).st_mtime
     except OSError:
-        return 0.0  # vanished mid-sweep: nothing left to sweep
+        return None  # vanished mid-sweep: nothing left to sweep
+
+
+def _pid_started_after(pid: int, ts: float) -> bool | None:
+    """True if ``pid``'s process started AFTER epoch ``ts`` (so it
+    cannot have written a directory last modified at ``ts``); None
+    when the start time cannot be determined (non-Linux / procfs
+    denied) -- callers must treat None as "could be the writer"."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # field 22 (1-based) is starttime in clock ticks since boot;
+        # the comm field may contain spaces/parens, so split after the
+        # LAST ')' where the fixed-width tail begins at field 3.
+        tail = stat.rsplit(")", 1)[1].split()
+        ticks = int(tail[19])  # field 22 = tail index 19 (fields 3..)
+        with open("/proc/stat", "rb") as fh:
+            for line in fh:
+                if line.startswith(b"btime "):
+                    btime = int(line.split()[1])
+                    break
+            else:
+                return None
+        hz = os.sysconf("SC_CLK_TCK")
+        return (btime + ticks / hz) > ts
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 # Intra-process write serialization (round-13 advice item): two
@@ -1398,19 +1431,37 @@ def _ensure_bucketed(spark: SparkSession, table: str, df, key: str,
                 if m is None:
                     continue
                 writer = int(m.group(1)) if m.group(1) else None
+                mtime = _dir_mtime(d)
+                if mtime is None:
+                    continue  # vanished mid-sweep
                 if writer is None:
                     # legacy un-pid'd name: maybe a still-running
                     # pre-PID-scheme sibling -- sweep only past grace
-                    if _dir_age_sec(d) <= _SWEEP_UNPIDD_GRACE_SEC:
+                    import time
+                    if time.time() - mtime <= _SWEEP_UNPIDD_GRACE_SEC:
                         continue
                 elif writer != os.getpid() and _pid_alive(writer):
-                    # live sibling -- never touched, UNLESS the pid is
-                    # a recycled one (dead writer, unrelated live
-                    # process): aged out by _SWEEP_RECYCLED_PID_SEC
-                    if _dir_age_sec(d) <= _SWEEP_RECYCLED_PID_SEC:
+                    # live pid: sweep ONLY when the process provably
+                    # started after the directory was written (recycled
+                    # pid -- it cannot be the writer).  A process older
+                    # than the write, or one whose start time is
+                    # unreadable, is presumed the live writer (maybe
+                    # multi-day) and never touched -- round-14 advice
+                    # fix replacing the 24 h idle heuristic that could
+                    # delete a long-lived sibling's in-use table.
+                    if _pid_started_after(writer, mtime) is not True:
                         continue
                 shutil.rmtree(d, ignore_errors=True)
         write_bucketed(df, table, key, n_buckets=n_buckets)
+
+
+# Warehouse dirs where a bucketed write has FAILED this process (e.g.
+# read-only filesystem): at_rest_table degrades to serving the build()
+# plan per query instead of failing every registered face that assumed
+# a writable spark.sql.warehouse.dir (round-14 advice fix).  Keyed on
+# the warehouse URI so one failed probe stops re-paying a doomed write
+# job per query.
+_RO_WAREHOUSES: set = set()
 
 
 def at_rest_table(spark: SparkSession, sf_dir: str, prefix: str, key: str,
@@ -1426,11 +1477,37 @@ def at_rest_table(spark: SparkSession, sf_dir: str, prefix: str, key: str,
     nothing persisted.  The tag is st_mtime_ns (round-13 advice fix):
     whole-second truncation let an in-place regeneration WITHIN one
     second reuse the stale table against a fresh-parquet oracle --
-    the exact hazard the tag exists to prevent."""
+    the exact hazard the tag exists to prevent.
+
+    Degrade path (round-14 advice fix): a warehouse the process cannot
+    write (read-only volume, quota) must not turn every at-rest face
+    into a write error -- on a failed table write the build() plan is
+    returned directly (identical rows; the bucketed layout is a pure
+    optimization) and the warehouse is remembered as read-only so
+    later calls skip the doomed write job.  If the BUILD itself is
+    broken the error still surfaces: the degraded return re-runs the
+    same plan and fails the same way at execution."""
     mt = os.stat(os.path.join(sf_dir, source)).st_mtime_ns
     table = bucketed_table_name(prefix, sf_dir, mt)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh in _RO_WAREHOUSES:
+        return build()
     if not spark.catalog.tableExists(table):
-        _ensure_bucketed(spark, table, build(), key, n_buckets)
+        try:
+            _ensure_bucketed(spark, table, build(), key, n_buckets)
+        except Exception as exc:
+            _RO_WAREHOUSES.add(wh)
+            try:  # a half-written table must not shadow the degrade
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+            import warnings
+            warnings.warn(
+                f"at_rest_table: bucketed write of {table!r} failed "
+                f"({exc.__class__.__name__}); degrading to the "
+                "un-bucketed per-query plan for this warehouse",
+                RuntimeWarning, stacklevel=2)
+            return build()
     return spark.table(table)
 
 

@@ -101,8 +101,14 @@ def _as_index_rows(bands: DataFrame | None = None,
 
 def _seed_index(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> str:
     # applicationId, not id(spark): CPython reuses object ids after GC,
-    # so a new session could silently hit a dead session's cache slot
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # so a new session could silently hit a dead session's cache slot.
+    # documents.parquet st_mtime_ns rides the key too (round-14 advice
+    # fix, matching curation._CMS_TC_CACHE and the at_rest_table tags):
+    # an in-place testdata regeneration mid-session must invalidate the
+    # seed index or the stream admits against stale bands while the
+    # oracle reads fresh parquet.
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+           os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns)
     slot = _SEED_CACHE.get("seed")
     if slot is not None and slot[0] == key:
         return slot[1]

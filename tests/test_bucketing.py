@@ -85,17 +85,21 @@ class TestEnsureBucketedStaleSweep:
         prefixes, digit-ambiguous cousins, catalog-registered tables,
         live siblings, or (round-13 age bounds) young un-pid'd legacy
         names (a mixed-version overlap's still-running writer) --
-        while a 'live' pid whose directory is > 24 h idle IS swept
-        (recycled pid: the dead writer's orphan would otherwise be
-        unsweepable forever)."""
+        while a 'live' pid whose directory PREDATES the process IS
+        swept (recycled pid: the process cannot be the writer; the
+        dead writer's orphan would otherwise be unsweepable forever).
+        Round-14 advice fix: the discriminator is process start time
+        vs dir mtime, NOT idleness -- a long-lived writer's old-but-
+        post-start directory is kept (the 24 h idle rule used to
+        delete it mid-read)."""
         import os
         import subprocess
         import time
         from urllib.parse import urlparse
 
         from operating_system_map_reduce_spark.plans.analytics import (
-            _SWEEP_RECYCLED_PID_SEC, _SWEEP_UNPIDD_GRACE_SEC,
-            _ensure_bucketed)
+            _SWEEP_UNPIDD_GRACE_SEC, _ensure_bucketed,
+            _pid_started_after)
         from operating_system_map_reduce_spark.sources.tables import load_table
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -111,20 +115,28 @@ class TestEnsureBucketedStaleSweep:
         # (absent in rootless / PID-namespaced CI)
         live = os.getppid()
         old = time.time() - _SWEEP_UNPIDD_GRACE_SEC - 60
-        ancient = time.time() - _SWEEP_RECYCLED_PID_SEC - 60
+        # recycled-pid probe: a dir whose mtime PREDATES the live
+        # process's start -- find a pre-start instant by bisecting with
+        # the discriminator itself is overkill; one hour before this
+        # test process launched is necessarily before its (recent)
+        # parent too when the suite runs under a fresh shell, but to
+        # stay exact we probe: skip the recycled subcase if the parent
+        # somehow predates it (e.g. pytest under a week-old daemon).
+        pre_start = time.time() - 3600.0
+        parent_is_newer = _pid_started_after(live, pre_start)
         stale = os.path.join(wh, "b_sweepprobe_x_1000")  # legacy, OLD
         fresh_unpidd = os.path.join(wh, "b_sweepprobe_x_1001")  # legacy, young
         stale_dead = os.path.join(wh, f"b_sweepprobe_x_1000_p{dead}")
         stale_mine = os.path.join(wh, f"b_sweepprobe_x_1000_p{me}")
         live_sibling = os.path.join(wh, f"b_sweepprobe_x_1000_p{live}")
-        recycled = os.path.join(wh, f"b_sweepprobe_x_1002_p{live}")  # ancient
+        recycled = os.path.join(wh, f"b_sweepprobe_x_1002_p{live}")  # pre-start
         cousin = os.path.join(wh, "b_sweepprobe_x_1000_extra")
         other = os.path.join(wh, "b_sweepother_x_1000")
         for d in (stale, fresh_unpidd, stale_dead, stale_mine, live_sibling,
                   recycled, cousin, other):
             os.makedirs(d, exist_ok=True)
         os.utime(stale, (old, old))
-        os.utime(recycled, (ancient, ancient))
+        os.utime(recycled, (pre_start, pre_start))
         table = f"b_sweepprobe_x_2000_p{me}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         df = load_table(spark, sf_dir, "region").select("r_regionkey")
@@ -136,14 +148,76 @@ class TestEnsureBucketedStaleSweep:
             assert not os.path.isdir(stale_dead), "dead writer's tag swept"
             assert not os.path.isdir(stale_mine), "own older tag swept"
             assert os.path.isdir(live_sibling), \
-                "a LIVE sibling's recent directory must never be touched"
-            assert not os.path.isdir(recycled), \
-                "a 'live' pid with a >24h-idle directory is a recycled pid"
+                "a LIVE sibling's post-start directory must never be touched"
+            if parent_is_newer is True:
+                assert not os.path.isdir(recycled), \
+                    "a live pid whose process started AFTER the dir was " \
+                    "written cannot be its writer (recycled pid) -- swept"
+            else:
+                # parent predates the probe mtime (or /proc unreadable):
+                # the sweep must stay conservative and keep it
+                assert os.path.isdir(recycled)
             assert os.path.isdir(cousin), "non-pure-digit suffix kept"
             assert os.path.isdir(other), "other prefixes kept"
             assert spark.catalog.tableExists(table)
         finally:
             import shutil
             spark.sql(f"DROP TABLE IF EXISTS {table}")
-            for d in (fresh_unpidd, live_sibling, cousin, other):
+            for d in (fresh_unpidd, live_sibling, recycled, cousin, other):
                 shutil.rmtree(d, ignore_errors=True)
+
+    def test_at_rest_table_degrades_when_warehouse_unwritable(
+            self, spark, sf_dir, monkeypatch):
+        """A read-only warehouse must not turn the at-rest faces into
+        write errors (round-14 advice): the first failed write flags
+        the warehouse and returns the build() plan (identical rows);
+        later calls skip the doomed write job entirely."""
+        import pytest as _pytest
+
+        from operating_system_map_reduce_spark.plans import analytics
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            raise OSError(30, "Read-only file system")
+
+        monkeypatch.setattr(analytics, "_ensure_bucketed", boom)
+        monkeypatch.setattr(analytics, "_RO_WAREHOUSES", set())
+
+        def build():
+            return load_table(spark, sf_dir, "region").select("r_regionkey")
+
+        with _pytest.warns(RuntimeWarning, match="degrading"):
+            df = analytics.at_rest_table(
+                spark, sf_dir, "b_degradeprobe", "r_regionkey", build,
+                source="region.parquet")
+        assert df.count() == build().count()
+        df2 = analytics.at_rest_table(
+            spark, sf_dir, "b_degradeprobe", "r_regionkey", build,
+            source="region.parquet")
+        assert df2.count() == build().count()
+        assert calls["n"] == 1, "flagged warehouse must skip the write"
+
+    def test_pid_started_after_discriminator(self):
+        """The recycled-pid discriminator itself: this very process
+        started after any sufficiently-old instant and before any
+        future instant; an unreadable pid yields None (conservative:
+        presumed writer, never swept)."""
+        import os
+        import time
+
+        from operating_system_map_reduce_spark.plans.analytics import (
+            _pid_started_after)
+
+        me = os.getpid()
+        # 10 years ago: certainly before this process started
+        assert _pid_started_after(me, time.time() - 315e6) is True
+        # the future: no process starts after it
+        assert _pid_started_after(me, time.time() + 3600) is False
+        # a reaped pid has no /proc entry -> None, not an exception
+        import subprocess
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        assert _pid_started_after(proc.pid, time.time()) in (None, False)
