@@ -768,9 +768,19 @@ def dedup_jaccard_ppjoin_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_jaccard_ppjoin over the two at-rest tables -- REGISTERED
-    round 13 (staged + measured round 12, the seat-exact swap).
+def dedup_jaccard_ppjoin_arrayverify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix/positional + ARRAY-verify shape dedup_jaccard_ppjoin
+    registered in round 13 -- UNREGISTERED since the r14 count-join
+    swap (the r13 fourth-decade probe localized the face's only
+    superlinear term to this shape's array verify: pairs x ~4 KB
+    shingle arrays ~ 130 GB at sf100 crossing the per-task spill
+    threshold at any heap, ~6 s at sf10 -> ~350 s at sf100, while
+    candidates measured exactly replica-linear).  Kept as the
+    differential witness the registered count form is pinned against
+    in tests/test_r14_queue.py, and as the living exercise of the
+    PPJoin prefix/positional machinery -- the right candidate
+    generator when verification is cheap (high thresholds, short
+    arrays, or a pre-verified pair sink).
     Candidates: the PPJoin prefix/positional pipeline unchanged (see
     dedup_jaccard_ppjoin_shuffle above for the full filter account),
     but fed from bucketed_postings -- the corpus-wide frequency
@@ -823,13 +833,13 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_jaccard_ppjoin_countjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_jaccard_ppjoin re-expressed as the pure COUNT-JOIN over
-    the at-rest postings -- UNREGISTERED r14-queue staging (the
-    two-round pattern), the fix for the one superlinear term the r13
-    fourth-decade probe named.
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard_ppjoin as the pure COUNT-JOIN over the at-rest
+    postings -- REGISTERED round 14 (staged + differential-pinned
+    round 13 under the two-round pattern), the fix for the one
+    superlinear term the r13 fourth-decade probe named.
 
-    The probe (SCALING.md round-13): the registered face's candidate
+    The probe (SCALING.md round-13): the r13 face's candidate
     generation is replica-linear through sf100 (3.34M -> 33.4M pairs,
     exactly 10x) but its ARRAY verify ships pairs x ~4 KB shingle
     arrays (~130 GB at sf100) through the b_sig join, crossing the
@@ -846,12 +856,15 @@ def dedup_jaccard_ppjoin_countjoin(spark: SparkSession, sf_dir: str) -> DataFram
     ngram's t = 0.2 filter, so strictly fewer join rows than the
     measured data-proportional ngram face), then |A inter B| as a
     map-side-combining pair count and exact Jaccard arithmetic.
-    Identical rows to the registered face (differential-pinned in
-    tests/test_r14_queue.py; same jaccard >= 0.7 predicate BEFORE the
-    report rounding).  Prefix filtering remains the right candidate
-    generator when verification is cheap; its positional/prefix
-    machinery stays registered this round and in
-    dedup_jaccard_ppjoin_shuffle / dedup_containment_prefix."""
+    Identical rows to the r13 array-verify shape (differential-pinned
+    in tests/test_r14_queue.py against dedup_jaccard_ppjoin_arrayverify
+    above and the through-Python witness; same jaccard >= 0.7
+    predicate BEFORE the report rounding).  Prefix filtering remains
+    the right candidate generator when verification is cheap; its
+    positional/prefix machinery stays exercised in the arrayverify
+    witness, dedup_jaccard_ppjoin_shuffle, and
+    dedup_containment_prefix.  Reference anchor: the full-scan tier
+    these faces implement is p5/server/map.h:80-81."""
     ex = bucketed_postings(spark, sf_dir)
     a = ex.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "s")
     b = ex.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"),

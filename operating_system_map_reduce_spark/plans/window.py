@@ -67,14 +67,18 @@ STALENESS_CEILING = 2  # rounds behind HEAD at judge time
 # re-greens it the jump expires on its own.  Append-only ledger -- old
 # entries are kept as the audit trail.
 #
-# ORDERING REQUIREMENT (round-granularity, round-11 advice): the check
-# is ``redefined[n] > ledger[n]`` and both sides are ROUND numbers, so
-# a green row recorded in round R BEFORE a late-round-R plan change
-# would satisfy it and silently vouch for the obsolete plan at R+1.
-# Plan-change commits must therefore land before the round's gate run
-# (this repo's rounds end with the single driver gate, so commits
-# always precede it); a plan change made AFTER a round's gate has
-# already produced its row must be keyed to round+1 here.
+# ORDERING REQUIREMENT (round-granularity; round-11 advice, bound
+# tightened round 13): the check is the bounded
+# ``ledger[n] < redefined[n] <= current_round`` in both build_window
+# and due_entries, and all three are ROUND numbers.  A green row
+# recorded in round R BEFORE a late-round-R plan change would satisfy
+# the lower bound and silently vouch for the obsolete plan at R+1, so
+# plan-change commits must land before the round's gate run (this
+# repo's rounds end with the single driver gate, so commits always
+# precede it); a plan change made AFTER a round's gate already
+# produced its row is keyed to round+1 here, and the upper bound then
+# DEFERS it automatically -- a round+1 key is due NEXT round, not now,
+# and cannot displace the current round's computed seats early.
 REDEFINED: dict[str, int] = {
     # round 7 (see _window7_history in plans/__init__.py)
     "orders_above_customer_avg": 7,
@@ -115,10 +119,14 @@ REDEFINED: dict[str, int] = {
     # graph timings ~2x run-to-run.
     "pagerank_neardup": 13,
     "dedup_graph_triangles": 13,
-    # round 13: PPJoin adopts the staged at-rest body -- candidates
-    # from b_post, verify arrays from b_sig, no Python stage, no
-    # localCheckpoint.  sf10 floors 50.3-55.2 -> 24.9-26.8 s.
-    "dedup_jaccard_ppjoin": 13,
+    # round 14 (superseding its round-13 at-rest-swap entry): the
+    # verify re-expressed as the pure count-join over b_post (narrow
+    # (id_a,id_b) grouped rows instead of pairs x ~4 KB array payload
+    # -- the r13 fourth-decade probe's one named superlinear term,
+    # staged + differential-pinned in r13 under the two-round
+    # pattern).  The r13 array-verify shape lives on unregistered as
+    # dedup_jaccard_ppjoin_arrayverify, the witness.
+    "dedup_jaccard_ppjoin": 14,
     # round 11: the mechanical sweep that followed
     # (tests/test_plans.py PYSTAGE_BROADCAST_BOUNDED) found the same
     # lying-estimate broadcast in three more faces; their

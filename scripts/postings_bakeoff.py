@@ -46,10 +46,12 @@ def _measure(variant: str, sf_dir: str) -> dict:
     base, _, flavor = variant.rpartition("_")
     atrest = flavor == "atrest" or variant == "atrest"
     if base == "ppjoincount":
-        # the r14-queue staged count-join verify (flavor ignored)
-        fn = pipeline.dedup_jaccard_ppjoin_countjoin
+        # the count-join verify -- REGISTERED as the face since r14
+        fn = entry.queries()["dedup_jaccard_ppjoin"]
     elif base == "ppjoin":
-        fn = (entry.queries()["dedup_jaccard_ppjoin"] if atrest
+        # "atrest" = the r13 prefix/positional + array-verify shape
+        # (unregistered witness since the r14 count-join swap)
+        fn = (pipeline.dedup_jaccard_ppjoin_arrayverify if atrest
               else pipeline.dedup_jaccard_ppjoin_shuffle)
     elif base in ("pagerank", "triangles"):
         if not atrest:

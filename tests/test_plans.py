@@ -599,8 +599,13 @@ class TestRound5PlanShapes:
     def test_ppjoin_has_positional_filter(self, spark, sf_dir):
         """The candidate join condition carries the positional bound
         (least of remaining suffix lengths) -- the PPJoin pruning
-        lever, not just the prefix cut."""
-        plan = _plan(_QUERIES["dedup_jaccard_ppjoin"](spark, sf_dir))
+        lever, not just the prefix cut.  Since the r14 count-join swap
+        the prefix/positional machinery lives in the unregistered
+        arrayverify witness (the registered face needs no candidate
+        generator: its verify IS the count aggregate)."""
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            dedup_jaccard_ppjoin_arrayverify)
+        plan = _plan(dedup_jaccard_ppjoin_arrayverify(spark, sf_dir))
         assert "least(" in plan, plan
 
 

@@ -7,8 +7,11 @@ The five postings-consumer faces now ride the at-rest tables:
     table (exchange-free; round-11 SHUFFLE_HASH pin DROPPED -- nothing
     is left for a lying estimate to break, and at rest the pin
     measured as noise);
-  * dedup_containment    -- same postings source; pin KEPT (changed
-    job: hash-build-over-sort on co-bucketed scans, measured 1.7x);
+  * dedup_containment    -- same postings source; pin REMOVED late in
+    the round (the planned keep -- hash-build-over-sort, 1.7x at sf10
+    -- was REVERSED by the round's own sf100 run: the SHJ per-bucket
+    hash build cannot spill and OOMs at the fourth decade; registered
+    shape is the unpinned exchange-free SortMergeJoin);
   * dedup_jaccard_ppjoin -- candidates from b_post, verify arrays from
     the doc_id-bucketed b_sig table; no materialization at all;
   * pagerank_neardup / dedup_graph_triangles -- edge set from the
@@ -108,8 +111,13 @@ class TestAtRestPostings:
     def test_ppjoin_plan_shape(self, spark, sf_dir):
         """No Python stage anywhere; both at-rest tables feed the plan;
         no localCheckpoint/persist scan (every reused subtree is a
-        table scan, so nothing pins executor storage)."""
-        plan = _plan(_QUERIES["dedup_jaccard_ppjoin"](spark, sf_dir))
+        table scan, so nothing pins executor storage).  Pins the R13
+        prefix/positional + array-verify shape -- unregistered as
+        dedup_jaccard_ppjoin_arrayverify since the r14 count-join swap
+        (tests/test_r14_queue.py pins the registered face)."""
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            dedup_jaccard_ppjoin_arrayverify)
+        plan = _plan(dedup_jaccard_ppjoin_arrayverify(spark, sf_dir))
         for node in _PY_NODES:
             assert node not in plan, f"{node} in the at-rest plan:\n{plan}"
         low = plan.lower()
