@@ -32,6 +32,69 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
     w.saveAsTable(table)
 
 
+def append_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
+                    sort: bool = True) -> None:
+    """Append delta rows into an existing bucketed table (same spec --
+    Spark enforces the bucket count/key match).
+
+    The scale contract this preserves: every append lands its rows in
+    the CORRECT bucket files (one new file per non-empty bucket), so
+    co-bucketed joins stay exchange-free across any number of appends
+    -- the corpus-sized rows still never move.  What an append does
+    cost: a bucket holding more than one file loses the at-rest SORT
+    guarantee (Spark only trusts sortBy when a bucket is a single
+    file), so downstream SortMergeJoins regain their per-bucket sort
+    until ``compact_bucketed`` rewrites one file per bucket -- the
+    same append-then-compact lifecycle as the reference's changelog +
+    SAV (p2/server/map.h SAV contract), applied to the analytic
+    at-rest tier.  At 100 TB this is the difference between paying
+    the delta (minutes) and paying the corpus (hours) on every
+    ingest tick."""
+    w = df.write.format("parquet").mode("append").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def compact_bucketed(spark: SparkSession, table: str, key: str,
+                     n_buckets: int = 16, sort: bool = True) -> None:
+    """Rewrite an append-fragmented bucketed table to one file per
+    bucket, restoring the at-rest sort guarantee appends suspend (see
+    append_bucketed).  The rewrite is a full pass over the table --
+    exactly the reference's SAV compaction economics: pay it
+    periodically, not per ingest tick.  Implemented as write-aside +
+    catalog rename so a failure mid-rewrite leaves the original table
+    intact (readers of the OLD table in this session keep their
+    files; same atomic-swap discipline as sources/changelog.compact)."""
+    tmp = f"{table}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # A bucketed write emits one file per bucket PER TASK, so reaching
+    # one file per bucket needs each task to hold exactly one bucket.
+    # FORCING the bucketed scan does that with NO shuffle: one task
+    # per input bucket reads that bucket's fragment files and writes
+    # the merged (re-sorted) single file for the same bucket -- the
+    # compaction is a per-bucket local rewrite, which is also the
+    # 100 TB plan (an explicit repartition would be both a corpus
+    # shuffle AND is silently elided by the planner against a
+    # bucketed source -- probed round 14, leaving one file per
+    # arbitrary task).  autoBucketedScan would otherwise drop the
+    # bucket layout here because the write expresses no distribution
+    # requirement.  (saveAsTable reads the old files and writes new
+    # ones; the source table is untouched until the swap.)
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto, None)
+    spark.conf.set(auto, "false")
+    try:
+        write_bucketed(spark.table(table), tmp, key, n_buckets, sort)
+    finally:
+        if prev is None:
+            spark.conf.unset(auto)
+        else:
+            spark.conf.set(auto, prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   key: str) -> DataFrame:
     """Join two co-bucketed tables on their bucket key.  With matching
