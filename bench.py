@@ -21,7 +21,12 @@ between warm-up and the timed run, so reported numbers are cold on
 every data-proportional pass of the plan.
 
 The output line also carries ``kv_mix``: the reference's intset
-microbench (p2/bench/bench.cc:175-183 report shape) as ops/sec.
+microbench (p2/bench/bench.cc:175-183 report shape) as ops/sec --
+since round 14 a single fused join+aggregate job, median of three
+timed runs after an untimed warm-up, with the measured job-submit
+overhead reported separately (``kv_mix_engine_ops_per_sec`` is the
+rate net of it).  The r11-r13 six-job 32M-op series is NOT comparable
+to the round-14+ scalar.
 """
 
 from __future__ import annotations
@@ -155,25 +160,52 @@ def _clear_stat_caches() -> None:
             pass
 
 
-def kv_mix_bench(spark, n_ops: int = 1 << 25, key_range: int = 1 << 20) -> dict:
+def kv_mix_bench(spark, n_ops: int = 1 << 29, key_range: int = 1 << 20) -> dict:
     """The reference's intset microbench shape (p2/bench/bench.cc:21-25,
     96-99: 50% pre-fill, 80% lookup / 10% insert / 10% remove),
-    re-expressed as Spark bulk set operations: each op class becomes one
-    distributed (anti-)join against the pre-filled table instead of a
-    per-op critical section.  Reports ops/sec over the whole mix.
+    re-expressed as Spark bulk set operations.  Reports ops/sec over
+    the whole mix.
 
-    n_ops defaults to 32M: the six bulk jobs cost ~3.6 s of FIXED
-    scheduling overhead regardless of op count (1M ops -> 0.28M ops/s,
-    32M -> 9.2M ops/s in the SAME wall time), so a small mix measures
-    Spark's job latency, not the engine's set throughput.  The detail
-    dict reports total_ops so the denominator is explicit."""
+    Re-shaped round 14 (the r13 verdict's "What's wrong #2"): the
+    previous shape ran SIX bulk jobs (three class-filtered joins +
+    three counts), so at 32M ops the wall was dominated by ~3-5 s of
+    fixed job-submit/scheduling latency whose amplitude moves with
+    host state -- two rounds chased apparent regressions that a
+    same-day A/B at constant code adjudicated as environment
+    (SCALING.md rounds 12-13).  The mix is now ONE fused job: a single
+    left join of ALL op classes against the pre-filled table feeding
+    one conditional-count aggregate (each op consults the map exactly
+    once -- closer to the reference's loop, too).  The remaining
+    per-job overhead is MEASURED (median of three trivial jobs) and
+    reported separately, so the detail splits the engine term from
+    the scheduling term instead of blending them:
+
+      * wall_sec / wall_runs -- MEDIAN of three timed fused-job runs
+                               after one untimed warm-up (same
+                               discipline as the headline queries:
+                               codegen/worker boot excluded, every
+                               data pass included), all runs reported
+      * job_overhead_sec    -- bare job-submit latency on this box now
+      * ops_per_sec         -- n_ops / median wall (the headline scalar)
+      * engine_ops_per_sec  -- n_ops / (wall - overhead): the map-phase
+                               rate with the scheduling term removed
+
+    n_ops rises 32M -> 512M with the re-shape: the fused job is so
+    much faster (~0.7-1.0 s for the old 32M) that scheduling jitter
+    was still a visible fraction; at 512M the timed region is several
+    seconds of pure scan+join+aggregate and the overhead term is
+    low-single-digit percent.  Cross-round comparisons: ops_per_sec is
+    comparable from round 14 on (the r11-r13 series used the six-job
+    32M shape and is NOT comparable); same-day same-box remains the
+    only valid A/B protocol for sub-1.2x moves, and engine_ops_per_sec
+    subtracts the measured overhead term from what remains."""
     import time
 
     from pyspark.sql import functions as F
 
     base = (spark.range(key_range)
             .filter(F.pmod(F.hash(F.col("id")), F.lit(2)) == 0)
-            .select(F.col("id").alias("key")))
+            .select(F.col("id").alias("key"), F.lit(1).alias("present")))
     ops = spark.range(n_ops).select(
         F.col("id"),
         F.pmod(F.hash(F.col("id") + 7), F.lit(10)).alias("klass"),
@@ -182,26 +214,54 @@ def kv_mix_bench(spark, n_ops: int = 1 << 25, key_range: int = 1 << 20) -> dict:
     base = base.cache()
     n_base = base.count()  # materialize pre-fill outside the timed region
 
-    t0 = time.perf_counter()
-    lookups = ops.filter(F.col("klass") < 8)
-    hits = lookups.join(base, "key", "left_semi").count()
-    lookup_n = lookups.count()
-    inserts = ops.filter(F.col("klass") == 8)
-    ins_ok = inserts.join(base, "key", "left_anti").count()   # would-insert
-    ins_n = inserts.count()
-    removes = ops.filter(F.col("klass") == 9)
-    rm_ok = removes.join(base, "key", "left_semi").count()    # would-remove
-    rm_n = removes.count()
-    dt = time.perf_counter() - t0
+    # bare job-submit latency, median of 3: the fixed cost any Spark
+    # job pays on this box RIGHT NOW (driver RPC, scheduler, task
+    # launch) -- measured so the engine term can be reported net of it
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        lat.append(time.perf_counter() - t0)
+    job_overhead = sorted(lat)[1]
+
+    # pre-fill keys are unique by construction (a filtered range), so
+    # the left join is row-preserving and `present` marks membership
+    hit = F.col("present").isNotNull()
+
+    def mix():
+        return (
+            ops.join(base, "key", "left")
+            .agg(
+                F.count(F.when((F.col("klass") < 8) & hit, 1)).alias("hits"),
+                F.count(F.when(F.col("klass") < 8, 1)).alias("lookup_n"),
+                F.count(F.when((F.col("klass") == 8) & ~hit, 1)).alias("ins_ok"),
+                F.count(F.when(F.col("klass") == 8, 1)).alias("ins_n"),
+                F.count(F.when((F.col("klass") == 9) & hit, 1)).alias("rm_ok"),
+                F.count(F.when(F.col("klass") == 9, 1)).alias("rm_n"),
+            )
+            .first()
+        )
+
+    row = mix()  # untimed warm-up: codegen + broadcast build
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        row = mix()
+        walls.append(round(time.perf_counter() - t0, 4))
+    dt = sorted(walls)[1]
     base.unpersist()
     return {
         "prefill": n_base,
-        "lookup_hit": hits, "lookup_miss": lookup_n - hits,
-        "insert_ok": ins_ok, "insert_dup": ins_n - ins_ok,
-        "remove_ok": rm_ok, "remove_miss": rm_n - rm_ok,
+        "lookup_hit": row["hits"], "lookup_miss": row["lookup_n"] - row["hits"],
+        "insert_ok": row["ins_ok"], "insert_dup": row["ins_n"] - row["ins_ok"],
+        "remove_ok": row["rm_ok"], "remove_miss": row["rm_n"] - row["rm_ok"],
         "total_ops": n_ops,
-        "wall_sec": round(dt, 4),
+        "wall_sec": dt,
+        "wall_runs": walls,
+        "job_overhead_sec": round(job_overhead, 4),
         "ops_per_sec": round(n_ops / dt, 1),
+        "engine_ops_per_sec": round(
+            n_ops / max(dt - job_overhead, 1e-9), 1),
     }
 
 
@@ -295,6 +355,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "kv_mix_ops_per_sec": mix["ops_per_sec"],
+        "kv_mix_engine_ops_per_sec": mix["engine_ops_per_sec"],
         "detail_file": "BENCH_DETAIL.json",
     })
     assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
