@@ -166,6 +166,37 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # ppjoin -- SCALING.md round-13); stage under the two-round
     # pattern or re-enter if a seat spares.  NO new faces (headroom
     # decision, directive #8).
+    # Round 14 (registry 144, unchanged): EXECUTED as planned.  The
+    # staged count-join REGISTERED as dedup_jaccard_ppjoin (REDEFINED
+    # -> 14; the r13 prefix/positional + array-verify shape lives on
+    # unregistered as dedup_jaccard_ppjoin_arrayverify, the witness)
+    # -- 46 due entries into 50 seats, deferred_due() empty, the
+    # three debt entries (top_customers_window + the two r14-keyed
+    # re-entries) all seated.  sf10 (bakeoff protocol): count-join
+    # floors ~10.1 s vs the arrayverify face's 24.9-26.8 -- and the
+    # sf100 rows are in SCALING.md round-14 (the verify term's fix
+    # verified at the decade that exposed it).  Also this round, all
+    # under the two-round pattern or zero-seat: the incremental
+    # postings maintenance staging (postings_seed/append +
+    # append_bucketed/compact_bucketed + the ChangeLog delta feed,
+    # pinned in tests/test_r15_queue.py -- the r15 queue's
+    # registration candidate), the kv-mix re-shape (bench.py: one
+    # fused job, overhead split out), the graph tier's first sf100
+    # rows, and the five r13-advice closures (sweep start-time
+    # discriminator, seed-cache mtime key, RO-warehouse degrade, two
+    # doc fixes).
+    # ROUND-15 QUEUE: (1) any red r14 rows lead, per the standing
+    # rule.  (2) Rule-2 re-entry candidates: NONE pending from r14
+    # plan changes (the ppjoin swap's row lands at r14; verify before
+    # declaring).  (3) Registration candidate: an incremental-
+    # maintenance face exercising postings_seed/append/compact +
+    # changelog feed end-to-end as a driver-rowed query (oracle: the
+    # from-scratch rebuild, the changelog_incremental_agg pattern) --
+    # IF a seat spares beyond the due set and the headroom line
+    # (registry <= 150) holds: 144 + 1 = 145 keeps ceiling-2
+    # feasible.  (4) The r11-green cohort hits the ceiling at r15 and
+    # MUST seat (48 entries by the histogram) -- count seats before
+    # spending any on (3).  NO other new faces.
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green
