@@ -616,6 +616,70 @@ def postings_delta_from_changelog(log, since_seq: int) -> DataFrame:
         log.raw().filter(F.col(log.seq_col) > F.lit(int(since_seq))))
 
 
+# Session-local completion ledger for the staged incremental table:
+# tableExists alone cannot distinguish a finished lifecycle from one
+# that died between seed and compact in THIS session (cross-session
+# half-builds are already handled -- a new pid gets a new name and the
+# stale sweep collects the orphan).
+_INCR_COMPLETE: set = set()
+
+
+def incremental_postings_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """The staged incremental-maintenance lifecycle as a standing
+    artifact: seed the postings table from the corpus MINUS a 1% tail
+    (pmod(doc_id, 100) = 0 -- the simulated ingest delta), APPEND the
+    tail's postings (the maintenance tick), then COMPACT back to one
+    file per bucket.  Keyed like every at-rest table (sf tag, source
+    st_mtime_ns, writer pid; swept by the same _ensure_bucketed pass
+    that writes the seed), so the lifecycle runs once per session and
+    every later reference is a bucketed table scan.  By the
+    equivalence tests/test_r15_queue.py pins, the result is
+    row-identical to a from-scratch build over ALL documents -- which
+    is exactly what lets dedup_ngram_incremental below share the
+    from-scratch DuckDB oracle."""
+    import os as _os
+
+    from operating_system_map_reduce_spark.plans.analytics import (
+        _ensure_bucketed, _table_lock, bucketed_table_name)
+    from operating_system_map_reduce_spark.sources.bucketing import (
+        compact_bucketed)
+
+    mt = _os.stat(_os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    table = bucketed_table_name("b_posti", sf_dir, mt)
+    with _table_lock(table + "#lifecycle"):
+        if table in _INCR_COMPLETE and spark.catalog.tableExists(table):
+            return table
+        if spark.catalog.tableExists(table):
+            # this session started the lifecycle and died mid-way:
+            # rebuild from scratch (fails loudly, never serves a
+            # half-maintained table)
+            spark.sql(f"DROP TABLE {table}")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        is_delta = F.pmod(F.col("doc_id"), F.lit(100)) == 0
+        _ensure_bucketed(spark, table,
+                         _dd.shingle_postings(docs.filter(~is_delta)),
+                         "s", n_buckets=32)
+        postings_append(spark, docs.filter(is_delta), table, n_buckets=32)
+        compact_bucketed(spark, table, "s", n_buckets=32)
+        _INCR_COMPLETE.add(table)
+    return table
+
+
+def dedup_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served from the INCREMENTALLY-MAINTAINED
+    postings table (seed 99% -> append 1% tick -> compact) --
+    UNREGISTERED r15-queue staging (the two-round pattern; the r15
+    registration candidate named in the round-14 queue note).  The
+    plan is dedup_ngram_jaccard's exactly -- same exchange-free
+    bucketed self-join, same pair aggregate -- only the scan is the
+    maintained table, so the driver gate would prove maintenance ==
+    rebuild end-to-end against the same from-scratch DuckDB oracle
+    (DEDUP_NGRAM_SQL) the registered ngram face uses."""
+    return (_ngram_pair_rows(
+        spark.table(incremental_postings_demo_table(spark, sf_dir)))
+        .orderBy("id_a", "id_b"))
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index set-similarity join over the AT-REST bucketed
     postings table (registered round 13 -- the seat-exact swap the

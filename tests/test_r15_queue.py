@@ -147,6 +147,22 @@ class TestIncrementalPostings:
             log.replay().select("doc_id", "text")))
         assert got == want
 
+    def test_staged_face_matches_registered_ngram(self, spark, sf_dir):
+        """The r15 registration candidate: dedup_ngram_incremental
+        (pairs served from the seed->append->compact lifecycle table)
+        must be row-identical to the registered dedup_ngram_jaccard
+        over the full corpus -- the same from-scratch-oracle
+        equivalence the driver gate would enforce."""
+        import __spark_entry__ as entrymod
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            dedup_ngram_incremental)
+
+        got = _rows(dedup_ngram_incremental(spark, sf_dir))
+        want = _rows(entrymod.queries()["dedup_ngram_jaccard"](
+            spark, sf_dir))
+        assert got == want
+        assert len(got) > 0
+
     def test_compact_restores_single_file_per_bucket(self, spark, sf_dir,
                                                      postings_table):
         """After the SAV-analog compaction: identical rows, and the
