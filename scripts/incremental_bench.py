@@ -57,9 +57,17 @@ def main() -> None:
     out: dict = {"sf_dir": sf_dir, "delta_pct": delta_pct}
 
     full, incr = "b_posti_full_bench", "b_posti_incr_bench"
+    # a killed prior run leaves orphan DIRECTORIES the in-memory
+    # catalog no longer knows about -- DROP TABLE alone cannot clear
+    # them and saveAsTable then fails on the existing location
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (full, incr):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {t}_compacting")
+        for d in (t, f"{t}_compacting"):
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
     t0 = time.perf_counter()
     postings_seed(spark, docs, full, n_buckets=32)
