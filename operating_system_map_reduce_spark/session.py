@@ -23,6 +23,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas UDF / toPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # A silently-crashed Python worker otherwise deadlocks its JVM task
+    # on the dead socket with no traceback (observed once at sf100 --
+    # SCALING.md round-14 incident note); the faulthandler costs
+    # nothing in steady state and turns that hang into a diagnosable
+    # task failure.
+    "spark.python.worker.faulthandler.enabled": "true",
     # Dimension tables (region/nation/supplier/part at these SFs) should
     # broadcast; 64 MB is safe with multi-GB executors.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
