@@ -616,6 +616,33 @@ def postings_delta_from_changelog(log, since_seq: int) -> DataFrame:
         log.raw().filter(F.col(log.seq_col) > F.lit(int(since_seq))))
 
 
+def signature_seed(spark: SparkSession, docs: DataFrame, table: str,
+                   n_buckets: int = 16) -> str:
+    """Full build of a standalone incremental SIGNATURE table (the
+    b_sig shape: per-doc minhash + shingles, doc_id-bucketed) -- the
+    same per-doc-derivation argument as postings_seed: signatures
+    carry no cross-doc state, so the appending-corpus maintenance is
+    exact delta-append here too.  One seed/append pair per at-rest
+    table keeps each table's key/bucket policy in one place."""
+    from operating_system_map_reduce_spark.sources.bucketing import (
+        write_bucketed)
+
+    write_bucketed(_dd.minhash_signature(docs), table, "doc_id",
+                   n_buckets=n_buckets)
+    return table
+
+
+def signature_append(spark: SparkSession, delta_docs: DataFrame, table: str,
+                     n_buckets: int = 16) -> None:
+    """Append NEW documents' signatures into an existing signature
+    table -- delta-proportional; see postings_append."""
+    from operating_system_map_reduce_spark.sources.bucketing import (
+        append_bucketed)
+
+    append_bucketed(_dd.minhash_signature(delta_docs), table, "doc_id",
+                    n_buckets=n_buckets)
+
+
 # Session-local completion ledger for the staged incremental table:
 # tableExists alone cannot distinguish a finished lifecycle from one
 # that died between seed and compact in THIS session (cross-session

@@ -147,6 +147,30 @@ class TestIncrementalPostings:
             log.replay().select("doc_id", "text")))
         assert got == want
 
+    def test_signature_append_equals_full_rebuild(self, spark, sf_dir,
+                                                  postings_table):
+        """The pattern generalizes to the signature tier: b_sig rows
+        are per-doc too, so seed + delta-append is row-identical to
+        the from-scratch build -- including at the LSH-bands consumer
+        level (the novelty seed path's input)."""
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            signature_append, signature_seed)
+
+        docs = _docs(spark, sf_dir)
+        base = docs.filter(F.col("doc_id") % 10 != 3)
+        delta = docs.filter(F.col("doc_id") % 10 == 3)
+        signature_seed(spark, base, postings_table, N_BUCKETS)
+        signature_append(spark, delta, postings_table, N_BUCKETS)
+        got = _rows(spark.table(postings_table))
+        want = _rows(_dd.minhash_signature(docs))
+        assert got == want
+        assert len(got) > 0
+        got_b = _rows(_dd.lsh_bands(spark.table(postings_table))
+                      .select("doc_id", "band_idx", "band_hash"))
+        want_b = _rows(_dd.lsh_bands(_dd.minhash_signature(docs))
+                       .select("doc_id", "band_idx", "band_hash"))
+        assert got_b == want_b
+
     def test_staged_face_matches_registered_ngram(self, spark, sf_dir):
         """The r15 registration candidate: dedup_ngram_incremental
         (pairs served from the seed->append->compact lifecycle table)
