@@ -27,6 +27,11 @@ sys.path.insert(0, REPO)
 SFS = [("sf0.1", "/root/testdata/sf0.1"),
        ("sf1", "/tmp/spark-graft-sf1"),
        ("sf10", "/tmp/spark-graft-sf10")]
+# sf100 (/tmp/spark-graft-sf100) is deliberately NOT in the full
+# matrix: the through-Python witnesses are known-hostile there (the
+# containment SHJ shape OOMs; arrayverify pays its ~130 GB spill
+# term).  Fourth-decade rows are taken per-variant explicitly:
+#   python scripts/postings_bakeoff.py <variant> /tmp/spark-graft-sf100
 
 
 def _measure(variant: str, sf_dir: str) -> dict:
