@@ -586,7 +586,7 @@ def postings_seed(spark: SparkSession, docs: DataFrame, table: str,
         write_bucketed)
 
     write_bucketed(_dd.shingle_postings(docs), table, "s",
-                   n_buckets=n_buckets)
+                   n_buckets=n_buckets, one_file_per_bucket=True)
     return table
 
 
@@ -628,7 +628,7 @@ def signature_seed(spark: SparkSession, docs: DataFrame, table: str,
         write_bucketed)
 
     write_bucketed(_dd.minhash_signature(docs), table, "doc_id",
-                   n_buckets=n_buckets)
+                   n_buckets=n_buckets, one_file_per_bucket=True)
     return table
 
 

@@ -21,11 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
-                   sort: bool = True) -> None:
+                   sort: bool = True,
+                   one_file_per_bucket: bool = False) -> None:
     """Persist ``df`` as a managed parquet table bucketed (and
     optionally sorted) on ``key``.  At 100 TB, n_buckets is sized so a
     bucket's largest co-grouped key set fits an executor (~shuffle
-    partition sizing, but decided once at write time)."""
+    partition sizing, but decided once at write time).
+
+    ``one_file_per_bucket`` repartitions on the bucket key first
+    (murmur3 HashPartitioning — the same hash the bucket id uses, so
+    each task holds exactly one bucket) and was measured a strict win
+    for the at-rest builds (round 14, sf10 b_post): build 13.8 →
+    7.4 s (32 writers each committing ONE sorted file instead of 32
+    tasks × 32 buckets = 1024 tiny files) and downstream reads ~9%
+    faster (no per-bucket multi-file merge).  Trade-offs: the
+    repartition is one extra exchange of the build input (paid once,
+    at write time), a hot bucket is written by a single task (but a
+    skewed bucket equally straggles every downstream co-bucketed
+    join — n_buckets sizing is the real lever), and against an input
+    that is ALREADY a matching bucketed scan the planner elides the
+    repartition (harmless: the write falls back to per-task files —
+    compact_bucketed exists for that case and uses a forced bucketed
+    scan instead)."""
+    if one_file_per_bucket:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(key))
     w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
@@ -33,7 +54,8 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
 
 
 def append_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
-                    sort: bool = True) -> None:
+                    sort: bool = True,
+                    one_file_per_bucket: bool = True) -> None:
     """Append delta rows into an existing bucketed table (same spec --
     Spark enforces the bucket count/key match).
 
@@ -49,7 +71,16 @@ def append_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
     SAV (p2/server/map.h SAV contract), applied to the analytic
     at-rest tier.  At 100 TB this is the difference between paying
     the delta (minutes) and paying the corpus (hours) on every
-    ingest tick."""
+    ingest tick.
+
+    ``one_file_per_bucket`` (default True — the delta is small, the
+    shuffle is cheap) bounds fragmentation at ONE new file per bucket
+    per tick instead of one per (task, bucket), stretching the
+    compaction interval correspondingly."""
+    if one_file_per_bucket:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, F.col(key))
     w = df.write.format("parquet").mode("append").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
