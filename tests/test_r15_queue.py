@@ -113,6 +113,38 @@ class TestIncrementalPostings:
                 f"corpus-keyed exchange after append: {keys}\n{plan}"
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
+    def test_randomized_splits_append_equals_rebuild(self, spark, sf_dir,
+                                                     postings_table):
+        """Seeded randomized differential (the repo's property-test
+        convention for Spark-heavy paths): arbitrary seed/append
+        partitions of the corpus -- including an empty tick and a
+        single-doc tick -- must all replay to the full rebuild."""
+        import random
+
+        rng = random.Random(0x5EED)
+        docs = _docs(spark, sf_dir)
+        ids = [r[0] for r in docs.select("doc_id").collect()]
+        want = _rows(_dd.shingle_postings(docs))
+        for trial in range(2):
+            spark.sql(f"DROP TABLE IF EXISTS {postings_table}")
+            rng.shuffle(ids)
+            n_ticks = rng.randint(2, 4)
+            cuts = sorted(rng.sample(range(1, len(ids)), n_ticks))
+            parts = [ids[a:b] for a, b in
+                     zip([0] + cuts, cuts + [len(ids)])]
+            parts.append([])             # an empty ingest tick
+            parts.append([parts[0].pop()])  # and a single-doc tick
+            seed_ids = parts[0]
+            postings_seed(
+                spark, docs.filter(F.col("doc_id").isin(seed_ids)),
+                postings_table, N_BUCKETS)
+            for chunk in parts[1:]:
+                postings_append(
+                    spark, docs.filter(F.col("doc_id").isin(chunk)),
+                    postings_table, N_BUCKETS)
+            got = _rows(spark.table(postings_table))
+            assert got == want, f"trial {trial} diverged"
+
     def test_changelog_fed_delta(self, spark, sf_dir, postings_table,
                                  tmp_path):
         """The CDC feed end-to-end: base docs snapshot at seq S, delta
