@@ -196,7 +196,18 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # (registry <= 150) holds: 144 + 1 = 145 keeps ceiling-2
     # feasible.  (4) The r11-green cohort hits the ceiling at r15 and
     # MUST seat (48 entries by the histogram) -- count seats before
-    # spending any on (3).  NO other new faces.
+    # spending any on (3).  NO other new faces.  (5) PERF WATCH
+    # (named r14, SCALING.md round-14 closing): dedup_ngram_jaccard's
+    # matched-layout decade ratio reads 17-18x on 10x while its pair
+    # OUTPUT is exactly 10.0x (counted both decades) -- census the
+    # pre-combine co-occurrence rows per decade (the r13 ppjoin
+    # stage-localization method; prediction on record: >= 30x on
+    # 10x).  If confirmed, fix class = frequency-capped shingle
+    # blocking or the prefix lever at low threshold; if refuted, the
+    # term is shuffle/spill-shaped.  (The one-file-per-bucket layout
+    # change that exposed this needs NO re-entries: plan shapes and
+    # rows are bit-identical -- probed and gate-spot-checked 10/10 --
+    # only file counts changed.)
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green
