@@ -208,6 +208,17 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # change that exposed this needs NO re-entries: plan shapes and
     # rows are bit-identical -- probed and gate-spot-checked 10/10 --
     # only file counts changed.)
+    #   -> CENSUS RAN (r14 second leg, scripts/ngram_census.py):
+    #   prediction REFUTED -- postings, sum C(f,2), and the exact
+    #   filtered co-occurrence count are all EXACTLY 10.00x per
+    #   decade (the suffix-replica corpus is vocabulary-disjoint, so
+    #   frequencies cannot grow; top shingle freq is 25 at every
+    #   decade).  The term is shuffle/spill-shaped: suspects are the
+    #   per-task partial hash aggregate (parallelism == 32 buckets)
+    #   spilling at sf100 volumes, split by
+    #   scripts/ngram_decade_probe.py's heap (64g) and bucket (256)
+    #   probes -- see SCALING.md "co-occurrence census" for rows and
+    #   the fix decision.
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green
