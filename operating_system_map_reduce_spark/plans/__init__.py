@@ -219,6 +219,22 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     #   scripts/ngram_decade_probe.py's heap (64g) and bucket (256)
     #   probes -- see SCALING.md "co-occurrence census" for rows and
     #   the fix decision.
+    #   -> PROBES RAN + FIX SHIPPED (r14 verification session): the
+    #   bucket probe collapsed the term at constant total work
+    #   (same-day cells: sf100/32-bucket median 306.9 s = 12.0x on
+    #   10x vs sf100/256-bucket 241.8 s = 9.45x -- data-proportional;
+    #   the heap probe became moot).  bucketed_postings now sizes the
+    #   bucket count to the corpus at write time
+    #   (pipeline._postings_bucket_count: pow2 from floor 32 at
+    #   ~4 MiB/bucket, cap 4096, env-overridable) -- every test/driver
+    #   SF and sf10 keep exactly 32, so plans, tables and bench
+    #   numbers at sf0.1 are bit-unchanged and NO re-entry is needed
+    #   (layout-only: bucket membership is murmur3(s) mod n; rows
+    #   identical by construction, suite + oracle parity green).
+    #   ppjoin sanity at 256: 86.9 s, parity with the 83.8 s
+    #   32-bucket row on a ~1.25x faster box.  Residual for r15:
+    #   containment's sf100 row under the new policy (predicted-safe,
+    #   unmeasured -- SCALING.md round-14 third leg).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green

@@ -532,6 +532,53 @@ ORDER BY simhash
 
 # --- brute-force n-gram Jaccard (quality baseline for the LSH path) -------
 
+# Corpus bytes per postings bucket.  A bucketed join's parallelism IS
+# the bucket count, so a CONSTANT count means per-task aggregate
+# volume grows with the corpus: the round-14 ngram probes measured the
+# registered face exactly replica-linear in input, candidates and
+# output (scripts/ngram_census.py) yet 17-18x on 10x data between
+# sf10 and sf100 -- per-task hash-aggregate state at 32-bucket
+# parallelism crossing the spill threshold -- and the bucket probe
+# (scripts/ngram_decade_probe.py, 256 buckets at constant total work)
+# collapsed the term.  4 MiB of source corpus per bucket reproduces
+# the probed cells: every driver/test SF and the sf10 replica corpus
+# stay at the floor of 32 (bench-comparable, task-per-core on the
+# local[32] harness), the sf100 replica corpus (810 MB) gets 256.
+_POSTINGS_BUCKET_BYTES = 4 * 1024 * 1024
+_POSTINGS_BUCKET_FLOOR = 32
+# Cap: one bucket is one file and one join task; 4096 buckets x
+# ~hundreds of MB of postings per bucket covers a 100 TB corpus tier
+# while keeping the file count sane -- past that, partition the table
+# (e.g. by corpus shard) instead of growing a single flat bucket set.
+_POSTINGS_BUCKET_CAP = 4096
+
+
+def _postings_bucket_count(sf_dir: str) -> int:
+    """Bucket count for b_post, sized to the corpus at write time --
+    the production policy the constant pretended to be (its docstring
+    said "the way a production write would size it to its cluster";
+    now it does).  Power-of-two growth from the floor, keyed on the
+    source corpus' on-disk bytes (documents.parquet file, or summed
+    parquet parts for a directory corpus) -- a write-time stat, no
+    Spark job.  ``SPARK_GRAFT_POSTINGS_BUCKETS`` overrides for
+    deployments that size to the cluster instead."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_POSTINGS_BUCKETS")
+    if env:
+        return int(env)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        nbytes = sum(e.stat().st_size for e in os.scandir(path)
+                     if e.name.endswith(".parquet"))
+    else:
+        nbytes = os.path.getsize(path)
+    n = _POSTINGS_BUCKET_FLOOR
+    while n < _POSTINGS_BUCKET_CAP and nbytes > _POSTINGS_BUCKET_BYTES * n:
+        n *= 2
+    return n
+
+
 def bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shingle inverted index (doc_id, n, s) as an AT-REST parquet
     table bucketed AND sorted on the shingle ``s`` -- the round-13
@@ -549,15 +596,19 @@ def bucketed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (the corpus-sized postings exchange) is deleted outright,
     and only candidate-bounded pair rows reach the count aggregate.
 
-    32 buckets (not the default 16): the bucketed self-join's
-    parallelism IS the bucket count -- sized to the local[32] test
-    shape the way a production write would size it to its cluster."""
+    Bucket count: corpus-scaled via _postings_bucket_count (round 14;
+    floor 32, not the default 16, because the bucketed self-join's
+    parallelism IS the bucket count and the local[32] harness wants a
+    task per core).  The count affects the table LAYOUT only -- bucket
+    membership of a row is pure murmur3(s) mod n -- so every consumer
+    computes identical rows at any count; what scales is per-task
+    join/aggregate volume (see the constants' comment)."""
     from operating_system_map_reduce_spark.plans.analytics import at_rest_table
 
     return at_rest_table(
         spark, sf_dir, "b_post", "s",
         lambda: _dd.shingle_postings(_t(spark, sf_dir, "documents")),
-        n_buckets=32)
+        n_buckets=_postings_bucket_count(sf_dir))
 
 
 # --- incremental maintenance of the at-rest postings tier -----------------
@@ -683,11 +734,16 @@ def incremental_postings_demo_table(spark: SparkSession, sf_dir: str) -> str:
             spark.sql(f"DROP TABLE {table}")
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         is_delta = F.pmod(F.col("doc_id"), F.lit(100)) == 0
+        # same corpus-scaled count as bucketed_postings: seed, append
+        # and compact must agree on the bucket spec (Spark enforces
+        # it), and the incremental table should ride the same policy
+        # the full-build table ships with
+        nb = _postings_bucket_count(sf_dir)
         _ensure_bucketed(spark, table,
                          _dd.shingle_postings(docs.filter(~is_delta)),
-                         "s", n_buckets=32)
-        postings_append(spark, docs.filter(is_delta), table, n_buckets=32)
-        compact_bucketed(spark, table, "s", n_buckets=32)
+                         "s", n_buckets=nb)
+        postings_append(spark, docs.filter(is_delta), table, n_buckets=nb)
+        compact_bucketed(spark, table, "s", n_buckets=nb)
         _INCR_COMPLETE.add(table)
     return table
 
