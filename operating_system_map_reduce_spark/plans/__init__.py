@@ -232,9 +232,11 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     #   (layout-only: bucket membership is murmur3(s) mod n; rows
     #   identical by construction, suite + oracle parity green).
     #   ppjoin sanity at 256: 86.9 s, parity with the 83.8 s
-    #   32-bucket row on a ~1.25x faster box.  Residual for r15:
-    #   containment's sf100 row under the new policy (predicted-safe,
-    #   unmeasured -- SCALING.md round-14 third leg).
+    #   32-bucket row on a ~1.25x faster box; containment sanity at
+    #   256: 369.9 s vs the faster-box 305.6 s 32-bucket median --
+    #   parity under the measured ~1.2x box drift.  Residual for r15:
+    #   promote containment's single-run sanity to a median-of-3
+    #   two-session band (SCALING.md round-14 third leg).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green
