@@ -27,6 +27,14 @@ timed runs after an untimed warm-up, with the measured job-submit
 overhead reported separately (``kv_mix_engine_ops_per_sec`` is the
 rate net of it).  The r11-r13 six-job 32M-op series is NOT comparable
 to the round-14+ scalar.
+
+Wall-clock budget note (round-15, the r14 verdict's item 8): the
+144 warm-ups + timed runs plus the 512M-op kv-mix (one warm-up +
+three timed runs) make the PROCESS wall roughly 2x the printed
+steady-state total.  If the harness ever times out, shrink the kv-mix
+first -- ``kv_mix_bench(n_ops=...)`` is the knob (128M keeps the
+overhead term under ~3% on this box); the per-query path must stay
+full-registry.
 """
 
 from __future__ import annotations

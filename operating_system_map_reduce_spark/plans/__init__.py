@@ -237,6 +237,18 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     #   parity under the measured ~1.2x box drift.  Residual for r15:
     #   promote containment's single-run sanity to a median-of-3
     #   two-session band (SCALING.md round-14 third leg).
+    # Round 15 (registry 145): EXECUTED as queued.  (1) No red r14
+    # rows.  (2) Rule-2 re-entries: stream_novelty_filter +
+    # stream_novelty_index_compact (the cascade's per-wave re-plan --
+    # wave bands from the at-rest b_sig table, wave id from the
+    # staged replay order, staging session-cached as fixture input;
+    # rows/oracles unchanged, REDEFINED -> 15 in the same commit).
+    # (3) dedup_ngram_incremental REGISTERED (145 <= 150 headroom
+    # holds; oracle = the from-scratch DEDUP_NGRAM_SQL, so the gate
+    # proves append==rebuild end-to-end).  Seat math against the r14
+    # ledger: 45 due (the r11-green cohort at ceiling) + 1 rule-1
+    # never-green + 2 rule-2 = 48 into 50 seats, deferred_due() empty
+    # (computed via window.build_window before the commit).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green

@@ -566,11 +566,43 @@ def _postings_bucket_count(sf_dir: str) -> int:
 
     env = os.environ.get("SPARK_GRAFT_POSTINGS_BUCKETS")
     if env:
-        return int(env)
+        # validate loudly (round-15 advice fix): a typo'd override
+        # must fail at plan time with ITS name in the message, not as
+        # a bare int() traceback or a bucketBy(0) write-time error
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_POSTINGS_BUCKETS must be a positive "
+                f"integer, got {env!r}") from None
+        if n <= 0:
+            raise ValueError(
+                f"SPARK_GRAFT_POSTINGS_BUCKETS must be positive, got {n}")
+        if n & (n - 1):
+            import warnings
+            warnings.warn(
+                f"SPARK_GRAFT_POSTINGS_BUCKETS={n} is not a power of "
+                "two; the policy's own counts are pow2 so decade "
+                "comparisons against them will be off-grid",
+                RuntimeWarning, stacklevel=2)
+        return n
     path = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(path):
-        nbytes = sum(e.stat().st_size for e in os.scandir(path)
-                     if e.name.endswith(".parquet"))
+        # recursive walk (round-15 advice fix): a partitioned/nested
+        # parquet dataset keeps its parts in subdirectories, which the
+        # old top-level scandir summed to 0 bytes -- silently landing
+        # on the 32-bucket floor at any corpus size, the exact
+        # per-task-volume regression the policy exists to prevent
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet"))
+        if nbytes == 0:
+            import warnings
+            warnings.warn(
+                f"_postings_bucket_count: no *.parquet files found "
+                f"under directory corpus {path!r}; sizing falls back "
+                "to the bucket floor", RuntimeWarning, stacklevel=2)
     else:
         nbytes = os.path.getsize(path)
     n = _POSTINGS_BUCKET_FLOOR
@@ -751,12 +783,13 @@ def incremental_postings_demo_table(spark: SparkSession, sf_dir: str) -> str:
 def dedup_ngram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs served from the INCREMENTALLY-MAINTAINED
     postings table (seed 99% -> append 1% tick -> compact) --
-    UNREGISTERED r15-queue staging (the two-round pattern; the r15
-    registration candidate named in the round-14 queue note).  The
-    plan is dedup_ngram_jaccard's exactly -- same exchange-free
-    bucketed self-join, same pair aggregate -- only the scan is the
-    maintained table, so the driver gate would prove maintenance ==
-    rebuild end-to-end against the same from-scratch DuckDB oracle
+    REGISTERED round 15 (the two-round pattern's second leg: staged +
+    pinned five ways in r14, seated by rule 1 as never-driver-green;
+    seat math in plans/__init__.py ROUND-15 notes).  The plan is
+    dedup_ngram_jaccard's exactly -- same exchange-free bucketed
+    self-join, same pair aggregate -- only the scan is the maintained
+    table, so the driver gate proves maintenance == rebuild
+    end-to-end against the same from-scratch DuckDB oracle
     (DEDUP_NGRAM_SQL) the registered ngram face uses."""
     return (_ngram_pair_rows(
         spark.table(incremental_postings_demo_table(spark, sf_dir)))
@@ -846,11 +879,19 @@ def bucketed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     many times, not a per-query recomputation."""
     from operating_system_map_reduce_spark.plans.analytics import at_rest_table
 
+    # Bucket count rides the same corpus-keyed policy as b_post
+    # (round-15 advice fix: the hard-coded 32 was the same
+    # constant-parallelism-vs-growing-corpus hazard class round 14
+    # fixed for the postings).  The edge count is replica-linear in
+    # the corpus (censused r14: candidates exactly 10.00x per decade),
+    # so corpus bytes are the right key here too; every driver/test SF
+    # stays at exactly 32 (policy floor below 128 MB of corpus), so
+    # plans and bench numbers at sf0.1 are bit-unchanged.
     return at_rest_table(
         spark, sf_dir, "b_edge", "id_a",
         lambda: _ngram_pair_rows(bucketed_postings(spark, sf_dir))
         .select("id_a", "id_b"),
-        n_buckets=32)
+        n_buckets=_postings_bucket_count(sf_dir))
 
 
 def dedup_ngram_jaccard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,6 +1449,7 @@ QUERIES.update({
     "corpus_novelty_filter": corpus_novelty_filter,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_incremental": dedup_ngram_incremental,
     "dedup_jaccard_ppjoin": dedup_jaccard_ppjoin,
     "similarity_cosine_topk": similarity_cosine_topk,
     "similarity_lsh_buckets": similarity_lsh_buckets,
@@ -1419,6 +1461,11 @@ ORACLES.update({
     "corpus_novelty_filter": CORPUS_NOVELTY_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    # the incremental face computes the SAME rows as the full rebuild
+    # (append == rebuild, pinned five ways in tests/test_r15_queue.py)
+    # -- sharing the from-scratch oracle is the point: the driver gate
+    # proves the maintenance lifecycle equals the rebuild end-to-end
+    "dedup_ngram_incremental": DEDUP_NGRAM_SQL,
     "dedup_jaccard_ppjoin": DEDUP_PPJOIN_SQL,
     "similarity_cosine_topk": SIMILARITY_KNN_SQL,
     "similarity_lsh_buckets": SIMILARITY_LSH_SQL,

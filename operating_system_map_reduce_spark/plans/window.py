@@ -188,6 +188,18 @@ REDEFINED: dict[str, int] = {
     # containment's pinned plan at sf100.  The r12 green row vouches
     # for the pinned plan, so the face re-enters at r14.
     "dedup_minhash_lsh": 14,
+    # round 15 (superseding their r13/r14 seed-reuse entries): the
+    # cascade's per-wave internals re-planned -- arriving-wave bands
+    # now derive from the at-rest b_sig table (identical rows, pinned
+    # in tests/test_streaming.py::test_batch_bands_match_direct_
+    # signature), the per-wave wave-id collect replaced by the staged
+    # replay order, and the wave staging session-cached as fixture
+    # input.  Results and oracles unchanged; both faces re-enter per
+    # the conservative reading of rule 2 (seat math: 45 due + 1 new
+    # face + these 2 = 48 into 50 seats, deferred_due empty --
+    # verified against the r14 ledger).
+    "stream_novelty_filter": 15,
+    "stream_novelty_index_compact": 15,
 }
 
 

@@ -61,9 +61,13 @@ def main() -> int:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        # statistics.median (round-15 advice fix): the old
+        # sorted(runs)[n//2] read the upper-middle element for even
+        # run counts, and an empty runs list (face:0) crashed
+        import statistics
         out["faces"][face] = {
             "cold": cold, "runs": runs,
-            "median": sorted(runs)[len(runs) // 2],
+            "median": round(statistics.median(runs), 3) if runs else None,
             "loadavg": round(os.getloadavg()[0], 1)}
         print("PARTIAL " + json.dumps(out["faces"][face] | {"face": face}),
               flush=True)

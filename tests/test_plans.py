@@ -265,9 +265,11 @@ class TestRegistryWindow:
         pin must not go red when CORRECTNESS_r10.json lands)."""
         assert _win.REDEFINED["changelog_asof"] == 9
         # stream_novelty_filter: re-keyed 10 -> 13 when the seed-index
-        # derivation changed in round 13 (REDEFINED is one key per
-        # entry; the r10 re-entry is history recorded in the comments)
-        assert _win.REDEFINED["stream_novelty_filter"] == 13
+        # derivation changed in round 13, then 13 -> 15 when the wave
+        # internals re-planned in round 15 (REDEFINED is one key per
+        # entry; earlier re-entries are history recorded in the
+        # comments)
+        assert _win.REDEFINED["stream_novelty_filter"] == 15
         current = max(self.LEDGER.values(), default=0) + 1
         for name, declared in _win.REDEFINED.items():
             if self.LEDGER.get(name, -1) < declared <= current:
@@ -418,7 +420,9 @@ class TestRegistryWindow:
 
     def test_registry_is_consistent(self):
         oracles = entrymod.oracle_sql()
-        assert len(_QUERIES) == len(set(_QUERIES)) == 144
+        # 145 since round 15: dedup_ngram_incremental registered (the
+        # r14-staged maintenance lifecycle; headroom line <= 150 holds)
+        assert len(_QUERIES) == len(set(_QUERIES)) == 145
         assert set(oracles) <= set(_QUERIES)
         # every registered query is oracled since round 8 (the trained
         # IVF-PQ stack gained its unrolled deterministic-Lloyd oracle)

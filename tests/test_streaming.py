@@ -439,6 +439,31 @@ class TestNoveltyStream:
         assert new == old
         assert len(new) > 0
 
+    def test_batch_bands_match_direct_signature(self, spark, sf_dir):
+        """The r15 wave-band re-plan, twin of the seed pin above: the
+        arriving waves' bands now derive from the same at-rest
+        signature table, filtered to the BATCH docs.  Per-doc rows --
+        (doc_id, band_idx, band_hash) this time, since the cascade
+        probes and appends per wave -- must be IDENTICAL to the
+        per-wave Python minhash recompute they replace."""
+        from operating_system_map_reduce_spark.operators import dedup as _dd
+        from operating_system_map_reduce_spark.plans.pipeline import (
+            bucketed_signature)
+        from operating_system_map_reduce_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.filter(F.col("doc_id") % 10 == 7)
+        old = sorted(map(tuple, _dd.lsh_bands(_dd.minhash_signature(batch))
+                         .select("doc_id", "band_idx", "band_hash")
+                         .collect()))
+        sig = bucketed_signature(spark, sf_dir).join(
+            batch.select("doc_id"), "doc_id", "left_semi")
+        new = sorted(map(tuple, _dd.lsh_bands(sig)
+                         .select("doc_id", "band_idx", "band_hash")
+                         .collect()))
+        assert new == old
+        assert len(new) > 0
+
     def test_cascade_rejects_dup_of_earlier_admission(self, spark,
                                                       novelty_dir):
         tmp_path = novelty_dir
