@@ -245,10 +245,16 @@ def collect_registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFram
     # rows/oracles unchanged, REDEFINED -> 15 in the same commit).
     # (3) dedup_ngram_incremental REGISTERED (145 <= 150 headroom
     # holds; oracle = the from-scratch DEDUP_NGRAM_SQL, so the gate
-    # proves append==rebuild end-to-end).  Seat math against the r14
-    # ledger: 45 due (the r11-green cohort at ceiling) + 1 rule-1
-    # never-green + 2 rule-2 = 48 into 50 seats, deferred_due() empty
-    # (computed via window.build_window before the commit).
+    # proves append==rebuild end-to-end).  (4) A third rule-2
+    # re-entry landed later in the round: fuzzy_match_symspell -- the
+    # core-scaling probe caught its deletion-neighborhood explode
+    # running in ONE scan task (part.parquet is a single sub-split
+    # file), serial at every core count; a cores-keyed pre-explode
+    # repartition fixed it (10x-part wall 22.5 -> 5.8 s; see
+    # OPTIMIZATION_r15.md SS8).  Seat math against the r14 ledger:
+    # 45 due (the r11-green cohort at ceiling) + 1 rule-1 never-green
+    # + 3 rule-2 = 49 into 50 seats, deferred_due() empty (computed
+    # via window.build_window before each commit).
     # ROUND-13 QUEUE (written at r12 close): NO new faces queued -- by
     # the headroom decision below, depth over breadth.  Window13 seat
     # math (assuming a green r12 gate): the 45 remaining r10-green

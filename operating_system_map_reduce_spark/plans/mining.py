@@ -1139,7 +1139,22 @@ def deletion_neighborhood_pairs(p: DataFrame) -> DataFrame:
     twice) dedup MAP-SIDE via array_distinct before the explode -- ids
     are unique, so per-name key dedup equals the row-level distinct
     without shuffling the keyed table (round-7 plan fix: the old
-    .distinct() was a full wide exchange)."""
+    .distinct() was a full wide exchange).
+
+    Parallelism (round 15): the explode is distributed across cores by
+    a p_partkey repartition of the INPUT rows first.  part.parquet is
+    one file well under a 128 MB split even at 10x rows, so both
+    explode map sides ran in ONE scan task -- a serial term the r15
+    core-scaling probe exposed (scripts/symspell_scale_probe.py: at
+    10x part rows the face ran 8.4x longer and 8-vs-32-core read 1.03
+    -- linear in data, flat in cores, the single-split signature of
+    guide SS2.5's 'one huge unsplittable input').  The repartition
+    moves the NARROW pre-explode rows (1/(L+1) of the bytes the
+    post-explode join exchange already shuffles), so it is cheap
+    insurance at every scale and the whole neighborhood derivation
+    then tracks cores -- the minhash_signature precedent."""
+    ncores = p.sparkSession.sparkContext.defaultParallelism
+    p = p.repartition(ncores, F.col("p_partkey"))
     variants = F.expr(
         "array_distinct(concat(array(p_name),"
         " transform(sequence(1, length(p_name)),"

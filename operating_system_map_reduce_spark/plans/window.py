@@ -195,11 +195,21 @@ REDEFINED: dict[str, int] = {
     # signature), the per-wave wave-id collect replaced by the staged
     # replay order, and the wave staging session-cached as fixture
     # input.  Results and oracles unchanged; both faces re-enter per
-    # the conservative reading of rule 2 (seat math: 45 due + 1 new
-    # face + these 2 = 48 into 50 seats, deferred_due empty --
-    # verified against the r14 ledger).
+    # the conservative reading of rule 2 (seat math incl. the symspell
+    # entry below: 45 due + 1 new face + 3 rule-2 = 49 into 50 seats,
+    # deferred_due empty -- verified against the r14 ledger).
     "stream_novelty_filter": 15,
     "stream_novelty_index_compact": 15,
+    # round 15: the deletion-neighborhood derivation gained a
+    # cores-keyed repartition before its explode -- the r15 probe
+    # (scripts/symspell_scale_probe.py) caught both explode map sides
+    # running in ONE scan task (part.parquet is a single sub-split
+    # file even at 10x rows): 10x data ran 8.4x longer with a 1.03
+    # low/high-core ratio, the single-split serial signature.  Rows
+    # unchanged (repartition is row-preserving); plan gains one narrow
+    # pre-explode exchange, so the face re-enters.  Seat math with
+    # this: 45 due + 1 new + 3 rule-2 = 49 into 50 seats.
+    "fuzzy_match_symspell": 15,
 }
 
 
